@@ -1,44 +1,478 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Operator ↔ SURVEY.md §2 mapping is given per query in ``queries()``.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in crawlray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# Make the repo importable for THIS process (driver may import us from any
+# cwd) and force by-value cloudpickle serialization of our packages so Ray
+# workers never need `crawlray` on their own sys.path.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _register_by_value() -> None:
+    import importlib
+    import pkgutil
+
+    import ray.cloudpickle as _cp
+
+    for pkg_name in ("crawlray", "oracle"):
+        pkg = importlib.import_module(pkg_name)
+        mods = [pkg]
+        for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg_name + "."):
+            mods.append(importlib.import_module(info.name))
+        for m in mods:
+            try:
+                _cp.register_pickle_by_value(m)
+            except Exception:
+                pass
+
+
+_register_by_value()
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _rd(sf_dir: str, table: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _round_cols(ds: ray.data.Dataset, cols: dict[str, int]) -> ray.data.Dataset:
+    """Round float columns so distributed float-sum jitter can't flip the
+    driver's value-hash vs DuckDB (both sides round identically)."""
+
+    def _r(batch: pa.Table) -> pa.Table:
+        out = {}
+        for name in batch.column_names:
+            col = batch.column(name)
+            if name in cols:
+                col = pc.round(col, ndigits=cols[name])
+            out[name] = col
+        return pa.table(out)
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# flagship entry
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: a full distributed crawl.
+
+    Derives a deterministic synthetic web sized from the sf0.001 documents
+    row count (FIXTURES.md §6 — the driver documents table is flat, not the
+    interleaved-span shape), crawls it with the Ray wave engine, and returns
+    the DOCUMENTS dataset (doc_id + interleaved text/media spans).
+    """
+    sf_dir = "/root/testdata/sf0.001"
+    n = _rd(sf_dir, "documents").count()
+    from crawlray.job import run_crawl
+    from crawlray.synthgraph import SynthWeb
+
+    web = SynthWeb(seed=42, shape="zipf_hosts", n_urls=max(50, n), n_hosts=8)
+    res = run_crawl(
+        seeds=web.default_seeds(),
+        web=web,
+        budget_per_host=3,
+        max_pages=min(200, n),
+    )
+    return res.documents
+
+
+# --------------------------------------------------------------------------
+# queries — one per implemented operator/pipeline (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+
+def _q1_agg(sf_dir: str):
+    """O-28/O-29: grouped aggregation (TPC-H Q1 style) over lineitem."""
+    ds = _rd(sf_dir, "lineitem")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_price": 2, "avg_disc": 6})
+
+
+def _groupby_counts(sf_dir: str):
+    """O-28: per-key counts + sums over events."""
+    ds = _rd(sf_dir, "events")
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total_value")
+    )
+    return _round_cols(out, {"total_value": 3})
+
+
+def _global_agg(sf_dir: str):
+    """O-29: global (non-grouped) aggregate over lineitem."""
+    from crawlray.ops.relational import single_row_agg
+
+    ds = _rd(sf_dir, "lineitem")
+    tbl = single_row_agg(
+        ds,
+        [
+            Count(alias_name="n"),
+            Sum("l_quantity", alias_name="sum_qty"),
+            Max("l_extendedprice", alias_name="max_price"),
+            Min("l_discount", alias_name="min_disc"),
+        ],
+    )
+    return pa.table(
+        {
+            "n": tbl.column("n"),
+            "sum_qty": pc.round(tbl.column("sum_qty"), ndigits=2),
+            "max_price": tbl.column("max_price"),
+            "min_disc": tbl.column("min_disc"),
+        }
+    )
+
+
+def _dedup_first(sf_dir: str):
+    """O-30/O-38: full-row keep-first dedup (events by user_id, min event_id)."""
+    from crawlray.ops.dedup import dedup_keep_first
+
+    return dedup_keep_first(_rd(sf_dir, "events"), key="user_id", order="event_id")
+
+
+def _global_sort_topk(sf_dir: str):
+    """O-33/O-34: global sort + limit (orders by totalprice desc)."""
+    from crawlray.ops.relational import topk
+
+    return topk(
+        _rd(sf_dir, "orders"),
+        keys=["o_totalprice", "o_orderkey"],
+        k=100,
+        descending=[True, False],
+    )
+
+
+def _hash_join(sf_dir: str):
+    """O-25/O-27: broadcast hash join orders ⋈ customer (small side ray.put once)."""
+    from crawlray.ops.relational import broadcast_join
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+    orders = _rd(sf_dir, "orders")
+    joined = broadcast_join(orders, cust, keys=["o_custkey"])
+    return joined.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+def _join_agg(sf_dir: str):
+    """O-27+O-28: join then grouped aggregate (revenue per market segment)."""
+    from crawlray.ops.relational import broadcast_join
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    orders = _rd(sf_dir, "orders")
+    joined = broadcast_join(orders, cust, keys=["o_custkey"])
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+def _anti_join(sf_dir: str):
+    """O-26 kernel: anti join — customers with no completed ('F') orders."""
+    from crawlray.ops.relational import broadcast_semi_anti
+
+    custkeys = (
+        _rd(sf_dir, "orders")
+        .filter(expr="o_orderstatus == 'F'")
+        .unique("o_custkey")
+    )
+    return broadcast_semi_anti(
+        _rd(sf_dir, "customer"), key="c_custkey", small_keys=custkeys, anti=True
+    )
+
+
+def _distinct_types(sf_dir: str):
+    """O-31: distinct values via groupby shuffle."""
+    from crawlray.ops.relational import distinct
+
+    return distinct(_rd(sf_dir, "events"), ["event_type"])
+
+
+def _union_all(sf_dir: str):
+    """O-37: union of two filtered branches (zero-copy block concat)."""
+    orders = _rd(sf_dir, "orders")
+    a = orders.filter(expr="o_orderstatus == 'O'")
+    b = orders.filter(expr="o_orderstatus == 'F'")
+    return a.union(b)
+
+
+def _window_bucket(sf_dir: str):
+    """O-42: temporal bucketing (events per hour)."""
+    ds = _rd(sf_dir, "events")
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.floor_temporal(batch.column("ts"), unit="hour"),
+                "value": batch.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    )
+    return _round_cols(out, {"total_value": 3})
+
+
+def _json_props(sf_dir: str):
+    """O-44: JSON field extraction + aggregate."""
+    from crawlray.ops.textqa import parse_json_field
+
+    ds = parse_json_field(_rd(sf_dir, "events"), "props", "k", "k")
+    return ds.groupby("k").aggregate(Count(alias_name="n"))
+
+
+def _flatten_tokens(sf_dir: str):
+    """O-43 analogue: explode documents into (doc_id, token) rows."""
+    from crawlray.ops.textqa import explode_tokens
+
+    return explode_tokens(_rd(sf_dir, "documents"))
+
+
+def _doc_stats(sf_dir: str):
+    """Quality scoring: per-doc char/token counts (vectorized kernels)."""
+    from crawlray.ops.textqa import doc_stats
+
+    return doc_stats(_rd(sf_dir, "documents"))
+
+
+def _token_count_by_source(sf_dir: str):
+    """Token counting rolled up per source."""
+    ds = _rd(sf_dir, "documents")
+
+    def _with_source(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern(batch.column("text"), pattern=" "))
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens_row": pc.cast(toks, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(_with_source, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens_row", alias_name="n_tokens"), Count(alias_name="n_docs"))
+    )
+    return out
+
+
+def _doc_fingerprint(sf_dir: str):
+    """Document fingerprinting (md5 content hash)."""
+    from crawlray.ops.textqa import fingerprint
+
+    return fingerprint(_rd(sf_dir, "documents"))
+
+
+def _exact_dedup_docs(sf_dir: str):
+    """Exact near-key dedup: documents by 5-token text prefix, keep min doc_id."""
+    from crawlray.ops.dedup import dedup_keep_first
+
+    ds = _rd(sf_dir, "documents")
+
+    def _key(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        key5 = pc.binary_join(pc.list_slice(toks, 0, 5), " ")
+        cols = {n: batch.column(n) for n in batch.column_names}
+        cols["k5"] = key5
+        return pa.table(cols)
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    deduped = dedup_keep_first(keyed, key="k5", order="doc_id")
+    return deduped.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _knn_cosine(sf_dir: str):
+    """Similarity search: brute-force cosine top-5 for the first 10 vectors."""
+    from crawlray.ops.knn import knn_cosine
+
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(q.column("vec_id"), 10)
+    q = q.filter(mask)
+    queries = np.array(q.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.array(q.column("vec_id").to_pylist(), dtype=np.int64)
+    out = knn_cosine(_rd(sf_dir, "embeddings"), queries, qids, k=5)
+    return pa.table(
+        {
+            "query_id": out.column("query_id"),
+            "neighbor_id": out.column("neighbor_id"),
+        }
+    )
+
+
+def _embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (threshold 0.45)."""
+    from crawlray.ops.knn import similar_pairs_cosine
+
+    return similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
+
+
+def _lang_id(sf_dir: str):
+    """Language-ID heuristic (rows-only: not SQL-expressible)."""
+    from crawlray.ops.textqa import lang_id
+
+    return lang_id(_rd(sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_agg": _q1_agg,
+        "groupby_counts": _groupby_counts,
+        "global_agg": _global_agg,
+        "dedup_first": _dedup_first,
+        "global_sort_topk": _global_sort_topk,
+        "hash_join": _hash_join,
+        "join_agg": _join_agg,
+        "anti_join": _anti_join,
+        "distinct_types": _distinct_types,
+        "union_all": _union_all,
+        "window_bucket": _window_bucket,
+        "json_props": _json_props,
+        "flatten_tokens": _flatten_tokens,
+        "doc_stats": _doc_stats,
+        "token_count_by_source": _token_count_by_source,
+        "doc_fingerprint": _doc_fingerprint,
+        "exact_dedup_docs": _exact_dedup_docs,
+        "knn_cosine": _knn_cosine,
+        "embedding_dedup": _embedding_dedup,
+        "lang_id": _lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "groupby_counts": """
+            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 3) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "global_agg": """
+            SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   MAX(l_extendedprice) AS max_price, MIN(l_discount) AS min_disc
+            FROM lineitem
+        """,
+        "dedup_first": """
+            SELECT * FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) = 1
+        """,
+        "global_sort_topk": """
+            SELECT * FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "hash_join": """
+            SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "join_agg": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "anti_join": """
+            SELECT * FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "distinct_types": "SELECT DISTINCT event_type FROM events",
+        "union_all": """
+            SELECT * FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "window_bucket": """
+            SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+                   ROUND(SUM(value), 3) AS total_value
+            FROM events GROUP BY 1
+        """,
+        "json_props": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+            FROM events GROUP BY k
+        """,
+        "flatten_tokens": """
+            SELECT doc_id, UNNEST(str_split(text, ' ')) AS token FROM documents
+        """,
+        "doc_stats": """
+            SELECT doc_id, LENGTH(text) AS n_chars2,
+                   LEN(str_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "token_count_by_source": """
+            SELECT source, SUM(LEN(str_split(text, ' '))) AS n_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "doc_fingerprint": "SELECT doc_id, MD5(text) AS fp FROM documents",
+        "exact_dedup_docs": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY array_to_string(str_split(text, ' ')[1:5], ' ')
+                ORDER BY doc_id) = 1
+        """,
+        "knn_cosine": """
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+            FROM embeddings q JOIN embeddings e ON q.vec_id < 10
+                 AND e.vec_id != q.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                         e.vec_id ASC) <= 5
+        """,
+        "embedding_dedup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # lang_id: heuristic classifier — rows-only check (no SQL equivalent)
+    }

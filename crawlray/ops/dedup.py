@@ -1,0 +1,121 @@
+"""Exact deduplication operators (SURVEY.md O-30/O-38).
+
+Two kernels:
+
+* `dedup_min_pack` — the crawl engine's within-wave frontier dedup: when the
+  winning row is fully derivable from (key, packed winner value), a single
+  arrow-native `groupby(key).min(pack)` shuffle suffices. This is the
+  scale path (one shuffle, fully vectorized, no per-group Python).
+
+* `dedup_keep_first` — generic full-row "keep first by order column" dedup
+  for arbitrary schemas. Sort-based and scale-safe:
+    1. range-shuffle sort by (key, order) → duplicates co-locate per block
+       except across block boundaries;
+    2. per-block vectorized keep-first (no Python row loops);
+    3. boundary repair: only keys that straddle a block boundary (O(#blocks)
+       keys; ≤ one surviving row per block each after step 2) are re-deduped
+       through a single-partition pass. The driver holds O(#blocks) edge
+       metadata, never data.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _keep_first_in_block(batch: pa.Table, key: str) -> pa.Table:
+    """Vectorized within-block keep-first; input sorted by (key, order)."""
+    if batch.num_rows <= 1:
+        return batch
+    col = batch.column(key).combine_chunks()
+    same = pc.equal(col.slice(1), col.slice(0, len(col) - 1))
+    keep = pa.concat_arrays(
+        [pa.array([True]), pc.invert(pc.fill_null(same, False))]
+    )
+    return batch.filter(keep)
+
+
+def dedup_keep_first(ds: ray.data.Dataset, key: str, order: str) -> ray.data.Dataset:
+    """Keep, per key, the first row by ascending `order` (full row survives).
+
+    Equivalent SQL: QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY
+    order) = 1. `order` should be unique within a key group for a
+    deterministic winner.
+    """
+    mat = ds.sort([key, order]).materialize()
+
+    local = mat.map_batches(
+        lambda b: _keep_first_in_block(b, key),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+
+    # boundary-straddling keys from per-block edge metadata (O(#blocks) rows)
+    def _edges(b: pa.Table) -> pa.Table:
+        col = b.column(key)
+        if b.num_rows == 0:
+            return pa.table({"edge": col.slice(0, 0), "which": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "edge": pa.concat_arrays(
+                    [col.slice(0, 1).combine_chunks(), col.slice(len(col) - 1).combine_chunks()]
+                ),
+                "which": pa.array(["first", "last"]),
+            }
+        )
+
+    edges = mat.map_batches(_edges, batch_format="pyarrow", batch_size=None).take_all()
+    firsts = {e["edge"] for e in edges if e["which"] == "first"}
+    lasts = {e["edge"] for e in edges if e["which"] == "last"}
+    straddle = sorted(firsts & lasts)
+    if not straddle:
+        return local
+    straddle_arr = pa.array(straddle)
+
+    def _part(keep_straddle: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(key), value_set=straddle_arr)
+            return batch.filter(mask if keep_straddle else pc.invert(mask))
+
+        return fn
+
+    clean = local.map_batches(_part(False), batch_format="pyarrow")
+    # ≤ #blocks rows per straddling key survive step 2 → single-partition
+    # resolve stays tiny regardless of input size
+    resolved = (
+        local.map_batches(_part(True), batch_format="pyarrow")
+        .repartition(1)
+        .sort([key, order])
+        .map_batches(
+            lambda b: _keep_first_in_block(b, key),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return clean.union(resolved)
+
+
+def dedup_min_pack(ds: ray.data.Dataset, key: str, pack: str) -> ray.data.Dataset:
+    """Per key, the minimum packed value — single vectorized shuffle.
+
+    Pre-combines within each batch (map-side combiner) so the shuffle moves
+    one row per (batch, key) instead of one per input row — the standard
+    partial-aggregation defense against shuffle volume and key skew
+    (SURVEY.md §4.3). Output columns: [key, pack].
+    """
+
+    def _precombine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([key]).aggregate([(pack, "min")])
+        # pyarrow names the aggregate f"{pack}_min"; restore original names
+        cols = {key: g.column(key), pack: g.column(f"{pack}_min")}
+        return pa.table(cols)
+
+    pre = ds.map_batches(_precombine, batch_format="pyarrow")
+    agg = pre.groupby(key).min(pack)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({key: b.column(key), pack: b.column(f"min({pack})")})
+
+    return agg.map_batches(_rename, batch_format="pyarrow")

@@ -1,0 +1,92 @@
+"""Relational operators over ray.data.Dataset (SURVEY.md §2.4–2.7).
+
+The reference engine (single-process PyCrawler-class loop; SURVEY.md §0) has
+no relational algebra — these operators cover the QA/aggregation surface the
+driver checks via DuckDB oracles, and are the same kernels the crawl engine
+uses (e.g. the broadcast lookup pattern backs O-25, the anti-join backs the
+seen-set semantics of O-26).
+
+Scale notes baked into each op:
+  * small sides are broadcast once via `ray.put` and joined per batch with
+    Arrow kernels — never re-shipped per batch, never a shuffle;
+  * large-large joins go through `Dataset.join` (hash shuffle both sides);
+  * aggregates use Ray Data's partial+final tree aggregation (no driver
+    materialization of the big side).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: pa.Table,
+    keys: list[str],
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Join a big Dataset against a small in-memory Arrow table.
+
+    The small side is put in the object store ONCE; every map task reads it
+    zero-copy and runs a vectorized Arrow (Acero) join per batch. This is the
+    broadcast-hash-join pattern — no shuffle of the big side.
+    """
+    small_ref = ray.put(small)
+
+    def _join(batch: pa.Table) -> pa.Table:
+        rhs = ray.get(small_ref)
+        return batch.join(rhs, keys=keys, join_type=join_type)
+
+    return big.map_batches(_join, batch_format="pyarrow")
+
+
+def broadcast_semi_anti(
+    big: ray.data.Dataset,
+    key: str,
+    small_keys: pa.Array | pa.ChunkedArray | list,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi/anti join: keep rows whose key is (not) in the small key set."""
+    if isinstance(small_keys, list):
+        small_keys = pa.array(small_keys)
+    keys_ref = ray.put(small_keys)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = pc.is_in(batch.column(key), value_set=ks)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return big.map_batches(_filter, batch_format="pyarrow")
+
+
+def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """Distinct rows over cols — a groupby shuffle with no aggregates kept."""
+    return ds.groupby(cols).count().select_columns(cols)
+
+
+def topk(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+) -> ray.data.Dataset:
+    """Global top-k: range-shuffle sort + limit (the limit prunes blocks).
+
+    Pass a unique tiebreak column last in `keys` so results are deterministic.
+    """
+    return ds.sort(keys, descending=descending).limit(k)
+
+
+def single_row_agg(ds: ray.data.Dataset, aggs) -> pa.Table:
+    """Global (non-grouped) aggregate → a one-row Arrow table.
+
+    Ray Data computes this as partial per-block aggregates + a tree combine;
+    only the final scalar row lands on the driver.
+    """
+    out = ds.aggregate(*aggs)
+    return pa.Table.from_pylist([out])
