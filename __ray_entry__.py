@@ -25,25 +25,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def _register_by_value() -> None:
-    import importlib
-    import pkgutil
+import crawlray  # noqa: E402
 
-    import ray.cloudpickle as _cp
-
-    for pkg_name in ("crawlray", "oracle"):
-        pkg = importlib.import_module(pkg_name)
-        mods = [pkg]
-        for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg_name + "."):
-            mods.append(importlib.import_module(info.name))
-        for m in mods:
-            try:
-                _cp.register_pickle_by_value(m)
-            except Exception:
-                pass
-
-
-_register_by_value()
+crawlray.ensure_worker_importability()
 
 import numpy as np
 import pyarrow as pa

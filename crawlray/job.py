@@ -1,0 +1,438 @@
+"""The distributed crawl job: bootstrap + wave loop (SURVEY.md §3.2).
+
+Replaces the reference's single-process BFS loop (`while queue: url =
+queue.popleft(); ...` — see oracle/bfs_crawler.py, the normative stand-in
+for the absent reference snapshot, SURVEY.md §0) with an iterative-batch
+Ray Data pipeline: each BFS wave is a bounded streaming execution over
+Arrow blocks; cross-wave state lives only in actors (seen shards, robots,
+politeness) and checkpoints.
+
+Determinism under parallelism (§4.2): crawl order is never derived from
+execution timing — `seq` comes from a distributed sort on disc_key (a pure
+function of the crawl graph), dedup winners from min(pack), politeness
+admission from the B-lowest-disc_keys rule. Any num_cpus reproduces the
+oracle bit-for-bit; that is what the N→4N scaling criterion rides on.
+
+Per-wave dataflow (stage ids from SURVEY.md §2):
+
+    frontier_w (unique URLs, already in the seen set)
+      ├─ robots mask + politeness offers     map_batches + keyed actor RPCs (O-21/22)
+      ├─ [driver] politeness decide()        one tiny RPC round per wave
+      ├─ admission thresholds → admitted/deferred split
+      ├─ logged = denied ∪ admitted → sort(disc_key) + seq   ★ range shuffle (O-33)
+      ├─ fetch+parse actor pool              map_batches actor pool (O-23/14/15)
+      ├─ [optional] global page-budget cut   deterministic disc_key prefix (O-35)
+      ├─ crawl_log_w, documents_w            accumulated / checkpointed (O-3/4)
+      └─ explode outlinks → (url,pack) → groupby-min dedup  ★ hash shuffle (O-30)
+             → derive frontier cols → seen-shard filter (O-26) → new rows
+    frontier_{w+1} = deferred ∪ new rows (O-37)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Max
+
+from crawlray.actors.politeness import HostPolitenessActor
+from crawlray.actors.robots import RobotsCacheActor
+from crawlray.actors.seen import SeenShardActor
+from crawlray.kernels.url import canonicalize, in_scope
+from crawlray.ops.dedup import dedup_min_pack
+from crawlray.ops.seqassign import sort_and_zip_index
+from crawlray.schema import LINK_STRIDE
+from crawlray.stages import (
+    FetchParseStage,
+    frontier_table_from_urls,
+    make_derive_frontier_stage,
+    make_explode_stage,
+    make_robots_offer_stage,
+    make_seen_filter_stage,
+    make_threshold_stage,
+)
+
+
+def _compact(ds: ray.data.Dataset, cpus: int, rows_per_block: int = 2048) -> ray.data.Dataset:
+    """Materialize + bound the block count of a cross-wave dataset.
+
+    Two pathologies compound across the wave loop without this (measured: ~2×
+    wall time per wave, exponential):
+      * `filter` keeps empty blocks and `union` concatenates block lists, so
+        the frontier's block count doubles every wave;
+      * operations on a MaterializedDataset still extend the ORIGINAL logical
+        plan, so wave w's planning walks the whole history of waves 0..w-1.
+    The repartition bounds blocks at min(2·cpus, rows/rows_per_block); the
+    `from_arrow_refs` rebase severs the plan at the materialized blocks
+    (zero-copy: only refs are re-wrapped)."""
+    mat = ds.materialize()
+    n = mat.count()
+    target = max(1, min(cpus * 2, n // rows_per_block + 1))
+    if mat.num_blocks() > target * 2:
+        mat = mat.repartition(target).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)
+
+
+@dataclass
+class CrawlResult:
+    crawl_log: ray.data.Dataset
+    documents: ray.data.Dataset
+    waves: int
+    fetched_total: int
+    metrics: dict
+    _seen_actors: list = field(default_factory=list, repr=False)
+    _all_actors: list = field(default_factory=list, repr=False)
+
+    def crawl_log_table(self) -> pa.Table:
+        """Small-scale helper (tests): full log as one Arrow table, seq order."""
+        t = pa.Table.from_pylist(
+            self.crawl_log.take_all(),
+            schema=pa.schema(
+                [
+                    ("seq", pa.int64()),
+                    ("url", pa.string()),
+                    ("host", pa.string()),
+                    ("wave", pa.int32()),
+                    ("depth", pa.int32()),
+                    ("status", pa.string()),
+                    ("n_out", pa.int32()),
+                ]
+            ),
+        )
+        return t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
+
+    def seen_urls(self) -> set[str]:
+        """Full seen set (tests; at scale read the checkpoint SEEN_DUMPs)."""
+        tables = ray.get([a.dump_delta.remote() for a in self._seen_actors])
+        out: set[str] = set()
+        for t in tables:
+            out.update(t.column("url").to_pylist())
+        return out
+
+    def shutdown(self) -> None:
+        """Kill the crawl's actors, releasing their resource reservations.
+
+        The result datasets stay consumable: every lazy part chains off
+        materialized parents, so no actor is needed after the crawl. Call
+        this when done with the result (tests/benches that run many crawls
+        in one Ray session would otherwise accumulate actor reservations
+        until new fetcher pools can no longer schedule)."""
+        for a in self._all_actors:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self._all_actors = []
+
+
+def run_crawl(
+    seeds: list[str],
+    web=None,
+    webgraph: pa.Table | None = None,
+    robots: pa.Table | None = None,
+    budget_per_host: int = 2,
+    max_depth: int | None = None,
+    max_pages: int | None = None,
+    num_seen_shards: int = 4,
+    num_robots_shards: int = 2,
+    num_host_shards: int = 2,
+    fetch_concurrency=None,
+    fetch_batch_size: int = 512,
+    carryover_tokens: bool = False,
+    user_agent: str = "*",
+    checkpointer=None,
+) -> CrawlResult:
+    """Run a full crawl. Caller owns the Ray session (never inits here).
+
+    `web`: a SynthWeb (tables generated driver-side) — or pass `webgraph` /
+    `robots` Arrow tables directly (e.g. read from parquet).
+    """
+    import crawlray
+
+    crawlray.ensure_worker_importability()
+    if budget_per_host < 1:
+        raise ValueError("budget_per_host must be >= 1 (RBC-1)")
+    if max_depth is not None and max_depth >= (1 << 10):
+        raise ValueError("max_depth must fit the (disc_key, depth) packing")
+    if web is not None:
+        webgraph = web.webgraph_table()
+        robots = web.robots_table()
+    if webgraph is None:
+        raise ValueError("need web= or webgraph=")
+    webgraph_ref = ray.put(webgraph)
+    robots_ref = ray.put(robots) if robots is not None else None
+
+    seen_actors = [
+        SeenShardActor.remote(i, cuckoo_capacity=max(1 << 14, webgraph.num_rows * 2))
+        for i in range(num_seen_shards)
+    ]
+    robots_actors = [
+        RobotsCacheActor.remote(i, num_robots_shards, robots_ref, user_agent)
+        for i in range(num_robots_shards)
+    ]
+    polite_actors = [
+        HostPolitenessActor.remote(
+            i, rate=float(budget_per_host), burst=float(budget_per_host),
+            carryover=carryover_tokens,
+        )
+        for i in range(num_host_shards)
+    ]
+
+    # ---- bootstrap: seeds (RBC-4) — canonicalize, scope, dedup keeping the
+    # first occurrence (driver-side: seed lists are small by definition)
+    seed_urls, seed_keys, seed_depths = [], [], []
+    seed_seen: set[str] = set()
+    for i, s in enumerate(seeds):
+        c = canonicalize(s)
+        if c is None or not in_scope(c) or c in seed_seen:
+            continue
+        seed_seen.add(c)
+        seed_urls.append(c)
+        seed_keys.append(-LINK_STRIDE + i)
+        seed_depths.append(0)
+    ray.get([a.begin_wave.remote(0) for a in seen_actors])
+    frontier_tbl = frontier_table_from_urls(
+        seed_urls, seed_keys, seed_depths, num_seen_shards
+    )
+    if frontier_tbl.num_rows:
+        # register seeds in the seen set, dropping duplicate seeds (first wins:
+        # rows arrive in seed order within each shard call)
+        shards = frontier_tbl.column("shard").to_numpy()
+        keep = np.zeros(len(shards), dtype=bool)
+        futs = {}
+        for s in sorted(set(shards.tolist())):
+            idx = np.nonzero(shards == s)[0]
+            futs[s] = (
+                idx,
+                seen_actors[s].check_and_add.remote(
+                    [seed_urls[i] for i in idx],
+                    frontier_tbl.column("url_hash_lo").to_numpy()[idx],
+                    frontier_tbl.column("url_hash_hi").to_numpy()[idx],
+                ),
+            )
+        for s, (idx, fut) in futs.items():
+            keep[idx] = ray.get(fut)
+        frontier_tbl = frontier_tbl.filter(pa.array(keep))
+
+    frontier = ray.data.from_arrow(frontier_tbl)
+    n_frontier = frontier_tbl.num_rows
+    robots_offer = make_robots_offer_stage(robots_actors, polite_actors)
+    threshold = make_threshold_stage(polite_actors)
+    explode = make_explode_stage(max_depth)
+    derive = make_derive_frontier_stage(num_seen_shards)
+    seen_filter = make_seen_filter_stage(seen_actors)
+
+    # persistent fetch+parse pool: created once per CRAWL (not per wave —
+    # per-wave map_batches actor pools pay actor spin-up every wave)
+    if fetch_concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_fetchers = max(2, int(cpus * 0.6))
+    elif isinstance(fetch_concurrency, tuple):
+        n_fetchers = max(fetch_concurrency)
+    else:
+        n_fetchers = int(fetch_concurrency)
+    from crawlray.stages import FetcherActor, make_fetch_stage
+
+    fetcher_actors = [FetcherActor.remote(webgraph_ref) for _ in range(n_fetchers)]
+    fetch_stage = make_fetch_stage(fetcher_actors)
+
+    log_parts: list[ray.data.Dataset] = []
+    doc_parts: list[ray.data.Dataset] = []
+    metrics: dict = {"waves": []}
+    fetched_total = 0
+    seq_base = 0
+    wave = 0
+    waves_done = 0
+    stop = False
+
+    while not stop:
+        if n_frontier == 0:
+            break
+        ray.get(
+            [a.begin_wave.remote(wave) for a in seen_actors]
+            + [a.begin_wave.remote(wave) for a in polite_actors]
+        )
+
+        # E1: robots mask + politeness offers (one streaming pass)
+        marked = frontier.map_batches(robots_offer, batch_format="pyarrow").materialize()
+        n_admitted = sum(ray.get([a.decide.remote() for a in polite_actors]))
+
+        denied = marked.filter(expr="allowed == False")
+        allowed = marked.filter(expr="allowed == True")
+
+        # E2: admission thresholds → admitted / deferred
+        gated = allowed.map_batches(threshold, batch_format="pyarrow").materialize()
+        n_allowed = gated.count()  # metadata-only on a materialized dataset
+        n_deferred = n_allowed - n_admitted
+        deferred = gated.filter(expr="admitted == False").drop_columns(
+            ["allowed", "admitted"]
+        )
+
+        # E3: logged = denied ∪ admitted, frozen order via disc_key sort + seq.
+        # The `allowed` flag rides through the sort so the post-seq split is
+        # exact (a robots-denied row may well have a disc_key below its
+        # host's admission threshold — never re-derive the split).
+        admitted = gated.filter(expr="admitted == True").drop_columns(["admitted"])
+        logged = denied.union(admitted)
+        logged_seq = sort_and_zip_index(logged, "disc_key", base=seq_base).materialize()
+        n_logged = logged_seq.count()
+
+        admitted_seq = logged_seq.filter(expr="allowed == True").drop_columns(["allowed"])
+        denied_seq = logged_seq.filter(expr="allowed == False").drop_columns(["allowed"])
+
+        # E4: fetch + parse via the persistent actor pool; the map task only
+        # awaits the RPC (num_cpus=0.25), the actors do the CPU work
+        parsed = admitted_seq.map_batches(
+            fetch_stage,
+            batch_format="pyarrow",
+            batch_size=fetch_batch_size,
+            num_cpus=0.25,
+        ).materialize()
+
+        wave_fetched = parsed.filter(expr="status == 'fetched'").count()
+
+        # E5: deterministic global page-budget cut (O-35): keep the prefix of
+        # the wave (in disc_key order) up to the budget-th successful fetch
+        cut_key = None
+        if max_pages is not None and fetched_total + wave_fetched > max_pages:
+            r = max_pages - fetched_total
+            cut_key = (
+                parsed.filter(expr="status == 'fetched'")
+                .limit(r)
+                .aggregate(Max("disc_key"))["max(disc_key)"]
+            )
+            parsed = parsed.filter(expr=f"disc_key <= {cut_key}").materialize()
+            denied_seq = denied_seq.filter(expr=f"disc_key <= {cut_key}")
+            wave_fetched = r
+            stop = True
+
+        # E6: crawl_log rows for this wave. NOTE: wave is bound BY VALUE —
+        # these projections execute lazily after the loop has moved on.
+        def _log_cols(status_from_batch, wave_val=wave):
+            def fn(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "seq": b.column("seq"),
+                        "url": b.column("url"),
+                        "host": b.column("host"),
+                        "wave": pa.array(np.full(b.num_rows, wave_val, np.int32), pa.int32()),
+                        "depth": b.column("depth"),
+                        "status": (
+                            b.column("status")
+                            if status_from_batch
+                            else pa.array(["robots_denied"] * b.num_rows, pa.string())
+                        ),
+                        "n_out": (
+                            b.column("n_out")
+                            if status_from_batch
+                            else pa.array(np.zeros(b.num_rows, np.int32), pa.int32())
+                        ),
+                    }
+                )
+
+            return fn
+
+        # lazy projections over materialized parents — the per-wave log/doc
+        # parts cost nothing now and execute once at write/consume time
+        wave_log = denied_seq.map_batches(_log_cols(False), batch_format="pyarrow").union(
+            parsed.map_batches(_log_cols(True), batch_format="pyarrow")
+        )
+        log_parts.append(wave_log)
+        wave_docs = parsed.filter(expr="status == 'fetched'").map_batches(
+            lambda b: pa.table({"doc_id": b.column("url"), "spans": b.column("spans")}),
+            batch_format="pyarrow",
+        )
+        doc_parts.append(wave_docs)
+
+        # E7: discoveries → within-wave dedup → seen filter → new frontier
+        discovered = parsed.map_batches(explode, batch_format="pyarrow")
+        winners = dedup_min_pack(discovered, key="url", pack="pack")
+        new_frontier = (
+            winners.map_batches(derive, batch_format="pyarrow")
+            .map_batches(seen_filter, batch_format="pyarrow")
+            .materialize()
+        )
+
+        n_new = new_frontier.count()  # metadata-only (materialized)
+        fetched_total += wave_fetched
+        seq_base += n_logged if cut_key is None else wave_log.count()
+        metrics["waves"].append(
+            {
+                "wave": wave,
+                "frontier": n_frontier,
+                "logged": n_logged,
+                "fetched": wave_fetched,
+                "deferred": n_deferred,
+                "discovered_new": n_new,
+            }
+        )
+        if checkpointer is not None:
+            checkpointer.commit_wave(
+                wave=wave,
+                frontier_next=new_frontier.union(deferred) if n_new or n_deferred else None,
+                wave_log=wave_log,
+                wave_docs=wave_docs,
+                seen_actors=seen_actors,
+                polite_actors=polite_actors,
+                metrics=metrics["waves"][-1],
+                seq_base=seq_base,
+                fetched_total=fetched_total,
+            )
+
+        waves_done = wave + 1
+        if stop:
+            break
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        frontier = _compact(
+            new_frontier.union(deferred) if n_deferred else new_frontier, cpus
+        )
+        n_frontier = n_new + n_deferred
+        wave += 1
+
+    empty_log = ray.data.from_arrow(
+        pa.table(
+            {
+                "seq": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "wave": pa.array([], pa.int32()),
+                "depth": pa.array([], pa.int32()),
+                "status": pa.array([], pa.string()),
+                "n_out": pa.array([], pa.int32()),
+            }
+        )
+    )
+    def _assemble(parts, empty):
+        if not parts:
+            return empty
+        if len(parts) == 1:  # Dataset.union requires >= 2 children
+            return parts[0]
+        return parts[0].union(*parts[1:])
+
+    crawl_log = _assemble(log_parts, empty_log)
+    from crawlray.schema import DOCUMENTS
+
+    documents = _assemble(doc_parts, ray.data.from_arrow(DOCUMENTS.empty_table()))
+    metrics["fetched_total"] = fetched_total
+    # fetchers are never needed after the wave loop — release their CPUs now
+    for a in fetcher_actors:
+        try:
+            ray.kill(a)
+        except Exception:
+            pass
+    return CrawlResult(
+        crawl_log=crawl_log,
+        documents=documents,
+        waves=waves_done if log_parts else 0,
+        fetched_total=fetched_total,
+        metrics=metrics,
+        _seen_actors=seen_actors,
+        _all_actors=seen_actors + robots_actors + polite_actors,
+    )

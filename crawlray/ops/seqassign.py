@@ -1,0 +1,54 @@
+"""Global order assignment without a driver bottleneck (SURVEY.md O-33,
+§7.3-H4: never take_all the data; the driver touches O(#blocks) metadata).
+
+`sort_and_zip_index(ds, key, base)`:
+  1. range-shuffle sort by `key` → materialize (block order == key order);
+  2. tiny pass: one (first_key, n_rows) row per block (batch_size=None maps
+     one batch per materialized block) — the driver sorts these #blocks
+     entries by first_key to recover block order and prefix-sums offsets;
+  3. second pass over the same materialized blocks: seq = base + offset of
+     the block (looked up by its first key, which is unique because `key`
+     is unique) + arange(len(block)).
+
+Requires `key` values to be unique (true for disc_key: one row per URL per
+wave, (parent_seq, link_idx) unique by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def sort_and_zip_index(
+    ds: ray.data.Dataset, key: str, base: int = 0, out_col: str = "seq"
+) -> ray.data.Dataset:
+    mat = ds.sort(key).materialize()
+
+    def _block_meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first_key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "first_key": pa.array([b.column(key)[0].as_py()], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    meta = mat.map_batches(_block_meta, batch_format="pyarrow", batch_size=None).take_all()
+    meta.sort(key=lambda r: r["first_key"])  # block order == sorted key order
+    offsets: dict[int, int] = {}
+    acc = 0
+    for m in meta:
+        offsets[m["first_key"]] = acc
+        acc += m["n"]
+
+    def _assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        off = base + offsets[b.column(key)[0].as_py()]
+        seq = pa.array(off + np.arange(b.num_rows, dtype=np.int64), pa.int64())
+        return b.append_column(out_col, seq)
+
+    return mat.map_batches(_assign, batch_format="pyarrow", batch_size=None)

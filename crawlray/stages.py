@@ -1,0 +1,315 @@
+"""Per-wave pipeline stages (SURVEY.md §3.2) — every stage is a batch
+function over zero-copy Arrow batches, run via `Dataset.map_batches`.
+
+Stage functions that talk to stateful actors (seen shards, robots cache,
+politeness) group their batch rows by the target shard and issue ONE
+batched RPC per shard per batch, awaiting them in parallel — key-routed
+RPCs instead of a Ray Data shuffle (SURVEY.md O-26). All stage functions
+are retry-safe: robots lookups are read-only, politeness offers are
+set-idempotent, and seen-shard adds are wave-idempotent (see actors/).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from crawlray.actors.politeness import host_shard_of
+from crawlray.actors.robots import robots_shard_of
+from crawlray.backend import SyntheticBackend
+from crawlray.kernels.html import parse_page, spans_to_dicts
+from crawlray.kernels.url import url_host
+from crawlray.murmur3 import hash_urls_128
+from crawlray.schema import LINK_STRIDE, SPAN_STRUCT, pack_disc_depth, unpack_disc_depth
+
+FRONTIER_COLS = ["url", "host", "depth", "disc_key", "url_hash_lo", "url_hash_hi", "shard"]
+
+
+def _group_by_shard(shards: np.ndarray) -> dict[int, np.ndarray]:
+    order = np.argsort(shards, kind="stable")
+    out: dict[int, np.ndarray] = {}
+    if len(order) == 0:
+        return out
+    sorted_shards = shards[order]
+    bounds = np.nonzero(np.diff(sorted_shards))[0] + 1
+    for chunk in np.split(order, bounds):
+        out[int(shards[chunk[0]])] = chunk
+    return out
+
+
+def make_robots_offer_stage(robots_actors, polite_actors):
+    """Adds an `allowed` robots mask and registers politeness offers for
+    allowed rows — one streaming pass, two batched RPC fan-outs."""
+    n_r = len(robots_actors)
+    n_p = len(polite_actors)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("allowed", pa.array([], pa.bool_()))
+        hosts = batch.column("host").to_pylist()
+        urls = batch.column("url").to_pylist()
+        disc = batch.column("disc_key").to_numpy()
+
+        rshards = np.array([robots_shard_of(h, n_r) for h in hosts])
+        rgroups = _group_by_shard(rshards)
+        futs = {
+            s: robots_actors[s].allowed.remote(
+                [hosts[i] for i in idxs], [urls[i] for i in idxs]
+            )
+            for s, idxs in rgroups.items()
+        }
+        allowed = np.zeros(n, dtype=bool)
+        for s, idxs in rgroups.items():
+            allowed[idxs] = ray.get(futs[s])
+
+        aidx = np.nonzero(allowed)[0]
+        if len(aidx):
+            pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
+            ofuts = [
+                polite_actors[s].offer.remote(
+                    [hosts[aidx[j]] for j in idxs], disc[aidx[idxs]]
+                )
+                for s, idxs in _group_by_shard(pshards).items()
+            ]
+            ray.get(ofuts)
+        return batch.append_column("allowed", pa.array(allowed))
+
+    return fn
+
+
+def make_threshold_stage(polite_actors):
+    """Adds an `admitted` mask: disc_key ≤ the host's admission threshold."""
+    n_p = len(polite_actors)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("admitted", pa.array([], pa.bool_()))
+        hosts = batch.column("host").to_pylist()
+        disc = batch.column("disc_key").to_numpy()
+        pshards = np.array([host_shard_of(h, n_p) for h in hosts])
+        groups = _group_by_shard(pshards)
+        futs = {
+            s: polite_actors[s].thresholds_for.remote([hosts[i] for i in idxs])
+            for s, idxs in groups.items()
+        }
+        admitted = np.zeros(n, dtype=bool)
+        for s, idxs in groups.items():
+            thr = ray.get(futs[s])
+            admitted[idxs] = disc[idxs] <= thr
+        return batch.append_column("admitted", pa.array(admitted))
+
+    return fn
+
+
+class FetchParseStage:
+    """Stateful fetch+parse stage (SURVEY.md O-23 + O-14/O-15 fused).
+
+    The fetch backend index (url → html for the synthetic web) is built ONCE
+    per actor in __init__ from a zero-copy object-store table ref — the
+    canonical "stateful setup once per actor, work per batch" pattern. Fetch
+    and parse are fused because the synthetic fetch is an in-memory lookup;
+    a real HttpBackend deployment would split them into an I/O pool
+    (num_cpus<1) and a CPU parse pool.
+
+    Two deployment modes share this class:
+      * `ds.map_batches(FetchParseStage, concurrency=..., fn_constructor_
+        kwargs=...)` — Ray Data's actor-pool pattern, used by the standalone
+        document-parse pipeline (O-14);
+      * wrapped as a persistent `ray.remote` actor pool by the wave loop
+        (`make_fetch_stage`) so the pool is created once per CRAWL, not once
+        per wave — per-wave actor spin-up dominated wall time otherwise.
+
+    Input batch: FRONTIER cols + seq. Output: one row per input URL with
+    status, n_out, interleaved spans, and the page's deduped outlinks.
+    """
+
+    def __init__(self, webgraph_ref):
+        tbl = ray.get(webgraph_ref) if isinstance(webgraph_ref, ray.ObjectRef) else webgraph_ref
+        self.backend = SyntheticBackend(tbl)
+
+    def fetch_parse(self, batch: pa.Table) -> pa.Table:
+        return self(batch)
+
+    @staticmethod
+    def empty_output() -> pa.Table:
+        return pa.schema(
+            [
+                ("url", pa.string()),
+                ("host", pa.string()),
+                ("depth", pa.int32()),
+                ("disc_key", pa.int64()),
+                ("seq", pa.int64()),
+                ("status", pa.string()),
+                ("n_out", pa.int32()),
+                ("spans", pa.list_(SPAN_STRUCT)),
+                ("outlinks", pa.list_(pa.string())),
+            ]
+        ).empty_table()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        statuses: list[str] = []
+        n_outs: list[int] = []
+        spans_col: list[list[dict]] = []
+        outlinks_col: list[list[str]] = []
+        for u in urls:
+            html = self.backend.fetch(u)
+            if html is None:
+                statuses.append("error")
+                n_outs.append(0)
+                spans_col.append([])
+                outlinks_col.append([])
+                continue
+            spans, outlinks = parse_page(html, u)
+            statuses.append("fetched")
+            n_outs.append(len(outlinks))
+            spans_col.append(spans_to_dicts(spans))
+            outlinks_col.append(outlinks)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "host": batch.column("host"),
+                "depth": batch.column("depth"),
+                "disc_key": batch.column("disc_key"),
+                "seq": batch.column("seq"),
+                "status": pa.array(statuses, pa.string()),
+                "n_out": pa.array(n_outs, pa.int32()),
+                "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
+                "outlinks": pa.array(outlinks_col, pa.list_(pa.string())),
+            }
+        )
+
+
+# 0.5 CPU per fetcher: the pool oversubscribes slightly so fetch (I/O-ish)
+# and parse (CPU) interleave; the feeding map tasks are 0.25-CPU waiters.
+FetcherActor = ray.remote(num_cpus=0.5)(FetchParseStage)
+
+
+def make_fetch_stage(fetcher_actors):
+    """Wave-loop fetch stage: route each batch to a persistent fetcher actor
+    (deterministic pick by first-URL hash — content, not timing). The map
+    task itself only awaits the RPC, so it runs with fractional num_cpus
+    while the actor does the CPU work."""
+    from crawlray.murmur3 import murmur3_32
+
+    n = len(fetcher_actors)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return FetchParseStage.empty_output()
+        i = murmur3_32(batch.column("url")[0].as_py().encode()) % n
+        return ray.get(fetcher_actors[i].fetch_parse.remote(batch))
+
+    return fn
+
+
+def make_explode_stage(max_depth: int | None):
+    """Fetched pages → (url, pack) discovery rows; pack carries the dedup
+    winner (disc_key, depth) in one int64 so the following within-wave dedup
+    is a single vectorized groupby-min (SURVEY.md O-30, §1.3). Only these
+    two columns enter the shuffle — minimal exchange volume."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("status"), "fetched"))
+        empty = pa.table({"url": pa.array([], pa.string()), "pack": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        links = b.column("outlinks").combine_chunks()
+        flat = links.flatten()
+        total = len(flat)
+        if total == 0:
+            return empty
+        parent_idx = pc.list_parent_indices(links).to_numpy().astype(np.int64)
+        lengths = pc.list_value_length(links).to_numpy().astype(np.int64)
+        starts = np.cumsum(lengths) - lengths
+        link_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+        parent_seq = b.column("seq").to_numpy()[parent_idx]
+        child_depth = b.column("depth").to_numpy().astype(np.int64)[parent_idx] + 1
+        disc = parent_seq * LINK_STRIDE + link_idx
+        pack = pack_disc_depth(disc, child_depth)
+        tbl = pa.table({"url": flat, "pack": pa.array(pack, pa.int64())})
+        if max_depth is not None:
+            tbl = tbl.filter(pa.array(child_depth <= max_depth))
+        return tbl
+
+    return fn
+
+
+def make_derive_frontier_stage(num_seen_shards: int):
+    """(url, pack) winners → full FRONTIER columns. Host/hash/shard are
+    (re)computed here once per unique URL — cheaper than carrying them
+    through the dedup shuffle for every duplicate discovery."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        disc, depth = unpack_disc_depth(batch.column("pack").to_numpy())
+        hosts = [url_host(u) for u in urls]
+        lo, hi = hash_urls_128(urls)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "host": pa.array(hosts, pa.string()),
+                "depth": pa.array(depth.astype(np.int32), pa.int32()),
+                "disc_key": pa.array(disc, pa.int64()),
+                "url_hash_lo": pa.array(lo, pa.uint64()),
+                "url_hash_hi": pa.array(hi, pa.uint64()),
+                "shard": pa.array(
+                    (lo % np.uint64(num_seen_shards)).astype(np.uint32), pa.uint32()
+                ),
+            }
+        )
+
+    return fn
+
+
+def make_seen_filter_stage(seen_actors):
+    """Cross-wave exact dedup: keep only URLs never seen before, adding them
+    to the seen set (check_and_add) — key-routed batched RPCs (O-26)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        shards = batch.column("shard").to_numpy()
+        urls = batch.column("url").to_pylist()
+        lo = batch.column("url_hash_lo").to_numpy()
+        hi = batch.column("url_hash_hi").to_numpy()
+        groups = _group_by_shard(shards.astype(np.int64))
+        futs = {
+            s: seen_actors[s].check_and_add.remote(
+                [urls[i] for i in idxs], lo[idxs], hi[idxs]
+            )
+            for s, idxs in groups.items()
+        }
+        new = np.zeros(n, dtype=bool)
+        for s, idxs in groups.items():
+            new[idxs] = ray.get(futs[s])
+        return batch.filter(pa.array(new))
+
+    return fn
+
+
+def frontier_table_from_urls(
+    urls: list[str], disc_keys: list[int], depths: list[int], num_seen_shards: int
+) -> pa.Table:
+    """Build FRONTIER rows driver-side (seed bootstrap only — seed lists are
+    small by definition; everything discovered flows through the stages)."""
+    hosts = [url_host(u) for u in urls]
+    lo, hi = hash_urls_128(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(np.asarray(depths, np.int32), pa.int32()),
+            "disc_key": pa.array(np.asarray(disc_keys, np.int64), pa.int64()),
+            "url_hash_lo": pa.array(lo, pa.uint64()),
+            "url_hash_hi": pa.array(hi, pa.uint64()),
+            "shard": pa.array((lo % np.uint64(num_seen_shards)).astype(np.uint32), pa.uint32()),
+        }
+    )
