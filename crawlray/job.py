@@ -147,12 +147,18 @@ def run_crawl(
     fetch_batch_size: int = 512,
     carryover_tokens: bool = False,
     user_agent: str = "*",
-    checkpointer=None,
+    out_dir: str | None = None,
+    stop_after_wave: int | None = None,
+    _resume_state: dict | None = None,
 ) -> CrawlResult:
     """Run a full crawl. Caller owns the Ray session (never inits here).
 
     `web`: a SynthWeb (tables generated driver-side) — or pass `webgraph` /
     `robots` Arrow tables directly (e.g. read from parquet).
+    `out_dir`: per-wave checkpoint root (documents, crawl_log, frontier,
+    seen deltas, host state, lineage; `_SUCCESS`-committed — see
+    crawlray/checkpoint.py). `stop_after_wave`: stop after committing that
+    wave (testing hook for resume equivalence).
     """
     import crawlray
 
@@ -185,41 +191,56 @@ def run_crawl(
         for i in range(num_host_shards)
     ]
 
-    # ---- bootstrap: seeds (RBC-4) — canonicalize, scope, dedup keeping the
-    # first occurrence (driver-side: seed lists are small by definition)
-    seed_urls, seed_keys, seed_depths = [], [], []
-    seed_seen: set[str] = set()
-    for i, s in enumerate(seeds):
-        c = canonicalize(s)
-        if c is None or not in_scope(c) or c in seed_seen:
-            continue
-        seed_seen.add(c)
-        seed_urls.append(c)
-        seed_keys.append(-LINK_STRIDE + i)
-        seed_depths.append(0)
-    ray.get([a.begin_wave.remote(0) for a in seen_actors])
-    frontier_tbl = frontier_table_from_urls(
-        seed_urls, seed_keys, seed_depths, num_seen_shards
-    )
-    if frontier_tbl.num_rows:
-        # register seeds in the seen set, dropping duplicate seeds (first wins:
-        # rows arrive in seed order within each shard call)
-        shards = frontier_tbl.column("shard").to_numpy()
-        keep = np.zeros(len(shards), dtype=bool)
-        futs = {}
-        for s in sorted(set(shards.tolist())):
-            idx = np.nonzero(shards == s)[0]
-            futs[s] = (
-                idx,
-                seen_actors[s].check_and_add.remote(
+    fetched_total = 0
+    seq_base = 0
+    wave = 0
+    if _resume_state is None:
+        # ---- bootstrap: seeds (RBC-4) — canonicalize, scope, dedup keeping
+        # the first occurrence (driver-side: seed lists are small by definition)
+        seed_urls, seed_keys, seed_depths = [], [], []
+        seed_seen: set[str] = set()
+        for i, s in enumerate(seeds):
+            c = canonicalize(s)
+            if c is None or not in_scope(c) or c in seed_seen:
+                continue
+            seed_seen.add(c)
+            seed_urls.append(c)
+            seed_keys.append(-LINK_STRIDE + i)
+            seed_depths.append(0)
+        ray.get([a.begin_wave.remote(0) for a in seen_actors])
+        frontier_tbl = frontier_table_from_urls(
+            seed_urls, seed_keys, seed_depths, num_seen_shards
+        )
+        if frontier_tbl.num_rows:
+            # register seeds in the seen set
+            shards = frontier_tbl.column("shard").to_numpy()
+            futs = {}
+            for s in sorted(set(shards.tolist())):
+                idx = np.nonzero(shards == s)[0]
+                futs[s] = seen_actors[s].check_and_add.remote(
                     [seed_urls[i] for i in idx],
                     frontier_tbl.column("url_hash_lo").to_numpy()[idx],
                     frontier_tbl.column("url_hash_hi").to_numpy()[idx],
-                ),
+                )
+            ray.get(list(futs.values()))
+    else:
+        # ---- resume: re-ingest seen deltas, host state, stored frontier
+        frontier_tbl = _resume_state["frontier_tbl"]
+        wave = _resume_state["wave0"]
+        seq_base = _resume_state["seq_base"]
+        fetched_total = _resume_state["fetched_total"]
+        ingests = []
+        for shard_id, (lo, hi) in _resume_state["seen_hashes"].items():
+            ingests.append(seen_actors[shard_id].ingest.remote(lo, hi))
+        ray.get(ingests)
+        loads = []
+        for shard_id, st in _resume_state["host_state"].items():
+            loads.append(
+                polite_actors[shard_id].load_host_state.remote(
+                    st["hosts"], st["tokens"], st["fetched"]
+                )
             )
-        for s, (idx, fut) in futs.items():
-            keep[idx] = ray.get(fut)
-        frontier_tbl = frontier_tbl.filter(pa.array(keep))
+        ray.get(loads)
 
     frontier = ray.data.from_arrow(frontier_tbl)
     n_frontier = frontier_tbl.num_rows
@@ -246,11 +267,24 @@ def run_crawl(
     log_parts: list[ray.data.Dataset] = []
     doc_parts: list[ray.data.Dataset] = []
     metrics: dict = {"waves": []}
-    fetched_total = 0
-    seq_base = 0
-    wave = 0
-    waves_done = 0
+    waves_done = wave
     stop = False
+
+    checkpointer = None
+    if out_dir is not None:
+        from crawlray.checkpoint import Checkpointer
+
+        cfg = {
+            "budget_per_host": budget_per_host,
+            "max_depth": max_depth,
+            "max_pages": max_pages,
+            "num_seen_shards": num_seen_shards,
+            "num_robots_shards": num_robots_shards,
+            "num_host_shards": num_host_shards,
+            "carryover_tokens": carryover_tokens,
+            "user_agent": user_agent,
+        }
+        checkpointer = Checkpointer(out_dir, cfg)
 
     while not stop:
         if n_frontier == 0:
@@ -387,6 +421,8 @@ def run_crawl(
             )
 
         waves_done = wave + 1
+        if stop_after_wave is not None and wave >= stop_after_wave:
+            break
         if stop:
             break
         cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -436,3 +472,94 @@ def run_crawl(
         _seen_actors=seen_actors,
         _all_actors=seen_actors + robots_actors + polite_actors,
     )
+
+
+def resume_crawl(
+    out_dir: str,
+    web=None,
+    webgraph: pa.Table | None = None,
+    robots: pa.Table | None = None,
+    fetch_concurrency=None,
+    fetch_batch_size: int = 512,
+    stop_after_wave: int | None = None,
+) -> CrawlResult:
+    """Resume a checkpointed crawl from its newest committed wave (O-6, §3.3).
+
+    Reads the stored config (the crawl's semantics are pinned by the
+    checkpoint, not the caller), deletes uncommitted wave dirs, rebuilds the
+    actors from the committed seen-deltas + host state, and continues the
+    wave loop. Invariant (tested): run(0..end) ≡ run(0..k) + resume(k..end)
+    bit-for-bit. The returned result's crawl_log/documents are assembled
+    from ALL committed waves (pre- and post-resume).
+    """
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from crawlray.checkpoint import Checkpointer
+
+    with open(_os.path.join(out_dir, "config.json")) as f:
+        cfg = _json.load(f)["config"]
+    Checkpointer.clean_uncommitted(out_dir)
+    waves = Checkpointer.committed_waves(out_dir)
+    if not waves:
+        raise ValueError(f"no committed waves under {out_dir}")
+    last = waves[-1]
+    meta = Checkpointer.load_meta(out_dir, last)
+
+    frontier_tbl = _pq.read_table(
+        _os.path.join(out_dir, f"wave={last:05d}", "frontier")
+    )
+    seen_hashes: dict[int, tuple[list, list]] = {}
+    for w in waves:
+        sdir = _os.path.join(out_dir, f"wave={w:05d}", "seen_delta")
+        for fname in _os.listdir(sdir):
+            shard_id = int(fname.split("=")[1].split(".")[0])
+            t = _pq.read_table(_os.path.join(sdir, fname))
+            lo, hi = seen_hashes.setdefault(shard_id, ([], []))
+            lo.extend(t.column("url_hash_lo").to_pylist())
+            hi.extend(t.column("url_hash_hi").to_pylist())
+    host_state: dict[int, dict] = {}
+    hdir = _os.path.join(out_dir, f"wave={last:05d}", "host_state")
+    for fname in _os.listdir(hdir):
+        shard_id = int(fname.split("=")[1].split(".")[0])
+        t = _pq.read_table(_os.path.join(hdir, fname))
+        host_state[shard_id] = {
+            "hosts": t.column("host").to_pylist(),
+            "tokens": t.column("tokens").to_pylist(),
+            "fetched": t.column("fetched_total").to_pylist(),
+        }
+
+    res = run_crawl(
+        seeds=[],
+        web=web,
+        webgraph=webgraph,
+        robots=robots,
+        budget_per_host=cfg["budget_per_host"],
+        max_depth=cfg["max_depth"],
+        max_pages=cfg["max_pages"],
+        num_seen_shards=cfg["num_seen_shards"],
+        num_robots_shards=cfg["num_robots_shards"],
+        num_host_shards=cfg["num_host_shards"],
+        carryover_tokens=cfg["carryover_tokens"],
+        user_agent=cfg["user_agent"],
+        fetch_concurrency=fetch_concurrency,
+        fetch_batch_size=fetch_batch_size,
+        out_dir=out_dir,
+        stop_after_wave=stop_after_wave,
+        _resume_state={
+            "frontier_tbl": frontier_tbl,
+            "wave0": last + 1,
+            "seq_base": meta["seq_base_after"],
+            "fetched_total": meta["fetched_total_after"],
+            "seen_hashes": seen_hashes,
+            "host_state": host_state,
+        },
+    )
+    log_ds, doc_ds = Checkpointer.read_results(out_dir)
+    if log_ds is not None:
+        res.crawl_log = log_ds
+    if doc_ds is not None:
+        res.documents = doc_ds
+    return res

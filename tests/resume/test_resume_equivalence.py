@@ -1,0 +1,83 @@
+"""Resume equivalence (SURVEY.md §5.2.4): run(0..end) ≡ run(0..k) +
+resume(k..end) bit-for-bit — crawl_log, documents, and seen set all match,
+and both match the sequential oracle."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from crawlray.backend import SyntheticBackend
+from crawlray.checkpoint import Checkpointer
+from crawlray.synthgraph import SynthWeb
+from oracle.bfs_crawler import CrawlConfig, crawl
+
+
+def _log_sorted(ds) -> pa.Table:
+    t = pa.Table.from_pylist(ds.take_all())
+    return t.select(["seq", "url", "host", "wave", "depth", "status", "n_out"]).take(
+        pc.sort_indices(t, sort_keys=[("seq", "ascending")])
+    )
+
+
+def test_resume_equivalence(ray_session, tmp_path):
+    from crawlray.job import resume_crawl, run_crawl
+
+    web = SynthWeb(seed=11, shape="zipf_hosts", n_urls=70, n_hosts=5)
+    seeds = web.default_seeds()
+    cfg = dict(budget_per_host=2, max_depth=8)
+    ora = crawl(seeds, SyntheticBackend.from_web(web), CrawlConfig(**cfg))
+
+    dir_a = str(tmp_path / "ckpt_a")
+    dir_b = str(tmp_path / "ckpt_b")
+
+    a = run_crawl(seeds, web=web, out_dir=dir_a, fetch_concurrency=2,
+                  fetch_batch_size=16, **cfg)
+    a.shutdown()
+
+    b1 = run_crawl(seeds, web=web, out_dir=dir_b, stop_after_wave=2,
+                   fetch_concurrency=2, fetch_batch_size=16, **cfg)
+    b1.shutdown()
+    committed = Checkpointer.committed_waves(dir_b)
+    assert committed == [0, 1, 2]
+
+    b2 = resume_crawl(dir_b, web=web, fetch_concurrency=2, fetch_batch_size=16)
+    try:
+        log_a = _log_sorted(a.crawl_log)
+        log_b = _log_sorted(b2.crawl_log)
+        assert log_a.equals(log_b), "resumed crawl_log differs from uninterrupted"
+        # oracle parity too
+        assert log_b.to_pylist() == ora.crawl_log.to_pylist()
+
+        seen_a = Checkpointer.read_seen_urls(dir_a)
+        seen_b = Checkpointer.read_seen_urls(dir_b)
+        assert seen_a == seen_b == ora.seen
+
+        docs_a = {r["doc_id"]: r["spans"] for r in a.documents.take_all()}
+        docs_b = {r["doc_id"]: r["spans"] for r in b2.documents.take_all()}
+        assert docs_a == docs_b
+    finally:
+        b2.shutdown()
+
+
+def test_resume_cleans_uncommitted(ray_session, tmp_path):
+    import os
+
+    from crawlray.job import resume_crawl, run_crawl
+
+    web = SynthWeb(seed=12, shape="chain", n_urls=8, n_hosts=1)
+    d = str(tmp_path / "ck")
+    r = run_crawl(web.default_seeds(), web=web, budget_per_host=2,
+                  out_dir=d, stop_after_wave=1, fetch_concurrency=2)
+    r.shutdown()
+    # fake a crashed wave: dir without _SUCCESS
+    os.makedirs(os.path.join(d, "wave=00002", "crawl_log"))
+    r2 = resume_crawl(d, web=web, fetch_concurrency=2)
+    try:
+        waves = Checkpointer.committed_waves(d)
+        assert waves == sorted(waves)
+        assert all(
+            os.path.exists(os.path.join(d, f"wave={w:05d}", "_SUCCESS")) for w in waves
+        )
+        # the resumed run overwrote the fake uncommitted wave=2
+        assert 2 in waves
+    finally:
+        r2.shutdown()
