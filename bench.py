@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""bench.py — headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+   "crawl": {...urls/sec detail...}}
+
+`--scaling` runs the crawl benchmark twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same pre-generated input and reports
+both throughputs + efficiency E = (thr_32/thr_8)/4 — the sandbox evidence
+protocol for the N→4N cluster-scaling criterion (BASELINE.md; no real
+multi-node cluster exists here). Exactness is asserted inside the crawl
+bench: both runs' crawl_log row count and a content checksum must match the
+deterministic expectation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+BENCH_QUERIES = [
+    "q1_agg",
+    "groupby_counts",
+    "dedup_first",
+    "global_sort_topk",
+    "hash_join",
+    "join_agg",
+    "window_bucket",
+    "json_props",
+    "flatten_tokens",
+    "doc_fingerprint",
+    "exact_dedup_docs",
+    "knn_cosine",
+    "embedding_dedup",
+]
+
+# bench-tier synthetic web (BASELINE.md: ≥2×10⁵ URLs, zipf host skew).
+# budget_per_host must cover the Zipf head host divided by a sane wave
+# count: host 0 holds ~26k of the 200k pages, so B=5000 → ~6 politeness
+# waves for the head, ~9 waves total. (B=400 was measured at 115+ waves —
+# per-wave overhead, not compute, then dominates.)
+WEB_PARAMS = dict(
+    seed=42, shape="zipf_hosts", n_urls=200_000, n_hosts=1000, skew=1.1,
+    max_deg=10, text_repeat=6,
+)
+CRAWL_CFG = dict(budget_per_host=5000, max_depth=None, max_pages=None)
+import hashlib as _hl
+
+_WP_HASH = _hl.sha256(json.dumps(WEB_PARAMS, sort_keys=True).encode()).hexdigest()[:10]
+WEB_CACHE = f"/tmp/crawlray_bench/web_{_WP_HASH}"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def _consume(obj) -> int:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.count()
+    if isinstance(obj, pa.Table):
+        return obj.num_rows
+    return len(obj)
+
+
+def ensure_web(num_cpus: int) -> str:
+    """Generate the bench web once (deterministic, cached under /tmp)."""
+    marker = os.path.join(WEB_CACHE, "_DONE")
+    if os.path.exists(marker):
+        return WEB_CACHE
+    _init_ray(num_cpus)
+    from crawlray.synthgraph import generate_web_parquet
+
+    t0 = time.time()
+    generate_web_parquet(WEB_PARAMS, WEB_CACHE, concurrency=max(4, num_cpus // 2))
+    with open(marker, "w") as f:
+        f.write(json.dumps(WEB_PARAMS))
+    print(f"# generated bench web in {time.time()-t0:.1f}s", file=sys.stderr)
+    return WEB_CACHE
+
+
+def bench_crawl(num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    ensure_web(num_cpus)
+    import pyarrow.parquet as pq
+
+    from crawlray.job import run_crawl
+    from crawlray.synthgraph import SynthWeb
+
+    webgraph = pq.read_table(os.path.join(WEB_CACHE, "webgraph"))
+    robots = pq.read_table(os.path.join(WEB_CACHE, "robots.parquet"))
+    web = SynthWeb(**WEB_PARAMS)
+    seeds = [web.url_of(web._base_uid[i]) for i in range(0, 50)]
+
+    t0 = time.time()
+    res = run_crawl(
+        seeds,
+        webgraph=webgraph,
+        robots=robots,
+        num_seen_shards=max(4, num_cpus // 4),
+        num_robots_shards=4,
+        num_host_shards=4,
+        fetch_batch_size=1024,
+        **CRAWL_CFG,
+    )
+    n_logged = res.crawl_log.count()
+    wall = time.time() - t0
+    # determinism checksum: sum of seq*depth over the log (cheap, order-free)
+    import pyarrow.compute as pc
+
+    def _chk(b):
+        import pyarrow as pa
+
+        return pa.table(
+            {"v": [int(pc.sum(pc.multiply(pc.add(b.column("seq"), 1), pc.add(b.column("depth"), 1))).as_py() or 0)]}
+        )
+
+    chk = sum(r["v"] for r in res.crawl_log.map_batches(_chk, batch_format="pyarrow").take_all())
+    out = {
+        "urls_fetched": res.fetched_total,
+        "urls_logged": n_logged,
+        "waves": res.waves,
+        "seconds": round(wall, 2),
+        "urls_per_sec": round(res.fetched_total / wall, 1),
+        "checksum": chk,
+        "num_cpus": num_cpus,
+    }
+    res.shutdown()
+    return out
+
+
+def bench_queries(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = _consume(qs[name](sf_dir))
+        out[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--skip-crawl", action="store_true")
+    args = ap.parse_args()
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1] if "sf" in sf_dir else sf_dir
+
+    if args.scaling:
+        # fresh process per parallelism level, same pre-generated input
+        ensure_web(num_cpus)
+        import ray
+
+        ray.shutdown()
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+                env=env, capture_output=True, text=True, cwd=REPO,
+            )
+            line = p.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)["crawl"]
+        thr8 = results[8]["urls_per_sec"]
+        thr32 = results[32]["urls_per_sec"]
+        eff = round((thr32 / thr8) / 4.0, 3)
+        exact = results[8]["checksum"] == results[32]["checksum"] and (
+            results[8]["urls_logged"] == results[32]["urls_logged"]
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32",
+                    "value": eff,
+                    "unit": "ratio",
+                    "thr_8": thr8,
+                    "thr_32": thr32,
+                    "exact_match_across_levels": exact,
+                    "detail": results,
+                }
+            )
+        )
+        return
+
+    t0 = time.time()
+    queries = {} if args.crawl_only else bench_queries(sf_dir, num_cpus)
+    crawl = None if args.skip_crawl else bench_crawl(num_cpus)
+    total = round(time.time() - t0, 2)
+    if crawl is not None and not args.crawl_only:
+        queries["crawl_zipf_200k"] = crawl["seconds"]
+    payload = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }
+    if crawl is not None:
+        payload["crawl"] = crawl
+    print(json.dumps(payload))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -57,12 +57,16 @@ class HostPolitenessActor:
         for h, k in zip(hosts, disc_keys):
             self.offers.setdefault(h, set()).add(int(k))
 
-    def decide(self) -> int:
-        """Admit the floor(tokens) lowest disc_keys per host; returns the
-        number of admitted URLs on this shard this wave."""
+    def decide(self) -> tuple[int, int]:
+        """Admit the floor(tokens) lowest disc_keys per host; returns
+        (admitted, offered) counts for this shard this wave. The admitted
+        keys are kept for drain_admitted (driver-side seq assignment)."""
         self.thresholds = {}
+        self._admitted_keys: list[list[int]] = []
         admitted_total = 0
+        offered_total = 0
         for h, keys in self.offers.items():
+            offered_total += len(keys)
             if self.carryover:
                 avail = min(self.burst, self.tokens.get(h, self.burst) + self.rate)
             else:
@@ -71,12 +75,22 @@ class HostPolitenessActor:
             if n_admit:
                 smallest = sorted(keys)[:n_admit]
                 self.thresholds[h] = smallest[-1]
+                self._admitted_keys.append(smallest)
             else:
                 self.thresholds[h] = int(NO_ADMIT)
             self.tokens[h] = avail - n_admit
             self.fetched_total[h] = self.fetched_total.get(h, 0) + n_admit
             admitted_total += n_admit
-        return admitted_total
+        return admitted_total, offered_total
+
+    def drain_admitted(self) -> np.ndarray:
+        """This shard's admitted disc_keys (for driver-side seq assignment)."""
+        keys = getattr(self, "_admitted_keys", [])
+        if not keys:
+            return np.empty(0, dtype=np.int64)
+        out = np.concatenate([np.asarray(k, dtype=np.int64) for k in keys])
+        self._admitted_keys = []
+        return out
 
     def thresholds_for(self, hosts: list[str]) -> np.ndarray:
         return np.array(

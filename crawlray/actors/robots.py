@@ -35,6 +35,7 @@ class RobotsCacheActor:
     ):
         self.shard_id = shard_id
         self.user_agent = user_agent
+        self._denied_keys: list[np.ndarray] = []
         self._parsed: dict[str, urllib.robotparser.RobotFileParser] = {}
         self._bodies: dict[str, str] = {}
         if robots_ref is not None:
@@ -56,10 +57,27 @@ class RobotsCacheActor:
             self._parsed[host] = rp
         return rp
 
-    def allowed(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+    def begin_wave(self, wave: int) -> None:
+        self._denied_keys: list[np.ndarray] = []
+
+    def allowed(
+        self, hosts: list[str], urls: list[str], disc_keys: np.ndarray | None = None
+    ) -> np.ndarray:
         out = np.empty(len(urls), dtype=bool)
         for i, (h, u) in enumerate(zip(hosts, urls)):
             out[i] = self._rules(h).can_fetch(self.user_agent, u)
+        if disc_keys is not None:
+            # accumulate this wave's denied keys so the driver can assign seq
+            # without a distributed sort (drained at drain_denied; duplicates
+            # from task retries removed there)
+            self._denied_keys.append(np.asarray(disc_keys)[~out])
+        return out
+
+    def drain_denied(self) -> np.ndarray:
+        if not getattr(self, "_denied_keys", None):
+            return np.empty(0, dtype=np.int64)
+        out = np.unique(np.concatenate(self._denied_keys))
+        self._denied_keys = []
         return out
 
     def cached_hosts(self) -> list[str]:

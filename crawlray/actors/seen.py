@@ -27,6 +27,7 @@ import pyarrow as pa
 import ray
 
 from crawlray.cuckoo import CuckooFilter
+from crawlray.murmur3 import murmur3_x64_128
 
 
 @ray.remote(num_cpus=0)
@@ -36,6 +37,8 @@ class SeenShardActor:
         self.exact: set[tuple[int, int]] = set()
         self.cuckoo = CuckooFilter(cuckoo_capacity)
         self.wave_added: set[tuple[int, int]] = set()
+        self._offer_urls: list[list[str]] = []
+        self._offer_packs: list[np.ndarray] = []
         self.delta_urls: list[str] = []
         self.delta_hashes: list[tuple[int, int]] = []
         self.current_wave = -1
@@ -43,6 +46,86 @@ class SeenShardActor:
     def begin_wave(self, wave: int) -> None:
         self.current_wave = wave
         self.wave_added = set()
+        self._offer_urls: list[list[str]] = []
+        self._offer_packs: list[np.ndarray] = []
+
+    # ---- discovery dedup path (SURVEY.md O-30 + O-26 fused) -------------
+    # Within-wave dedup (keep min pack per URL) and cross-wave seen
+    # filtering both live HERE: offer() min-combines the wave's discovery
+    # multiset per shard (order-independent ⇒ deterministic under any task
+    # order, idempotent under task retries), finish_wave() then resolves
+    # which offered URLs are genuinely new, hashes only those (murmur3_128
+    # once per unique URL), admits them to the cuckoo+exact store, and
+    # returns the new frontier rows as one Arrow block. This replaces a
+    # sort-based groupby shuffle over the full discovery stream (measured
+    # ~45% of crawl wall time) with key-routed RPCs + per-shard combine.
+
+    def offer(self, urls: list[str], packs) -> None:
+        # O(1) per call: buffer the (already per-batch-combined) offer
+        # arrays; the global min-combine runs vectorized at finish_wave.
+        self._offer_urls.append(urls)
+        self._offer_packs.append(np.asarray(packs, dtype=np.int64))
+
+    def finish_wave(self) -> pa.Table:
+        """Resolve the wave's offers → Arrow block of NEW frontier rows
+        (url, pack, url_hash_lo, url_hash_hi), sorted by url.
+
+        Global per-URL min over the buffered offers is a single Arrow
+        group_by (C++); only the unique NEW URLs pay the per-item Python
+        cost (murmur3 membership key + cuckoo/exact admission). Imports used
+        here must sit at module top: this runs in the actor process, where a
+        lazy `import crawlray...` fails when the class was shipped by-value
+        (driver cwd outside the repo)."""
+        if not self._offer_urls:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "pack": pa.array([], pa.int64()),
+                    "url_hash_lo": pa.array([], pa.uint64()),
+                    "url_hash_hi": pa.array([], pa.uint64()),
+                }
+            )
+        flat_urls: list[str] = []
+        for chunk in self._offer_urls:
+            flat_urls.extend(chunk)
+        offers = pa.table(
+            {
+                "url": pa.array(flat_urls, pa.string()),
+                "pack": pa.array(np.concatenate(self._offer_packs), pa.int64()),
+            }
+        )
+        self._offer_urls = []
+        self._offer_packs = []
+        comb = offers.group_by(["url"]).aggregate([("pack", "min")])
+        comb = comb.take(pa.compute.sort_indices(comb.column("url")))
+        urls_u = comb.column("url").to_pylist()
+        packs_u = comb.column("pack_min").to_pylist()
+
+        urls: list[str] = []
+        packs: list[int] = []
+        los: list[int] = []
+        his: list[int] = []
+        for u, p in zip(urls_u, packs_u):
+            lo, hi = murmur3_x64_128(u.encode("utf-8", "surrogatepass"))
+            k = (lo, hi)
+            if self.cuckoo.maybe_contains(lo, hi) and k in self.exact:
+                continue
+            self.exact.add(k)
+            self.cuckoo.add(lo, hi)
+            self.delta_urls.append(u)
+            self.delta_hashes.append(k)
+            urls.append(u)
+            packs.append(p)
+            los.append(lo)
+            his.append(hi)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "pack": pa.array(packs, pa.int64()),
+                "url_hash_lo": pa.array(los, pa.uint64()),
+                "url_hash_hi": pa.array(his, pa.uint64()),
+            }
+        )
 
     def check_and_add(
         self, urls: list[str], lo: np.ndarray, hi: np.ndarray

@@ -37,23 +37,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Max
 
 from crawlray.actors.politeness import HostPolitenessActor
 from crawlray.actors.robots import RobotsCacheActor
 from crawlray.actors.seen import SeenShardActor
 from crawlray.kernels.url import canonicalize, in_scope
-from crawlray.ops.dedup import dedup_min_pack
 from crawlray.ops.seqassign import sort_and_zip_index
 from crawlray.schema import LINK_STRIDE
 from crawlray.stages import (
+    FRONTIER_COLS,
     FetchParseStage,
     frontier_table_from_urls,
     make_derive_frontier_stage,
-    make_explode_stage,
+    make_gate_seq_fetch_stage,
+    make_offer_stage,
     make_robots_offer_stage,
-    make_seen_filter_stage,
-    make_threshold_stage,
 )
 
 
@@ -245,10 +243,8 @@ def run_crawl(
     frontier = ray.data.from_arrow(frontier_tbl)
     n_frontier = frontier_tbl.num_rows
     robots_offer = make_robots_offer_stage(robots_actors, polite_actors)
-    threshold = make_threshold_stage(polite_actors)
-    explode = make_explode_stage(max_depth)
+    offer_stage = make_offer_stage(seen_actors, max_depth)
     derive = make_derive_frontier_stage(num_seen_shards)
-    seen_filter = make_seen_filter_stage(seen_actors)
 
     # persistent fetch+parse pool: created once per CRAWL (not per wave —
     # per-wave map_batches actor pools pay actor spin-up every wave)
@@ -286,70 +282,95 @@ def run_crawl(
         }
         checkpointer = Checkpointer(out_dir, cfg)
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _profile = _os.environ.get("CRAWLRAY_PROFILE") == "1"
+
+    def _tick(label: str, t0: float) -> float:
+        now = _time.time()
+        if _profile:
+            print(f"#   w{wave} {label}: {now - t0:.2f}s", file=_sys.stderr, flush=True)
+        return now
+
     while not stop:
         if n_frontier == 0:
             break
+        _t = _time.time()
         ray.get(
             [a.begin_wave.remote(wave) for a in seen_actors]
             + [a.begin_wave.remote(wave) for a in polite_actors]
+            + [a.begin_wave.remote(wave) for a in robots_actors]
         )
 
-        # E1: robots mask + politeness offers (one streaming pass)
+        # E1: robots mask + politeness offers (one streaming pass). The
+        # robots actors bank denied disc_keys, the politeness actors the
+        # offered keys, so the wave's logged key-set comes back from the
+        # actors — no distributed sort needed for order assignment.
         marked = frontier.map_batches(robots_offer, batch_format="pyarrow").materialize()
-        n_admitted = sum(ray.get([a.decide.remote() for a in polite_actors]))
-
-        denied = marked.filter(expr="allowed == False")
-        allowed = marked.filter(expr="allowed == True")
-
-        # E2: admission thresholds → admitted / deferred
-        gated = allowed.map_batches(threshold, batch_format="pyarrow").materialize()
-        n_allowed = gated.count()  # metadata-only on a materialized dataset
-        n_deferred = n_allowed - n_admitted
-        deferred = gated.filter(expr="admitted == False").drop_columns(
-            ["allowed", "admitted"]
+        decisions = ray.get([a.decide.remote() for a in polite_actors])
+        n_admitted = sum(d[0] for d in decisions)
+        n_offered = sum(d[1] for d in decisions)
+        n_deferred = n_offered - n_admitted
+        denied_keys = ray.get([a.drain_denied.remote() for a in robots_actors])
+        admitted_keys = ray.get([a.drain_admitted.remote() for a in polite_actors])
+        logged_keys = np.sort(
+            np.concatenate(
+                [k.astype(np.int64) for k in denied_keys + admitted_keys]
+                or [np.empty(0, np.int64)]
+            )
         )
+        n_logged = int(len(logged_keys))
+        seq_keys_ref = ray.put(logged_keys)
+        _t = _tick("robots+offer+decide", _t)
 
-        # E3: logged = denied ∪ admitted, frozen order via disc_key sort + seq.
-        # The `allowed` flag rides through the sort so the post-seq split is
-        # exact (a robots-denied row may well have a disc_key below its
-        # host's admission threshold — never re-derive the split).
-        admitted = gated.filter(expr="admitted == True").drop_columns(["admitted"])
-        logged = denied.union(admitted)
-        logged_seq = sort_and_zip_index(logged, "disc_key", base=seq_base).materialize()
-        n_logged = logged_seq.count()
-
-        admitted_seq = logged_seq.filter(expr="allowed == True").drop_columns(["allowed"])
-        denied_seq = logged_seq.filter(expr="allowed == False").drop_columns(["allowed"])
-
-        # E4: fetch + parse via the persistent actor pool; the map task only
-        # awaits the RPC (num_cpus=0.25), the actors do the CPU work
-        parsed = admitted_seq.map_batches(
-            fetch_stage,
+        # E2: ONE fused execution — politeness gate, seq assignment
+        # (searchsorted into the broadcast logged-key array, RBC-7 order),
+        # fetch + parse fan-out over the persistent actor pool
+        gate_fetch = make_gate_seq_fetch_stage(
+            polite_actors, fetcher_actors, seq_keys_ref, seq_base
+        )
+        staged = marked.map_batches(
+            gate_fetch,
             batch_format="pyarrow",
             batch_size=fetch_batch_size,
             num_cpus=0.25,
         ).materialize()
+        _t = _tick("gate+seq+fetch", _t)
 
-        wave_fetched = parsed.filter(expr="status == 'fetched'").count()
+        # E3 (slow path, only when a global page budget is set): count this
+        # wave's successful fetches, cut the wave at the budget-th fetch in
+        # seq (= disc_key) order, O-35
+        cut_seq = None
+        wave_fetched = None
+        if max_pages is not None:
+            wave_fetched = staged.filter(expr="status == 'fetched'").count()
+            if fetched_total + wave_fetched > max_pages:
+                r = max_pages - fetched_total
+                pairs = sorted(
+                    (row["seq"], row["status"])
+                    for row in staged.select_columns(["seq", "status"]).take_all()
+                    if row["status"] in ("fetched", "error", "robots_denied")
+                )
+                n_f = 0
+                for s, st in pairs:
+                    if st == "fetched":
+                        n_f += 1
+                        if n_f == r:
+                            cut_seq = s
+                            break
+                staged = (
+                    staged.filter(expr=f"seq <= {cut_seq}")
+                    .filter(expr="status != 'deferred'")
+                    .materialize()
+                )
+                wave_fetched = r
+                stop = True
 
-        # E5: deterministic global page-budget cut (O-35): keep the prefix of
-        # the wave (in disc_key order) up to the budget-th successful fetch
-        cut_key = None
-        if max_pages is not None and fetched_total + wave_fetched > max_pages:
-            r = max_pages - fetched_total
-            cut_key = (
-                parsed.filter(expr="status == 'fetched'")
-                .limit(r)
-                .aggregate(Max("disc_key"))["max(disc_key)"]
-            )
-            parsed = parsed.filter(expr=f"disc_key <= {cut_key}").materialize()
-            denied_seq = denied_seq.filter(expr=f"disc_key <= {cut_key}")
-            wave_fetched = r
-            stop = True
-
-        # E6: crawl_log rows for this wave. NOTE: wave is bound BY VALUE —
-        # these projections execute lazily after the loop has moved on.
-        def _log_cols(status_from_batch, wave_val=wave):
+        # E4: crawl_log + documents projections (lazy over materialized
+        # parents; wave bound BY VALUE — they execute after the loop moves on)
+        def _log_cols(wave_val=wave):
             def fn(b: pa.Table) -> pa.Table:
                 return pa.table(
                     {
@@ -358,45 +379,49 @@ def run_crawl(
                         "host": b.column("host"),
                         "wave": pa.array(np.full(b.num_rows, wave_val, np.int32), pa.int32()),
                         "depth": b.column("depth"),
-                        "status": (
-                            b.column("status")
-                            if status_from_batch
-                            else pa.array(["robots_denied"] * b.num_rows, pa.string())
-                        ),
-                        "n_out": (
-                            b.column("n_out")
-                            if status_from_batch
-                            else pa.array(np.zeros(b.num_rows, np.int32), pa.int32())
-                        ),
+                        "status": b.column("status"),
+                        "n_out": b.column("n_out"),
                     }
                 )
 
             return fn
 
-        # lazy projections over materialized parents — the per-wave log/doc
-        # parts cost nothing now and execute once at write/consume time
-        wave_log = denied_seq.map_batches(_log_cols(False), batch_format="pyarrow").union(
-            parsed.map_batches(_log_cols(True), batch_format="pyarrow")
+        wave_log = staged.filter(expr="status != 'deferred'").map_batches(
+            _log_cols(), batch_format="pyarrow"
         )
         log_parts.append(wave_log)
-        wave_docs = parsed.filter(expr="status == 'fetched'").map_batches(
+        wave_docs = staged.filter(expr="status == 'fetched'").map_batches(
             lambda b: pa.table({"doc_id": b.column("url"), "spans": b.column("spans")}),
             batch_format="pyarrow",
         )
         doc_parts.append(wave_docs)
-
-        # E7: discoveries → within-wave dedup → seen filter → new frontier
-        discovered = parsed.map_batches(explode, batch_format="pyarrow")
-        winners = dedup_min_pack(discovered, key="url", pack="pack")
-        new_frontier = (
-            winners.map_batches(derive, batch_format="pyarrow")
-            .map_batches(seen_filter, batch_format="pyarrow")
-            .materialize()
+        deferred = staged.filter(expr="status == 'deferred'").map_batches(
+            lambda b: b.select(FRONTIER_COLS), batch_format="pyarrow"
         )
 
-        n_new = new_frontier.count()  # metadata-only (materialized)
+        # E5: discoveries → within-wave dedup + seen admission fused into the
+        # shard actors (offer/finish two-phase; min-combine is order-
+        # independent ⇒ deterministic under any parallelism — replaces the
+        # sort-based groupby shuffle that dominated wall time)
+        counts = staged.map_batches(
+            offer_stage, batch_format="pyarrow", num_cpus=0.5
+        ).take_all()  # barrier: all offers delivered; tiny per-batch counts
+        if wave_fetched is None:
+            wave_fetched = sum(c["n_fetched"] for c in counts)
+        new_frontier = ray.data.from_arrow_refs(
+            [a.finish_wave.remote() for a in seen_actors]
+        ).map_batches(derive, batch_format="pyarrow")
+        _t = _tick("explode+dedup+seen", _t)
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        frontier = _compact(
+            new_frontier.union(deferred) if n_deferred else new_frontier, cpus
+        )
+        n_frontier_next = frontier.count() if not isinstance(frontier, int) else 0
+        n_new = n_frontier_next - n_deferred
+        _t = _tick("frontier-compact", _t)
         fetched_total += wave_fetched
-        seq_base += n_logged if cut_key is None else wave_log.count()
+        seq_base += n_logged if cut_seq is None else wave_log.count()
         metrics["waves"].append(
             {
                 "wave": wave,
@@ -410,7 +435,7 @@ def run_crawl(
         if checkpointer is not None:
             checkpointer.commit_wave(
                 wave=wave,
-                frontier_next=new_frontier.union(deferred) if n_new or n_deferred else None,
+                frontier_next=frontier if n_frontier_next else None,
                 wave_log=wave_log,
                 wave_docs=wave_docs,
                 seen_actors=seen_actors,
@@ -425,11 +450,7 @@ def run_crawl(
             break
         if stop:
             break
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        frontier = _compact(
-            new_frontier.union(deferred) if n_deferred else new_frontier, cpus
-        )
-        n_frontier = n_new + n_deferred
+        n_frontier = n_frontier_next
         wave += 1
 
     empty_log = ray.data.from_arrow(

@@ -29,6 +29,17 @@ from crawlray.schema import LINK_STRIDE, SPAN_STRUCT, pack_disc_depth, unpack_di
 FRONTIER_COLS = ["url", "host", "depth", "disc_key", "url_hash_lo", "url_hash_hi", "shard"]
 
 
+def seen_shard_of(url: str, num_shards: int) -> int:
+    """Seen-shard routing hash. crc32 (C-speed, stable across processes)
+    rather than the murmur3_128 membership key: routing runs once per
+    DISCOVERED link (duplicates included) in the hot offer path, while
+    murmur3 runs once per UNIQUE new URL inside the owning shard actor —
+    'hash once' applies to the expensive hash, not the router."""
+    import zlib
+
+    return zlib.crc32(url.encode("utf-8", "surrogatepass")) % num_shards
+
+
 def _group_by_shard(shards: np.ndarray) -> dict[int, np.ndarray]:
     order = np.argsort(shards, kind="stable")
     out: dict[int, np.ndarray] = {}
@@ -43,7 +54,10 @@ def _group_by_shard(shards: np.ndarray) -> dict[int, np.ndarray]:
 
 def make_robots_offer_stage(robots_actors, polite_actors):
     """Adds an `allowed` robots mask and registers politeness offers for
-    allowed rows — one streaming pass, two batched RPC fan-outs."""
+    allowed rows — one streaming pass, two batched RPC fan-outs. The robots
+    actors also bank the denied disc_keys and the politeness actors the
+    offered keys, so after decide() the driver can recover the wave's full
+    logged key-set from the actors without touching the data again."""
     n_r = len(robots_actors)
     n_p = len(polite_actors)
 
@@ -59,7 +73,7 @@ def make_robots_offer_stage(robots_actors, polite_actors):
         rgroups = _group_by_shard(rshards)
         futs = {
             s: robots_actors[s].allowed.remote(
-                [hosts[i] for i in idxs], [urls[i] for i in idxs]
+                [hosts[i] for i in idxs], [urls[i] for i in idxs], disc[idxs]
             )
             for s, idxs in rgroups.items()
         }
@@ -78,6 +92,116 @@ def make_robots_offer_stage(robots_actors, polite_actors):
             ]
             ray.get(ofuts)
         return batch.append_column("allowed", pa.array(allowed))
+
+    return fn
+
+
+STAGED_EXTRA = ["url_hash_lo", "url_hash_hi", "shard"]
+
+
+def make_gate_seq_fetch_stage(
+    polite_actors, fetcher_actors, seq_keys_ref, seq_base: int, chunk_rows: int = 256
+):
+    """ONE fused execution from robots-marked frontier to parsed pages:
+    politeness admission (threshold RPCs) → seq assignment (searchsorted
+    into the broadcast sorted logged-key array — the keys came back from
+    the actors at decide time, so no distributed sort runs) → fan-out
+    fetch+parse across the persistent actor pool. Deferred rows pass
+    through with status='deferred' and their frontier columns intact.
+
+    Scale note (SURVEY.md §7.3-H4): the driver/broadcast key array is the
+    wave's LOGGED set, bounded by politeness (≤ B × active hosts per wave),
+    not the frontier or discovery volume. For configurations where that
+    bound is still huge, `crawlray.ops.seqassign.sort_and_zip_index` is the
+    distributed-sort alternative with O(#blocks) driver state.
+    """
+    from crawlray.murmur3 import murmur3_32
+
+    n_p = len(polite_actors)
+    n_f = len(fetcher_actors)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = FetchParseStage.empty_output()
+        for c in STAGED_EXTRA:
+            empty = empty.append_column(
+                c, pa.array([], pa.uint64() if c != "shard" else pa.uint32())
+            )
+        if batch.num_rows == 0:
+            return empty
+        n = batch.num_rows
+        allowed = batch.column("allowed").to_numpy(zero_copy_only=False)
+        hosts = batch.column("host").to_pylist()
+        disc = batch.column("disc_key").to_numpy()
+
+        admitted = np.zeros(n, dtype=bool)
+        aidx = np.nonzero(allowed)[0]
+        if len(aidx):
+            pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
+            groups = _group_by_shard(pshards)
+            futs = {
+                s: polite_actors[s].thresholds_for.remote([hosts[aidx[j]] for j in idxs])
+                for s, idxs in groups.items()
+            }
+            for s, idxs in groups.items():
+                thr = ray.get(futs[s])
+                admitted[aidx[idxs]] = disc[aidx[idxs]] <= thr
+
+        keys = ray.get(seq_keys_ref)
+        seq = np.searchsorted(keys, disc) + seq_base
+        deferred_mask = allowed & ~admitted
+        seq[deferred_mask] = -1
+
+        batch = batch.drop_columns(["allowed"]).append_column(
+            "seq", pa.array(seq, pa.int64())
+        )
+
+        parts = []
+        adm_tbl = batch.filter(pa.array(admitted))
+        if adm_tbl.num_rows:
+            base = murmur3_32(adm_tbl.column("url")[0].as_py().encode()) % n_f
+            futs = []
+            for j, off in enumerate(range(0, adm_tbl.num_rows, chunk_rows)):
+                chunk = adm_tbl.slice(off, chunk_rows)
+                futs.append(fetcher_actors[(base + j) % n_f].fetch_parse.remote(chunk))
+            parsed = pa.concat_tables(ray.get(futs))
+            # parsed lacks the frontier hash/shard cols — zero-fill (only
+            # deferred rows need them, to re-enter the next wave's frontier)
+            parsed = parsed.append_column(
+                "url_hash_lo", pa.array(np.zeros(parsed.num_rows, np.uint64), pa.uint64())
+            ).append_column(
+                "url_hash_hi", pa.array(np.zeros(parsed.num_rows, np.uint64), pa.uint64())
+            ).append_column(
+                "shard", pa.array(np.zeros(parsed.num_rows, np.uint32), pa.uint32())
+            )
+            parts.append(parsed)
+
+        rest = batch.filter(pa.array(~admitted))
+        if rest.num_rows:
+            # seq == -1 marks deferred (set above); everything else
+            # non-admitted was robots-denied
+            status = np.where(
+                rest.column("seq").to_numpy() == -1, "deferred", "robots_denied"
+            )
+            rest_out = pa.table(
+                {
+                    "url": rest.column("url"),
+                    "host": rest.column("host"),
+                    "depth": rest.column("depth"),
+                    "disc_key": rest.column("disc_key"),
+                    "seq": rest.column("seq"),
+                    "status": pa.array(status.tolist(), pa.string()),
+                    "n_out": pa.array(np.zeros(rest.num_rows, np.int32), pa.int32()),
+                    "spans": pa.array([[]] * rest.num_rows, empty.schema.field("spans").type),
+                    "outlinks": pa.array([[]] * rest.num_rows, pa.list_(pa.string())),
+                    "url_hash_lo": rest.column("url_hash_lo"),
+                    "url_hash_hi": rest.column("url_hash_hi"),
+                    "shard": rest.column("shard"),
+                }
+            )
+            parts.append(rest_out)
+        if not parts:
+            return empty
+        return pa.concat_tables([p.select(empty.column_names) for p in parts])
 
     return fn
 
@@ -191,11 +315,13 @@ class FetchParseStage:
 FetcherActor = ray.remote(num_cpus=0.5)(FetchParseStage)
 
 
-def make_fetch_stage(fetcher_actors):
-    """Wave-loop fetch stage: route each batch to a persistent fetcher actor
-    (deterministic pick by first-URL hash — content, not timing). The map
-    task itself only awaits the RPC, so it runs with fractional num_cpus
-    while the actor does the CPU work."""
+def make_fetch_stage(fetcher_actors, chunk_rows: int = 256):
+    """Wave-loop fetch stage: fan each batch out as sub-batch RPCs across the
+    persistent fetcher pool, awaited in parallel. Round-robin from a
+    content-derived base (first-URL hash) keeps load spread deterministic in
+    CONTENT, not timing; fine chunks (256 rows) avoid the balls-in-bins
+    imbalance a one-batch-one-actor routing shows (~3-4× tail). The map task
+    only awaits RPCs (fractional num_cpus); actors do the CPU work."""
     from crawlray.murmur3 import murmur3_32
 
     n = len(fetcher_actors)
@@ -203,8 +329,12 @@ def make_fetch_stage(fetcher_actors):
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return FetchParseStage.empty_output()
-        i = murmur3_32(batch.column("url")[0].as_py().encode()) % n
-        return ray.get(fetcher_actors[i].fetch_parse.remote(batch))
+        base = murmur3_32(batch.column("url")[0].as_py().encode()) % n
+        futs = []
+        for j, off in enumerate(range(0, batch.num_rows, chunk_rows)):
+            chunk = batch.slice(off, chunk_rows)
+            futs.append(fetcher_actors[(base + j) % n].fetch_parse.remote(chunk))
+        return pa.concat_tables(ray.get(futs))
 
     return fn
 
@@ -241,27 +371,68 @@ def make_explode_stage(max_depth: int | None):
     return fn
 
 
+def make_offer_stage(seen_actors, max_depth: int | None):
+    """Fused explode + per-batch pre-combine + keyed offer RPCs (O-15 +
+    O-30 map side + O-26 routing). Per batch of parsed pages: explode
+    outlinks to (url, pack) vectorized, min-combine duplicates within the
+    batch (Arrow group_by — the map-side combiner that cuts RPC volume),
+    route by seen-shard and offer. The reduce side (global min + seen
+    admission) happens inside the shard actors at finish_wave."""
+    n = len(seen_actors)
+    explode = make_explode_stage(max_depth)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tbl = explode(batch)
+        if tbl.num_rows:
+            comb = tbl.group_by(["url"]).aggregate([("pack", "min")])
+            urls = comb.column("url").to_pylist()
+            packs = comb.column("pack_min").to_numpy()
+            shards = np.array([seen_shard_of(u, n) for u in urls])
+            futs = [
+                seen_actors[s].offer.remote([urls[i] for i in idxs], packs[idxs])
+                for s, idxs in _group_by_shard(shards).items()
+            ]
+            ray.get(futs)
+        status = batch.column("status") if "status" in batch.column_names else None
+        n_fetched = (
+            int(pc.sum(pc.cast(pc.equal(status, "fetched"), pa.int64())).as_py() or 0)
+            if status is not None
+            else 0
+        )
+        n_errors = (
+            int(pc.sum(pc.cast(pc.equal(status, "error"), pa.int64())).as_py() or 0)
+            if status is not None
+            else 0
+        )
+        return pa.table(
+            {
+                "n_links": pa.array([tbl.num_rows], pa.int64()),
+                "n_fetched": pa.array([n_fetched], pa.int64()),
+                "n_errors": pa.array([n_errors], pa.int64()),
+            }
+        )
+
+    return fn
+
+
 def make_derive_frontier_stage(num_seen_shards: int):
-    """(url, pack) winners → full FRONTIER columns. Host/hash/shard are
-    (re)computed here once per unique URL — cheaper than carrying them
-    through the dedup shuffle for every duplicate discovery."""
+    """Shard-actor finish_wave output (url, pack, hashes) → full FRONTIER
+    columns. Host parse + unpack run once per unique new URL."""
 
     def fn(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         disc, depth = unpack_disc_depth(batch.column("pack").to_numpy())
         hosts = [url_host(u) for u in urls]
-        lo, hi = hash_urls_128(urls)
+        shards = np.array([seen_shard_of(u, num_seen_shards) for u in urls], np.uint32)
         return pa.table(
             {
                 "url": batch.column("url"),
                 "host": pa.array(hosts, pa.string()),
                 "depth": pa.array(depth.astype(np.int32), pa.int32()),
                 "disc_key": pa.array(disc, pa.int64()),
-                "url_hash_lo": pa.array(lo, pa.uint64()),
-                "url_hash_hi": pa.array(hi, pa.uint64()),
-                "shard": pa.array(
-                    (lo % np.uint64(num_seen_shards)).astype(np.uint32), pa.uint32()
-                ),
+                "url_hash_lo": batch.column("url_hash_lo"),
+                "url_hash_hi": batch.column("url_hash_hi"),
+                "shard": pa.array(shards, pa.uint32()),
             }
         )
 
@@ -302,6 +473,7 @@ def frontier_table_from_urls(
     small by definition; everything discovered flows through the stages)."""
     hosts = [url_host(u) for u in urls]
     lo, hi = hash_urls_128(urls)
+    shards = np.array([seen_shard_of(u, num_seen_shards) for u in urls], np.uint32)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -310,6 +482,6 @@ def frontier_table_from_urls(
             "disc_key": pa.array(np.asarray(disc_keys, np.int64), pa.int64()),
             "url_hash_lo": pa.array(lo, pa.uint64()),
             "url_hash_hi": pa.array(hi, pa.uint64()),
-            "shard": pa.array((lo % np.uint64(num_seen_shards)).astype(np.uint32), pa.uint32()),
+            "shard": pa.array(shards, pa.uint32()),
         }
     )

@@ -260,3 +260,54 @@ def write_web(web: SynthWeb, out_dir: str) -> dict:
     pq.write_table(web.webgraph_table(), wg)
     pq.write_table(web.robots_table(), rb)
     return {"webgraph": wg, "robots": rb}
+
+
+class _RenderStage:
+    """map_batches callable class: builds the SynthWeb index once per actor,
+    renders pages per batch — distributed web generation for bench-scale
+    corpora (driver-side rendering of 2×10⁵+ pages would serialize)."""
+
+    def __init__(self, params: dict):
+        self.web = SynthWeb(**params)
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        uids = batch.column("id").to_pylist()
+        return pa.table(
+            {
+                "url": [self.web.url_of(u) for u in uids],
+                "host": [self.web.host_name(self.web._host_of_uid[u]) for u in uids],
+                "html": [self.web.page_html(u) for u in uids],
+            }
+        )
+
+
+def generate_web_parquet(params: dict, out_dir: str, concurrency: int = 8) -> dict:
+    """Distributed deterministic web generation → webgraph/robots parquet.
+
+    Caller owns the Ray session. Same bytes as `SynthWeb(**params)
+    .webgraph_table()` for any concurrency (page = pure function of
+    (seed, url)).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    import crawlray
+
+    crawlray.ensure_worker_importability()
+    os.makedirs(out_dir, exist_ok=True)
+    web = SynthWeb(**params)
+    wg_dir = os.path.join(out_dir, "webgraph")
+    ray.data.range(params["n_urls"]).map_batches(
+        _RenderStage,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+        fn_constructor_args=(params,),
+    ).write_parquet(wg_dir)
+    rb = os.path.join(out_dir, "robots.parquet")
+    pq.write_table(web.robots_table(), rb)
+    return {"webgraph": wg_dir, "robots": rb}
