@@ -51,9 +51,9 @@ BENCH_QUERIES = [
 # per-wave overhead, not compute, then dominates.)
 WEB_PARAMS = dict(
     seed=42, shape="zipf_hosts", n_urls=200_000, n_hosts=1000, skew=1.1,
-    max_deg=10, text_repeat=6,
+    max_deg=10, text_repeat=100,  # ~10 KB pages: realistic parse cost
 )
-CRAWL_CFG = dict(budget_per_host=5000, max_depth=None, max_pages=None)
+CRAWL_CFG = dict(budget_per_host=30_000, max_depth=None, max_pages=None)
 import hashlib as _hl
 
 _WP_HASH = _hl.sha256(json.dumps(WEB_PARAMS, sort_keys=True).encode()).hexdigest()[:10]
@@ -115,7 +115,7 @@ def bench_crawl(num_cpus: int) -> dict:
     webgraph = pq.read_table(os.path.join(WEB_CACHE, "webgraph"))
     robots = pq.read_table(os.path.join(WEB_CACHE, "robots.parquet"))
     web = SynthWeb(**WEB_PARAMS)
-    seeds = [web.url_of(web._base_uid[i]) for i in range(0, 50)]
+    seeds = [web.url_of(web._base_uid[i]) for i in range(0, 200)]
 
     t0 = time.time()
     res = run_crawl(
@@ -126,6 +126,7 @@ def bench_crawl(num_cpus: int) -> dict:
         num_robots_shards=4,
         num_host_shards=4,
         fetch_batch_size=1024,
+        enrich=True,
         **CRAWL_CFG,
     )
     n_logged = res.crawl_log.count()

@@ -144,6 +144,7 @@ def run_crawl(
     fetch_concurrency=None,
     fetch_batch_size: int = 512,
     carryover_tokens: bool = False,
+    enrich: bool = False,
     user_agent: str = "*",
     out_dir: str | None = None,
     stop_after_wave: int | None = None,
@@ -250,14 +251,16 @@ def run_crawl(
     # per-wave map_batches actor pools pay actor spin-up every wave)
     if fetch_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        n_fetchers = max(2, int(cpus * 0.6))
+        n_fetchers = max(2, int(cpus * 0.75))
     elif isinstance(fetch_concurrency, tuple):
         n_fetchers = max(fetch_concurrency)
     else:
         n_fetchers = int(fetch_concurrency)
     from crawlray.stages import FetcherActor, make_fetch_stage
 
-    fetcher_actors = [FetcherActor.remote(webgraph_ref) for _ in range(n_fetchers)]
+    fetcher_actors = [
+        FetcherActor.remote(webgraph_ref, enrich) for _ in range(n_fetchers)
+    ]
     fetch_stage = make_fetch_stage(fetcher_actors)
 
     log_parts: list[ray.data.Dataset] = []
@@ -334,7 +337,8 @@ def run_crawl(
         staged = marked.map_batches(
             gate_fetch,
             batch_format="pyarrow",
-            batch_size=fetch_batch_size,
+            batch_size=None,  # whole blocks: keeps many chunk RPCs in
+            # flight per feeder task, avoiding actor-pool pipeline bubbles
             num_cpus=0.25,
         ).materialize()
         _t = _tick("gate+seq+fetch", _t)

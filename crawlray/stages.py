@@ -193,6 +193,9 @@ def make_gate_seq_fetch_stage(
                     "n_out": pa.array(np.zeros(rest.num_rows, np.int32), pa.int32()),
                     "spans": pa.array([[]] * rest.num_rows, empty.schema.field("spans").type),
                     "outlinks": pa.array([[]] * rest.num_rows, pa.list_(pa.string())),
+                    "lang_pred": pa.array([""] * rest.num_rows, pa.string()),
+                    "n_tokens": pa.array(np.zeros(rest.num_rows, np.int32), pa.int32()),
+                    "simhash": pa.array(np.zeros(rest.num_rows, np.uint64), pa.uint64()),
                     "url_hash_lo": rest.column("url_hash_lo"),
                     "url_hash_hi": rest.column("url_hash_hi"),
                     "shard": rest.column("shard"),
@@ -231,6 +234,51 @@ def make_threshold_stage(polite_actors):
     return fn
 
 
+_ENRICH_STOPWORDS = {
+    "en": frozenset("the of and a to in is it that for".split()),
+    "de": frozenset("der die das und ist ein nicht mit zu".split()),
+    "fr": frozenset("le la les et est un une pas pour".split()),
+    "es": frozenset("el la los y es un una no por".split()),
+}
+
+
+def enrich_doc(text: str) -> tuple[str, int, int]:
+    """Per-document enrichment for the training-data path: language-ID
+    (stopword overlap), token count, and a 64-bit simhash over 3-gram token
+    shingles (crc32-hashed, bit-vote accumulated with numpy). This is the
+    per-page compute a real 100 TB crawl pipeline runs alongside parse —
+    the crawl bench enables it to make the workload representative."""
+    import zlib
+
+    tokens = text.split()
+    nt = len(tokens)
+    wset = set(tokens[:200])
+    best, best_n = "und", 0
+    for lang, sw in _ENRICH_STOPWORDS.items():
+        k = len(wset & sw)
+        if k > best_n:
+            best, best_n = lang, k
+    if nt < 3:
+        return best, nt, 0
+    crc = zlib.crc32
+    hashes = np.array(
+        [
+            crc(f"{tokens[i]} {tokens[i+1]} {tokens[i+2]}".encode())
+            for i in range(nt - 2)
+        ],
+        dtype=np.uint64,
+    )
+    # widen crc32 to 64 bits deterministically
+    hashes = hashes * np.uint64(0x9E3779B97F4A7C15)
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    votes = bits.sum(axis=0)
+    sim = np.uint64(0)
+    for b in range(64):
+        if votes[b] * 2 >= len(hashes):
+            sim |= np.uint64(1) << np.uint64(b)
+    return best, nt, int(sim)
+
+
 class FetchParseStage:
     """Stateful fetch+parse stage (SURVEY.md O-23 + O-14/O-15 fused).
 
@@ -253,9 +301,10 @@ class FetchParseStage:
     status, n_out, interleaved spans, and the page's deduped outlinks.
     """
 
-    def __init__(self, webgraph_ref):
+    def __init__(self, webgraph_ref, enrich: bool = False):
         tbl = ray.get(webgraph_ref) if isinstance(webgraph_ref, ray.ObjectRef) else webgraph_ref
         self.backend = SyntheticBackend(tbl)
+        self.enrich = enrich
 
     def fetch_parse(self, batch: pa.Table) -> pa.Table:
         return self(batch)
@@ -273,6 +322,9 @@ class FetchParseStage:
                 ("n_out", pa.int32()),
                 ("spans", pa.list_(SPAN_STRUCT)),
                 ("outlinks", pa.list_(pa.string())),
+                ("lang_pred", pa.string()),
+                ("n_tokens", pa.int32()),
+                ("simhash", pa.uint64()),
             ]
         ).empty_table()
 
@@ -282,6 +334,9 @@ class FetchParseStage:
         n_outs: list[int] = []
         spans_col: list[list[dict]] = []
         outlinks_col: list[list[str]] = []
+        langs: list[str] = []
+        n_toks: list[int] = []
+        simhashes: list[int] = []
         for u in urls:
             html = self.backend.fetch(u)
             if html is None:
@@ -289,12 +344,25 @@ class FetchParseStage:
                 n_outs.append(0)
                 spans_col.append([])
                 outlinks_col.append([])
+                langs.append("")
+                n_toks.append(0)
+                simhashes.append(0)
                 continue
             spans, outlinks = parse_page(html, u)
             statuses.append("fetched")
             n_outs.append(len(outlinks))
             spans_col.append(spans_to_dicts(spans))
             outlinks_col.append(outlinks)
+            if self.enrich:
+                text = " ".join(s.text for s in spans if s.kind == "text")
+                lang, nt, sh = enrich_doc(text)
+                langs.append(lang)
+                n_toks.append(nt)
+                simhashes.append(sh)
+            else:
+                langs.append("")
+                n_toks.append(0)
+                simhashes.append(0)
         return pa.table(
             {
                 "url": batch.column("url"),
@@ -306,6 +374,9 @@ class FetchParseStage:
                 "n_out": pa.array(n_outs, pa.int32()),
                 "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
                 "outlinks": pa.array(outlinks_col, pa.list_(pa.string())),
+                "lang_pred": pa.array(langs, pa.string()),
+                "n_tokens": pa.array(n_toks, pa.int32()),
+                "simhash": pa.array(simhashes, pa.uint64()),
             }
         )
 
