@@ -341,6 +341,81 @@ def _lang_id(sf_dir: str):
     return lang_id(_rd(sf_dir, "documents"))
 
 
+def _minhash_signatures(sf_dir: str):
+    """MinHash signatures per doc (rows-only; the LSH dedup building block)."""
+    from crawlray.ops.neardup import minhash_signatures
+
+    return minhash_signatures(_rd(sf_dir, "documents"))
+
+
+def _minhash_lsh_dedup(sf_dir: str):
+    """MinHash+LSH near-dup pairs with exact Jaccard verify (rows-only;
+    correctness proven against brute-force on a planted-dup corpus in
+    tests/unit/test_neardup.py)."""
+    from crawlray.ops.neardup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_rd(sf_dir, "documents"), jaccard_threshold=0.35)
+
+
+def _simhash_docs(sf_dir: str):
+    """Per-doc 64-bit simhash fingerprints (rows-only)."""
+    from crawlray.ops.neardup import simhash_table
+
+    return simhash_table(_rd(sf_dir, "documents"))
+
+
+def _simhash_dedup(sf_dir: str):
+    """SimHash near-dup pairs via 16-bit band buckets (rows-only)."""
+    from crawlray.ops.neardup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_rd(sf_dir, "documents"))
+
+
+def _ann_ivf(sf_dir: str):
+    """IVF bucket assignment for ANN (rows-only): nearest-centroid bucket
+    per vector, centroids = first 8 embeddings (deterministic)."""
+    import pyarrow.parquet as pq
+
+    from crawlray.ops.knn import ivf_bucket_assign
+
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cent = np.array(
+        q.filter(pc.less(q.column("vec_id"), 8)).column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    out = ivf_bucket_assign(_rd(sf_dir, "embeddings"), cent)
+    return out.select_columns(["vec_id", "bucket"])
+
+
+def _media_decode(sf_dir: str):
+    """Multimodal plumbing: binary payload column → actor-pool decode stub
+    producing typed metadata. The decode itself is a deterministic fake
+    (real codecs unavailable here), so it IS SQL-expressible and checked."""
+    from crawlray.ops.media import decode_media
+
+    out = decode_media(_rd(sf_dir, "documents"), "doc_id", "text")
+    return out.select_columns(["doc_id", "n_bytes", "width", "height"])
+
+
+def _crawl_smoke(sf_dir: str):
+    """End-to-end distributed crawl on a deterministic synthetic web sized
+    from the documents table (rows-only; bit-for-bit oracle equality is
+    asserted in tests/conformance)."""
+    from crawlray.job import run_crawl
+    from crawlray.synthgraph import SynthWeb
+
+    n = _rd(sf_dir, "documents").count()
+    web = SynthWeb(seed=42, shape="zipf_hosts", n_urls=max(60, min(n, 2000)), n_hosts=10)
+    res = run_crawl(
+        web.default_seeds(), web=web, budget_per_host=5, fetch_concurrency=2
+    )
+    out = res.crawl_log_table()
+    res.shutdown()
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_agg": _q1_agg,
@@ -363,6 +438,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _knn_cosine,
         "embedding_dedup": _embedding_dedup,
         "lang_id": _lang_id,
+        "minhash_signatures": _minhash_signatures,
+        "minhash_lsh_dedup": _minhash_lsh_dedup,
+        "simhash_docs": _simhash_docs,
+        "simhash_dedup": _simhash_dedup,
+        "ann_ivf": _ann_ivf,
+        "media_decode": _media_decode,
+        "crawl_smoke": _crawl_smoke,
     }
 
 
@@ -458,5 +540,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
-        # lang_id: heuristic classifier — rows-only check (no SQL equivalent)
+        "media_decode": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(text)) % 640 AS width,
+                   octet_length(encode(text)) % 480 AS height
+            FROM documents
+        """,
+        # rows-only (no SQL equivalent): lang_id, minhash_signatures,
+        # minhash_lsh_dedup, simhash_docs, simhash_dedup, ann_ivf,
+        # crawl_smoke (oracle parity proven in tests/conformance instead)
     }

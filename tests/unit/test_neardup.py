@@ -1,0 +1,87 @@
+"""Near-dup operators on a planted-duplicate corpus: LSH must find exactly
+the planted near-dup pairs (verified against brute-force Jaccard)."""
+
+import itertools
+
+import pyarrow as pa
+import pytest
+
+from crawlray.ops.neardup import (
+    _shingle_hashes,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_dup_pairs,
+    simhash_table,
+)
+
+
+def _corpus():
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions under a pale winter moon near the old stone "
+        "bridge by the river where children play every single afternoon"
+    )
+    docs = []
+    for i in range(20):
+        words = [f"w{i}_{j}" for j in range(40)]
+        docs.append((i, " ".join(words)))
+    # planted near-dups: 100/101 share ~90% of shingles; 102 is identical to 100
+    words = base.split()
+    docs.append((100, " ".join(words)))
+    docs.append((101, " ".join(words[:30] + ["altered", "tail", "words"])))
+    docs.append((102, " ".join(words)))
+    return pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+        }
+    )
+
+
+def _brute_force_pairs(tbl, threshold):
+    rows = list(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    out = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa = set(_shingle_hashes(ta).tolist())
+        sb = set(_shingle_hashes(tb).tolist())
+        u = len(sa | sb)
+        if u and len(sa & sb) / u >= threshold:
+            out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    import ray.data
+
+    tbl = _corpus()
+    ds = ray.data.from_arrow(tbl)
+    got = minhash_lsh_pairs(ds, jaccard_threshold=0.5)
+    got_pairs = set(zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist()))
+    want = _brute_force_pairs(tbl, 0.5)
+    assert want == got_pairs
+    assert (100, 102) in got_pairs  # identical pair
+    assert (100, 101) in got_pairs  # near-dup pair
+
+
+def test_minhash_signature_determinism(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus())
+    a = {r["doc_id"]: r["sig"] for r in minhash_signatures(ds).take_all()}
+    b = {r["doc_id"]: r["sig"] for r in minhash_signatures(ds).take_all()}
+    assert a == b
+    assert a[100] == a[102]  # identical docs → identical signatures
+    assert len(a[0]) == 64
+
+
+def test_simhash_dups(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus())
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_table(ds).take_all()}
+    assert sims[100] == sims[102]
+    pairs = simhash_dup_pairs(ds, max_hamming=3)
+    got = set(zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()))
+    assert (100, 102) in got
+    # unrelated random docs must not collide at hamming<=3
+    assert all(a >= 100 for a, b in got), got
