@@ -8,24 +8,30 @@ Arrow blocks; cross-wave state lives only in actors (seen shards, robots,
 politeness) and checkpoints.
 
 Determinism under parallelism (§4.2): crawl order is never derived from
-execution timing — `seq` comes from a distributed sort on disc_key (a pure
-function of the crawl graph), dedup winners from min(pack), politeness
+execution timing — `seq` ranks disc_key (a pure function of the crawl
+graph), dedup winners come from order-independent min-combine, politeness
 admission from the B-lowest-disc_keys rule. Any num_cpus reproduces the
 oracle bit-for-bit; that is what the N→4N scaling criterion rides on.
 
-Per-wave dataflow (stage ids from SURVEY.md §2):
+Per-wave dataflow (stage ids from SURVEY.md §2; two executions + two
+barrier RPC rounds per wave):
 
     frontier_w (unique URLs, already in the seen set)
-      ├─ robots mask + politeness offers     map_batches + keyed actor RPCs (O-21/22)
-      ├─ [driver] politeness decide()        one tiny RPC round per wave
-      ├─ admission thresholds → admitted/deferred split
-      ├─ logged = denied ∪ admitted → sort(disc_key) + seq   ★ range shuffle (O-33)
-      ├─ fetch+parse actor pool              map_batches actor pool (O-23/14/15)
-      ├─ [optional] global page-budget cut   deterministic disc_key prefix (O-35)
-      ├─ crawl_log_w, documents_w            accumulated / checkpointed (O-3/4)
-      └─ explode outlinks → (url,pack) → groupby-min dedup  ★ hash shuffle (O-30)
-             → derive frontier cols → seen-shard filter (O-26) → new rows
-    frontier_{w+1} = deferred ∪ new rows (O-37)
+      ├─ E1 robots mask + politeness offers   map_batches + keyed actor RPCs
+      │     (O-21/22; actors bank denied + offered disc_keys)
+      ├─ [driver] decide() → logged key-set comes back FROM the actors;
+      │     seq = rank in that sorted set (O-33 without a distributed
+      │     sort; `ops.seqassign.sort_and_zip_index` is the sort-based
+      │     alternative for configurations with huge per-wave sets)
+      ├─ E2 fused gate+seq+fetch+parse        ONE execution: admission
+      │     thresholds, searchsorted seq, sub-batch fan-out over the
+      │     persistent fetcher pool (O-23/14/15); optional budget prefix
+      │     cut (O-35); deferred rows pass through
+      ├─ crawl_log_w, documents_w             lazy projections (O-3/4)
+      └─ E3 offer discoveries → seen shards   within-wave dedup (O-30) +
+            cross-wave admission (O-26) fused in the shard actors
+            (offer/finish min-combine); E4 new frontier = actor-returned
+            Arrow blocks → derive cols → ∪ deferred → compact (O-37)
 """
 
 from __future__ import annotations
