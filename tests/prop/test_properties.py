@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY.md §5.2.2, hypothesis)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlray.kernels.html import parse_page
+from crawlray.kernels.url import canonicalize, in_scope
+from crawlray.synthgraph import SynthWeb
+
+
+@given(st.integers(0, 10_000), st.integers(0, 7))
+@settings(max_examples=60, deadline=None)
+def test_canonicalize_idempotent_on_messy_hrefs(uid_seed, variant_seed):
+    """c(c(u)) == c(u) over the generator's deliberately messy href space."""
+    web = SynthWeb(seed=3, shape="zipf_hosts", n_urls=50, n_hosts=5)
+    uid = uid_seed % web.n_urls
+    targets = web.out_uids(uid)
+    if not targets:
+        return
+    href = web._href_variant(uid, variant_seed % max(1, len(targets)), web.url_of(targets[0]))
+    base = web.url_of(uid)
+    c1 = canonicalize(href, base=base)
+    assert c1 is not None
+    assert canonicalize(c1) == c1
+
+
+@given(st.integers(0, 1 << 30))
+@settings(max_examples=25, deadline=None)
+def test_parse_outlinks_subset_of_graph_edges(seed):
+    """parse(render(url)) outlinks ⊆ the generator's edge set for that url."""
+    web = SynthWeb(seed=11, shape="zipf_hosts", n_urls=40, n_hosts=4)
+    uid = seed % web.n_urls
+    _, links = parse_page(web.page_html(uid), web.url_of(uid))
+    edges = {web.url_of(t) for t in web.out_uids(uid)}
+    assert set(links) <= edges
+    assert all(in_scope(u) for u in links)
+
+
+@given(perm=st.permutations(list(range(30))))
+@settings(max_examples=20, deadline=None)
+def test_dedup_keep_first_permutation_invariant(ray_session, perm):
+    """O-30/O-38: winners equal python-dict semantics under any row order."""
+    import ray.data
+
+    from crawlray.ops.dedup import dedup_keep_first
+
+    keys = [f"k{i % 7}" for i in range(30)]
+    orders = list(range(30))
+    tbl = pa.table(
+        {
+            "k": pa.array([keys[i] for i in perm]),
+            "o": pa.array([orders[i] for i in perm], pa.int64()),
+        }
+    )
+    got = {
+        (r["k"], r["o"])
+        for r in dedup_keep_first(ray.data.from_arrow(tbl), "k", "o").take_all()
+    }
+    want = {}
+    for k, o in sorted(zip(keys, orders), key=lambda x: x[1]):
+        want.setdefault(k, o)
+    assert got == set(want.items())
+
+
+def test_pack_unpack_roundtrip():
+    from crawlray.schema import pack_disc_depth, unpack_disc_depth
+
+    disc = np.array([-(1 << 20), -1, 0, 1, 123456, (1 << 40)], dtype=np.int64)
+    depth = np.array([0, 1, 2, 3, 500, 1023], dtype=np.int64)
+    p = pack_disc_depth(disc, depth)
+    d2, dep2 = unpack_disc_depth(p)
+    assert (d2 == disc).all() and (dep2 == depth).all()
+    # min(pack) picks min disc_key first
+    assert pack_disc_depth(5, 1023) < pack_disc_depth(6, 0)
