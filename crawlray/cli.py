@@ -1,0 +1,136 @@
+"""CLI entry points (SURVEY.md §3): run / resume / verify a crawl.
+
+Owns the Ray session (library code never inits Ray). On a real cluster the
+same commands run via `ray job submit -- python -m crawlray.cli run ...`
+against an existing `ray.init(address="auto")` cluster; in this sandbox
+everything is local mode.
+
+    python -m crawlray.cli run    --shape zipf_hosts --n-urls 500 --budget 3 \
+                                  --out /tmp/crawl1
+    python -m crawlray.cli resume --out /tmp/crawl1
+    python -m crawlray.cli verify --shape robots_blocked --n-urls 200 --budget 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True)
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def _web(args):
+    from crawlray.synthgraph import SynthWeb
+
+    return SynthWeb(
+        seed=args.seed, shape=args.shape, n_urls=args.n_urls, n_hosts=args.n_hosts
+    )
+
+
+def cmd_run(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from crawlray.job import run_crawl
+
+    web = _web(args)
+    res = run_crawl(
+        web.default_seeds(args.n_seeds),
+        web=web,
+        budget_per_host=args.budget,
+        max_depth=args.max_depth,
+        max_pages=args.max_pages,
+        out_dir=args.out,
+    )
+    print(
+        json.dumps(
+            {"waves": res.waves, "fetched": res.fetched_total, "out": args.out}
+        )
+    )
+    res.shutdown()
+    ray.shutdown()
+    return 0
+
+
+def cmd_resume(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from crawlray.job import resume_crawl
+
+    web = _web(args)
+    res = resume_crawl(args.out, web=web)
+    print(json.dumps({"waves": res.waves, "fetched": res.fetched_total}))
+    res.shutdown()
+    ray.shutdown()
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Oracle conformance on one config (SURVEY.md §3.4)."""
+    ray = _init_ray(args.num_cpus)
+    from crawlray.backend import SyntheticBackend
+    from crawlray.job import run_crawl
+    from oracle.bfs_crawler import CrawlConfig, crawl
+
+    web = _web(args)
+    seeds = web.default_seeds(args.n_seeds)
+    ora = crawl(
+        seeds,
+        SyntheticBackend.from_web(web),
+        CrawlConfig(
+            budget_per_host=args.budget,
+            max_depth=args.max_depth,
+            max_pages=args.max_pages,
+        ),
+    )
+    eng = run_crawl(
+        seeds,
+        web=web,
+        budget_per_host=args.budget,
+        max_depth=args.max_depth,
+        max_pages=args.max_pages,
+    )
+    got = eng.crawl_log_table().to_pylist()
+    want = ora.crawl_log.to_pylist()
+    ok = got == want and eng.seen_urls() == ora.seen
+    print(
+        json.dumps(
+            {"match": ok, "rows": len(got), "oracle_rows": len(want), "waves": eng.waves}
+        )
+    )
+    eng.shutdown()
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="crawlray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("run", cmd_run), ("resume", cmd_resume), ("verify", cmd_verify)):
+        p = sub.add_parser(name)
+        p.set_defaults(fn=fn)
+        p.add_argument("--shape", default="zipf_hosts")
+        p.add_argument("--seed", type=int, default=42)
+        p.add_argument("--n-urls", type=int, default=500)
+        p.add_argument("--n-hosts", type=int, default=10)
+        p.add_argument("--n-seeds", type=int, default=3)
+        p.add_argument("--budget", type=int, default=3)
+        p.add_argument("--max-depth", type=int, default=None)
+        p.add_argument("--max-pages", type=int, default=None)
+        p.add_argument("--num-cpus", type=int, default=None)
+        p.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    if args.cmd == "resume" and not args.out:
+        ap.error("resume requires --out")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
