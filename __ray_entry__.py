@@ -515,7 +515,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "token_count_by_source": """
-            SELECT source, SUM(LEN(str_split(text, ' '))) AS n_tokens,
+            SELECT source, CAST(SUM(LEN(str_split(text, ' '))) AS BIGINT) AS n_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source
         """,

@@ -61,6 +61,24 @@ from crawlray.stages import (
 )
 
 
+def _webgraph_fingerprint(webgraph: pa.Table) -> str:
+    """Cheap deterministic content fingerprint of a webgraph table.
+
+    Stored in the checkpoint config and validated on resume so that resuming
+    with different --seed/--shape/--n-urls (which would silently continue
+    against a DIFFERENT web, breaking the bit-identical resume invariant)
+    errors out instead. Samples head+tail URLs: O(1) regardless of scale."""
+    import hashlib
+
+    h = hashlib.sha256()
+    urls = webgraph.column("url")
+    n = len(urls)
+    h.update(str(n).encode())
+    for i in list(range(min(64, n))) + list(range(max(64, n - 64), n)):
+        h.update(str(urls[i]).encode())
+    return h.hexdigest()[:16]
+
+
 def _compact(ds: ray.data.Dataset, cpus: int, rows_per_block: int = 2048) -> ray.data.Dataset:
     """Materialize + bound the block count of a cross-wave dataset.
 
@@ -288,6 +306,7 @@ def run_crawl(
             "num_host_shards": num_host_shards,
             "carryover_tokens": carryover_tokens,
             "user_agent": user_agent,
+            "webgraph_fingerprint": _webgraph_fingerprint(webgraph),
         }
         checkpointer = Checkpointer(out_dir, cfg)
 
@@ -305,6 +324,12 @@ def run_crawl(
 
     while not stop:
         if n_frontier == 0:
+            break
+        # Budget already exhausted at wave start (e.g. resuming a checkpoint
+        # that finished on max_pages but committed a non-empty frontier):
+        # fetching the wave and discarding it would issue real requests under
+        # an HTTP backend and corrupt seq_base. Stop before E1.
+        if max_pages is not None and fetched_total >= max_pages:
             break
         _t = _time.time()
         ray.get(
@@ -532,6 +557,19 @@ def resume_crawl(
 
     with open(_os.path.join(out_dir, "config.json")) as f:
         cfg = _json.load(f)["config"]
+    if web is not None and webgraph is None:
+        webgraph = web.webgraph_table()
+        robots = web.robots_table()
+        web = None
+    want_fp = cfg.get("webgraph_fingerprint")
+    if want_fp is not None and webgraph is not None:
+        got_fp = _webgraph_fingerprint(webgraph)
+        if got_fp != want_fp:
+            raise ValueError(
+                f"resume webgraph mismatch: checkpoint was written against web "
+                f"fingerprint {want_fp}, caller supplied {got_fp} — resuming "
+                f"would continue against a different web"
+            )
     Checkpointer.clean_uncommitted(out_dir)
     waves = Checkpointer.committed_waves(out_dir)
     if not waves:

@@ -104,13 +104,19 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
     scheme = parts.scheme.lower()
     if not scheme:
         return None
-    host = (parts.hostname or "").lower()
+    # urlsplit validates hostname/port lazily: a malformed port ("http://h:8o8o/",
+    # ":99999") raises ValueError here, not at urlsplit() time.
+    try:
+        host = (parts.hostname or "").lower()
+        raw_port = parts.port
+    except ValueError:
+        return None
     if not host:
         return None
 
     netloc = host
-    if parts.port is not None:
-        port = str(parts.port)
+    if raw_port is not None:
+        port = str(raw_port)
         if _DEFAULT_PORTS.get(scheme) != port:
             netloc = f"{host}:{port}"
     if parts.username:
