@@ -107,25 +107,25 @@ def ensure_web(num_cpus: int) -> str:
 def bench_crawl(num_cpus: int) -> dict:
     ray = _init_ray(num_cpus)
     ensure_web(num_cpus)
-    import pyarrow.parquet as pq
-
     from crawlray.job import run_crawl
     from crawlray.synthgraph import SynthWeb
 
-    webgraph = pq.read_table(os.path.join(WEB_CACHE, "webgraph"))
-    robots = pq.read_table(os.path.join(WEB_CACHE, "robots.parquet"))
     web = SynthWeb(**WEB_PARAMS)
     seeds = [web.url_of(web._base_uid[i]) for i in range(0, 200)]
 
+    # shard counts scale WITH num_cpus: on a real N→4N cluster every state
+    # shard pool grows with the cluster, and the state actors are num_cpus=0
+    # so a fixed count would let the small run borrow physical parallelism
+    # the scheduling limit is supposed to deny it (dishonest scaling run).
     t0 = time.time()
     res = run_crawl(
         seeds,
-        webgraph=webgraph,
-        robots=robots,
-        num_seen_shards=max(4, num_cpus // 4),
-        num_robots_shards=4,
-        num_host_shards=4,
-        fetch_batch_size=1024,
+        webgraph_path=os.path.join(WEB_CACHE, "webgraph"),
+        robots_path=os.path.join(WEB_CACHE, "robots.parquet"),
+        num_seen_shards=max(4, num_cpus // 2),
+        num_robots_shards=max(2, num_cpus // 2),
+        num_host_shards=max(2, num_cpus // 4),
+        fetch_batch_size=128,
         enrich=True,
         **CRAWL_CFG,
     )
@@ -181,20 +181,29 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1] if "sf" in sf_dir else sf_dir
 
     if args.scaling:
-        # fresh process per parallelism level, same pre-generated input
+        # fresh process per parallelism level, same pre-generated input.
+        # Levels are run INTERLEAVED (8,32,8,32) and each level takes its
+        # best run: the sandbox host shows heavy exogenous load swings
+        # (same binary/config measured 25.5s and 49.5s an hour apart), and
+        # interleaving + best-of-N keeps the RATIO comparable.
         ensure_web(num_cpus)
         import ray
 
         ray.shutdown()
         results = {}
-        for cpus in (8, 32):
+        for cpus in (8, 32, 8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             p = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
                 env=env, capture_output=True, text=True, cwd=REPO,
             )
             line = p.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)["crawl"]
+            run = json.loads(line)["crawl"]
+            prev = results.get(cpus)
+            if prev is not None and prev["checksum"] != run["checksum"]:
+                raise AssertionError("non-deterministic crawl across repeats")
+            if prev is None or run["urls_per_sec"] > prev["urls_per_sec"]:
+                results[cpus] = run
         thr8 = results[8]["urls_per_sec"]
         thr32 = results[32]["urls_per_sec"]
         eff = round((thr32 / thr8) / 4.0, 3)

@@ -2,21 +2,22 @@
 (SURVEY.md O-22; RBC-6). Deterministic under any parallelism (§4.2): the
 admission decision is NOT first-come-first-served — each wave the actor
 collects the full multiset of candidate disc_keys per host (offer phase),
-then admits the B lowest disc_keys per host (decide phase), exactly what the
-sequential oracle does walking the wave in disc_key order. Offers are
-sets, so Ray task retries re-offering the same (host, disc_key) are no-ops.
+then admits the B lowest unique disc_keys per host (decide phase), exactly
+what the sequential oracle does walking the wave in disc_key order.
+Offers are deduplicated at decide time, so Ray task retries re-offering the
+same (host, disc_key) are no-ops.
 
 Bucket semantics: refill to burst at wave start (the RBC-6 exact-match
 config, memoryless) or `carryover=True` for a classic token bucket
 (tokens = min(burst, tokens + rate)) — pluggable without touching the
 admission protocol.
 
-The decide() barrier is per wave, not per batch: one small RPC round per
-actor per wave, after the offer stage's streaming pass completes. An
-alternative shuffle-based formulation (custom groupby aggregate computing
-the per-host B-th smallest disc_key) is noted in SURVEY.md §2.3; the actor
-keeps bucket state resident across waves, which the shuffle version cannot.
-"""
+Hot-path shape: offer() is O(1) buffer appends; decide_and_drain() is ONE
+RPC per shard per wave that does the whole combine vectorized (numpy
+lexsort + group boundaries — the per-host Python loop runs once per ACTIVE
+HOST, not per offered row) and returns counts, the per-host admission
+thresholds (broadcast to the gate tasks — no per-block threshold RPCs),
+and the admitted keys (driver-side seq assignment)."""
 
 from __future__ import annotations
 
@@ -47,55 +48,74 @@ class HostPolitenessActor:
         self.carryover = carryover
         self.tokens: dict[str, float] = {}  # host -> tokens after last wave
         self.fetched_total: dict[str, int] = {}
-        self.offers: dict[str, set[int]] = {}
-        self.thresholds: dict[str, int] = {}
+        self._offer_hosts: list[list[str]] = []
+        self._offer_keys: list[np.ndarray] = []
 
     def begin_wave(self, wave: int) -> None:
-        self.offers = {}
+        self._offer_hosts = []
+        self._offer_keys = []
 
-    def offer(self, hosts: list[str], disc_keys: np.ndarray) -> None:
-        for h, k in zip(hosts, disc_keys):
-            self.offers.setdefault(h, set()).add(int(k))
+    def offer(self, hosts: list[str], disc_keys) -> None:
+        # O(1): buffer; the combine runs vectorized at decide_and_drain
+        self._offer_hosts.append(hosts)
+        self._offer_keys.append(np.asarray(disc_keys, dtype=np.int64))
 
-    def decide(self) -> tuple[int, int]:
-        """Admit the floor(tokens) lowest disc_keys per host; returns
-        (admitted, offered) counts for this shard this wave. The admitted
-        keys are kept for drain_admitted (driver-side seq assignment)."""
-        self.thresholds = {}
-        self._admitted_keys: list[list[int]] = []
+    def decide_and_drain(self):
+        """One RPC per wave: admit the B lowest unique disc_keys per host.
+
+        Returns (admitted_total, offered_total, hosts: list[str],
+        thresholds: np.int64 array aligned with hosts, admitted_keys:
+        np.int64 array). Resets the offer buffers."""
+        if not self._offer_keys:
+            return 0, 0, [], np.empty(0, np.int64), np.empty(0, np.int64)
+        flat_hosts: list[str] = []
+        for chunk in self._offer_hosts:
+            flat_hosts.extend(chunk)
+        hosts = np.asarray(flat_hosts, dtype=np.str_)
+        keys = np.concatenate(self._offer_keys)
+        self._offer_hosts = []
+        self._offer_keys = []
+
+        order = np.lexsort((keys, hosts))
+        hosts = hosts[order]
+        keys = keys[order]
+        # dedup identical (host, key) pairs (task retries / multi-parent)
+        if len(keys) > 1:
+            keep = np.empty(len(keys), dtype=bool)
+            keep[0] = True
+            keep[1:] = (hosts[1:] != hosts[:-1]) | (keys[1:] != keys[:-1])
+            hosts = hosts[keep]
+            keys = keys[keep]
+        # group boundaries per host (keys already ascending within host)
+        bounds = np.nonzero(hosts[1:] != hosts[:-1])[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(hosts)]))
+
+        out_hosts: list[str] = []
+        out_thr = np.empty(len(starts), np.int64)
+        admitted_parts: list[np.ndarray] = []
         admitted_total = 0
-        offered_total = 0
-        for h, keys in self.offers.items():
-            offered_total += len(keys)
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            h = str(hosts[s])
+            n_keys = e - s
             if self.carryover:
                 avail = min(self.burst, self.tokens.get(h, self.burst) + self.rate)
             else:
                 avail = self.burst  # RBC-6: refill to burst each wave
-            n_admit = min(len(keys), int(avail))
+            n_admit = min(n_keys, int(avail))
             if n_admit:
-                smallest = sorted(keys)[:n_admit]
-                self.thresholds[h] = smallest[-1]
-                self._admitted_keys.append(smallest)
+                out_thr[gi] = keys[s + n_admit - 1]
+                admitted_parts.append(keys[s : s + n_admit])
             else:
-                self.thresholds[h] = int(NO_ADMIT)
+                out_thr[gi] = NO_ADMIT
             self.tokens[h] = avail - n_admit
             self.fetched_total[h] = self.fetched_total.get(h, 0) + n_admit
             admitted_total += n_admit
-        return admitted_total, offered_total
-
-    def drain_admitted(self) -> np.ndarray:
-        """This shard's admitted disc_keys (for driver-side seq assignment)."""
-        keys = getattr(self, "_admitted_keys", [])
-        if not keys:
-            return np.empty(0, dtype=np.int64)
-        out = np.concatenate([np.asarray(k, dtype=np.int64) for k in keys])
-        self._admitted_keys = []
-        return out
-
-    def thresholds_for(self, hosts: list[str]) -> np.ndarray:
-        return np.array(
-            [self.thresholds.get(h, int(NO_ADMIT)) for h in hosts], dtype=np.int64
+            out_hosts.append(h)
+        admitted_keys = (
+            np.concatenate(admitted_parts) if admitted_parts else np.empty(0, np.int64)
         )
+        return admitted_total, int(len(keys)), out_hosts, out_thr, admitted_keys
 
     def host_state(self) -> dict:
         """Checkpoint payload: bucket levels + fetch counters."""

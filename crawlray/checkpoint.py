@@ -59,19 +59,20 @@ class Checkpointer:
         wave: int,
         frontier_next,
         wave_log,
-        wave_docs,
         seen_actors,
         polite_actors,
         metrics: dict,
         seq_base: int,
         fetched_total: int,
     ) -> None:
+        # documents/ under the wave dir were already written DIRECTLY by the
+        # fetcher actors during the wave (stages.FetchParseStage.end_wave) —
+        # the wave dir therefore already exists and must not be cleared here
+        # (leftover uncommitted dirs are cleaned by the driver at wave START,
+        # before any fetcher writes).
         d = self._wave_dir(wave)
-        if os.path.exists(d):  # uncommitted leftover from a crashed run
-            shutil.rmtree(d)
-        os.makedirs(d)
+        os.makedirs(d, exist_ok=True)
         wave_log.write_parquet(os.path.join(d, "crawl_log"))
-        wave_docs.write_parquet(os.path.join(d, "documents"))
         fdir = os.path.join(d, "frontier")
         os.makedirs(fdir, exist_ok=True)
         if frontier_next is not None:
@@ -165,7 +166,11 @@ class Checkpointer:
         logs = _files("crawl_log")
         docs = _files("documents")
         log_ds = ray.data.read_parquet(logs) if logs else None
-        doc_ds = ray.data.read_parquet(docs) if docs else None
+        # doc files carry (doc_id, seq, spans, enrichment…) — the public
+        # DOCUMENTS surface is (doc_id, spans); column-pruned at the read
+        doc_ds = (
+            ray.data.read_parquet(docs, columns=["doc_id", "spans"]) if docs else None
+        )
         return log_ds, doc_ds
 
     @staticmethod

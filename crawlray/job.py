@@ -3,9 +3,12 @@
 Replaces the reference's single-process BFS loop (`while queue: url =
 queue.popleft(); ...` — see oracle/bfs_crawler.py, the normative stand-in
 for the absent reference snapshot, SURVEY.md §0) with an iterative-batch
-Ray Data pipeline: each BFS wave is a bounded streaming execution over
-Arrow blocks; cross-wave state lives only in actors (seen shards, robots,
-politeness) and checkpoints.
+wave loop: each BFS wave fans out as plain Ray tasks over Arrow block refs
+plus key-routed RPCs to the stateful actors (seen shards, robots,
+politeness). See crawlray/stages.py's module docstring for why the hot loop
+uses tasks instead of per-wave Ray Data streaming executions (measured
+driver floors) — the crawl's public outputs are still `ray.data.Dataset`s
+and every library operator is Dataset-based.
 
 Determinism under parallelism (§4.2): crawl order is never derived from
 execution timing — `seq` ranks disc_key (a pure function of the crawl
@@ -13,29 +16,35 @@ graph), dedup winners come from order-independent min-combine, politeness
 admission from the B-lowest-disc_keys rule. Any num_cpus reproduces the
 oracle bit-for-bit; that is what the N→4N scaling criterion rides on.
 
-Per-wave dataflow (stage ids from SURVEY.md §2; two executions + two
-barrier RPC rounds per wave):
+Per-wave dataflow (stage ids from SURVEY.md §2; 2 task rounds + 2 RPC
+barriers per wave, no streaming executions):
 
-    frontier_w (unique URLs, already in the seen set)
-      ├─ E1 robots mask + politeness offers   map_batches + keyed actor RPCs
+    frontier_w (unique URLs, already in the seen set; list of block refs)
+      ├─ A  mark_block_task per block: robots mask + politeness offers
       │     (O-21/22; actors bank denied + offered disc_keys)
-      ├─ [driver] decide() → logged key-set comes back FROM the actors;
-      │     seq = rank in that sorted set (O-33 without a distributed
-      │     sort; `ops.seqassign.sort_and_zip_index` is the sort-based
-      │     alternative for configurations with huge per-wave sets)
-      ├─ E2 fused gate+seq+fetch+parse        ONE execution: admission
-      │     thresholds, searchsorted seq, sub-batch fan-out over the
-      │     persistent fetcher pool (O-23/14/15); optional budget prefix
-      │     cut (O-35); deferred rows pass through
-      ├─ crawl_log_w, documents_w             lazy projections (O-3/4)
-      └─ E3 offer discoveries → seen shards   within-wave dedup (O-30) +
-            cross-wave admission (O-26) fused in the shard actors
-            (offer/finish min-combine); E4 new frontier = actor-returned
-            Arrow blocks → derive cols → ∪ deferred → compact (O-37)
+      ├─ [driver] decide_and_drain(): ONE RPC per politeness shard returns
+      │     counts + per-host admission thresholds (broadcast to B) +
+      │     admitted keys; robots shards return denied keys; seq = rank in
+      │     the sorted logged key-set (O-33 without a distributed sort)
+      ├─ B  fetch_block_task per block: vectorized gate + searchsorted seq
+      │     + sub-batch fan-out over the persistent fetcher pool
+      │     (O-23/14/15). Fetchers buffer spans locally (written to the
+      │     wave's parquet partition at end_wave — spans never transit the
+      │     object store) and offer outlinks directly to the seen shards
+      │     (O-30 map side + O-26 routing fused into fetch)
+      ├─ end_wave(): fetchers flush docs + await offer delivery
+      └─ finish_wave(): seen shards resolve within-wave dedup + cross-wave
+            admission (min-combine); new frontier = actor-returned Arrow
+            blocks → derive cols → ∪ deferred → greedy block compaction
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
+import tempfile
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -48,16 +57,17 @@ from crawlray.actors.politeness import HostPolitenessActor
 from crawlray.actors.robots import RobotsCacheActor
 from crawlray.actors.seen import SeenShardActor
 from crawlray.kernels.url import canonicalize, in_scope
-from crawlray.ops.seqassign import sort_and_zip_index
-from crawlray.schema import LINK_STRIDE
+from crawlray.schema import DOCUMENTS, LINK_STRIDE
 from crawlray.stages import (
     FRONTIER_COLS,
-    FetchParseStage,
+    LOG_SCHEMA,
+    FetcherActor,
+    concat_blocks_task,
+    derive_block_task,
+    fetch_block_task,
+    filter_log_cut_task,
     frontier_table_from_urls,
-    make_derive_frontier_stage,
-    make_gate_seq_fetch_stage,
-    make_offer_stage,
-    make_robots_offer_stage,
+    mark_block_task,
 )
 
 
@@ -79,27 +89,41 @@ def _webgraph_fingerprint(webgraph: pa.Table) -> str:
     return h.hexdigest()[:16]
 
 
-def _compact(ds: ray.data.Dataset, cpus: int, rows_per_block: int = 2048) -> ray.data.Dataset:
-    """Materialize + bound the block count of a cross-wave dataset.
-
-    Two pathologies compound across the wave loop without this (measured: ~2×
-    wall time per wave, exponential):
-      * `filter` keeps empty blocks and `union` concatenates block lists, so
-        the frontier's block count doubles every wave;
-      * operations on a MaterializedDataset still extend the ORIGINAL logical
-        plan, so wave w's planning walks the whole history of waves 0..w-1.
-    The repartition bounds blocks at min(2·cpus, rows/rows_per_block); the
-    `from_arrow_refs` rebase severs the plan at the materialized blocks
-    (zero-copy: only refs are re-wrapped)."""
-    mat = ds.materialize()
-    n = mat.count()
-    target = max(1, min(cpus * 2, n // rows_per_block + 1))
-    if mat.num_blocks() > target * 2:
-        mat = mat.repartition(target).materialize()
-    refs = mat.to_arrow_refs()
+def _split_refs(tbl: pa.Table, rows_per_block: int) -> tuple[list, list[int]]:
+    """Driver-side split of one table into object-store block refs."""
+    refs, counts = [], []
+    for off in range(0, tbl.num_rows, rows_per_block):
+        chunk = tbl.slice(off, rows_per_block)
+        refs.append(ray.put(chunk))
+        counts.append(chunk.num_rows)
     if not refs:
-        return mat
-    return ray.data.from_arrow_refs(refs)
+        refs, counts = [ray.put(tbl)], [0]
+    return refs, counts
+
+
+def _compact_refs(
+    pairs: list[tuple], rows_per_block: int
+) -> tuple[list, list[int]]:
+    """Greedy-pack (ref, n_rows) block pairs into ~rows_per_block blocks.
+
+    Replaces round 1's Dataset-feedback `_compact` (materialize + lineage
+    rebase): with the frontier held as plain refs there is no logical plan
+    to grow, and compaction is O(#blocks) driver metadata + small concat
+    tasks — singleton groups reuse the existing ref untouched."""
+    pairs = [(r, n) for r, n in pairs if n > 0]
+    out_refs, out_counts = [], []
+    group, group_n = [], 0
+    for r, n in pairs:
+        group.append(r)
+        group_n += n
+        if group_n >= rows_per_block:
+            out_refs.append(group[0] if len(group) == 1 else concat_blocks_task.remote(*group))
+            out_counts.append(group_n)
+            group, group_n = [], 0
+    if group:
+        out_refs.append(group[0] if len(group) == 1 else concat_blocks_task.remote(*group))
+        out_counts.append(group_n)
+    return out_refs, out_counts
 
 
 @dataclass
@@ -114,20 +138,7 @@ class CrawlResult:
 
     def crawl_log_table(self) -> pa.Table:
         """Small-scale helper (tests): full log as one Arrow table, seq order."""
-        t = pa.Table.from_pylist(
-            self.crawl_log.take_all(),
-            schema=pa.schema(
-                [
-                    ("seq", pa.int64()),
-                    ("url", pa.string()),
-                    ("host", pa.string()),
-                    ("wave", pa.int32()),
-                    ("depth", pa.int32()),
-                    ("status", pa.string()),
-                    ("n_out", pa.int32()),
-                ]
-            ),
-        )
+        t = pa.Table.from_pylist(self.crawl_log.take_all(), schema=LOG_SCHEMA)
         return t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
 
     def seen_urls(self) -> set[str]:
@@ -141,11 +152,11 @@ class CrawlResult:
     def shutdown(self) -> None:
         """Kill the crawl's actors, releasing their resource reservations.
 
-        The result datasets stay consumable: every lazy part chains off
-        materialized parents, so no actor is needed after the crawl. Call
-        this when done with the result (tests/benches that run many crawls
-        in one Ray session would otherwise accumulate actor reservations
-        until new fetcher pools can no longer schedule)."""
+        The result datasets stay consumable: crawl_log wraps materialized
+        block refs and documents reads parquet, so no actor is needed after
+        the crawl. Call this when done with the result (tests/benches that
+        run many crawls in one Ray session would otherwise accumulate actor
+        reservations until new fetcher pools can no longer schedule)."""
         for a in self._all_actors:
             try:
                 ray.kill(a)
@@ -154,11 +165,24 @@ class CrawlResult:
         self._all_actors = []
 
 
+def _doc_files(doc_root: str, waves: list[int]) -> list[str]:
+    out = []
+    for w in waves:
+        d = os.path.join(doc_root, f"wave={w:05d}", "documents")
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    return out
+
+
 def run_crawl(
     seeds: list[str],
     web=None,
     webgraph: pa.Table | None = None,
     robots: pa.Table | None = None,
+    webgraph_path: str | None = None,
+    robots_path: str | None = None,
     budget_per_host: int = 2,
     max_depth: int | None = None,
     max_pages: int | None = None,
@@ -172,12 +196,15 @@ def run_crawl(
     user_agent: str = "*",
     out_dir: str | None = None,
     stop_after_wave: int | None = None,
+    frontier_rows_per_block: int = 8192,
     _resume_state: dict | None = None,
 ) -> CrawlResult:
     """Run a full crawl. Caller owns the Ray session (never inits here).
 
     `web`: a SynthWeb (tables generated driver-side) — or pass `webgraph` /
-    `robots` Arrow tables directly (e.g. read from parquet).
+    `robots` Arrow tables, or `webgraph_path` (directory of parquet files,
+    loaded in parallel straight into the object store — the scale path) +
+    `robots_path`.
     `out_dir`: per-wave checkpoint root (documents, crawl_log, frontier,
     seen deltas, host state, lineage; `_SUCCESS`-committed — see
     crawlray/checkpoint.py). `stop_after_wave`: stop after committing that
@@ -185,6 +212,7 @@ def run_crawl(
     """
     import crawlray
 
+    _t_start = time.time()
     crawlray.ensure_worker_importability()
     if budget_per_host < 1:
         raise ValueError("budget_per_host must be >= 1 (RBC-1)")
@@ -193,13 +221,36 @@ def run_crawl(
     if web is not None:
         webgraph = web.webgraph_table()
         robots = web.robots_table()
-    if webgraph is None:
-        raise ValueError("need web= or webgraph=")
-    webgraph_ref = ray.put(webgraph)
+
+    # ---- webgraph into the object store (parallel read for the path form)
+    if webgraph_path is not None:
+        files = sorted(
+            os.path.join(webgraph_path, f)
+            for f in os.listdir(webgraph_path)
+            if f.endswith(".parquet")
+        )
+        wg_ds = ray.data.read_parquet(files).materialize()
+        webgraph_refs = list(wg_ds.to_arrow_refs())
+        n_pages = wg_ds.count()
+        fp_tbl = pa.concat_tables(
+            [ray.get(webgraph_refs[0]), ray.get(webgraph_refs[-1])]
+        )
+        web_fp = _webgraph_fingerprint(fp_tbl)
+    elif webgraph is not None:
+        webgraph_refs = [ray.put(webgraph)]
+        n_pages = webgraph.num_rows
+        web_fp = _webgraph_fingerprint(webgraph)
+    else:
+        raise ValueError("need web=, webgraph= or webgraph_path=")
+    if robots_path is not None:
+        import pyarrow.parquet as _pq
+
+        robots = _pq.read_table(robots_path)
     robots_ref = ray.put(robots) if robots is not None else None
+    _t_loaded = time.time()
 
     seen_actors = [
-        SeenShardActor.remote(i, cuckoo_capacity=max(1 << 14, webgraph.num_rows * 2))
+        SeenShardActor.remote(i, cuckoo_capacity=max(1 << 14, n_pages * 2))
         for i in range(num_seen_shards)
     ]
     robots_actors = [
@@ -214,6 +265,7 @@ def run_crawl(
         for i in range(num_host_shards)
     ]
 
+    _t_actors = time.time()
     fetched_total = 0
     seq_base = 0
     wave = 0
@@ -265,14 +317,21 @@ def run_crawl(
             )
         ray.get(loads)
 
-    frontier = ray.data.from_arrow(frontier_tbl)
+    frontier_refs, frontier_counts = _split_refs(frontier_tbl, frontier_rows_per_block)
     n_frontier = frontier_tbl.num_rows
-    robots_offer = make_robots_offer_stage(robots_actors, polite_actors)
-    offer_stage = make_offer_stage(seen_actors, max_depth)
-    derive = make_derive_frontier_stage(num_seen_shards)
+
+    # documents land on disk, written by the fetcher actors per wave —
+    # partitioned, resumable output; span payloads never transit plasma
+    doc_root = out_dir if out_dir is not None else tempfile.mkdtemp(
+        prefix="crawlray_docs_", dir="/tmp"
+    )
 
     # persistent fetch+parse pool: created once per CRAWL (not per wave —
-    # per-wave map_batches actor pools pay actor spin-up every wave)
+    # per-wave actor pools pay actor spin-up every wave). The url→html
+    # index is sorted ONCE by a task and shared zero-copy by every actor.
+    from crawlray.stages import build_web_index_task
+
+    urls_idx_ref, perm_idx_ref = build_web_index_task.remote(*webgraph_refs)
     if fetch_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         n_fetchers = max(2, int(cpus * 0.75))
@@ -280,17 +339,20 @@ def run_crawl(
         n_fetchers = max(fetch_concurrency)
     else:
         n_fetchers = int(fetch_concurrency)
-    from crawlray.stages import FetcherActor, make_fetch_stage
-
     fetcher_actors = [
-        FetcherActor.remote(webgraph_ref, enrich) for _ in range(n_fetchers)
+        FetcherActor.remote(
+            None, enrich, seen_actors, num_seen_shards, max_depth,
+            doc_root, i, max_pages is not None,
+            (urls_idx_ref, perm_idx_ref, webgraph_refs),
+        )
+        for i in range(n_fetchers)
     ]
-    fetch_stage = make_fetch_stage(fetcher_actors)
+    chunk_rows = max(16, int(fetch_batch_size))
 
-    log_parts: list[ray.data.Dataset] = []
-    doc_parts: list[ray.data.Dataset] = []
+    all_log_refs: list = []
     metrics: dict = {"waves": []}
     waves_done = wave
+    wave0 = wave
     stop = False
 
     checkpointer = None
@@ -306,157 +368,142 @@ def run_crawl(
             "num_host_shards": num_host_shards,
             "carryover_tokens": carryover_tokens,
             "user_agent": user_agent,
-            "webgraph_fingerprint": _webgraph_fingerprint(webgraph),
+            "webgraph_fingerprint": web_fp,
         }
         checkpointer = Checkpointer(out_dir, cfg)
 
-    import os as _os
-    import sys as _sys
-    import time as _time
-
-    _profile = _os.environ.get("CRAWLRAY_PROFILE") == "1"
+    _profile = os.environ.get("CRAWLRAY_PROFILE") == "1"
 
     def _tick(label: str, t0: float) -> float:
-        now = _time.time()
+        now = time.time()
         if _profile:
-            print(f"#   w{wave} {label}: {now - t0:.2f}s", file=_sys.stderr, flush=True)
+            print(f"#   w{wave} {label}: {now - t0:.2f}s", file=sys.stderr, flush=True)
         return now
+
+    if _profile:
+        print(
+            f"#   preloop: {time.time() - _t_start:.2f}s "
+            f"(load {_t_loaded - _t_start:.2f}s, actors {_t_actors - _t_loaded:.2f}s, "
+            f"rest {time.time() - _t_actors:.2f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
 
     while not stop:
         if n_frontier == 0:
             break
         # Budget already exhausted at wave start (e.g. resuming a checkpoint
         # that finished on max_pages but committed a non-empty frontier):
-        # fetching the wave and discarding it would issue real requests under
-        # an HTTP backend and corrupt seq_base. Stop before E1.
+        # stop before issuing any fetches.
         if max_pages is not None and fetched_total >= max_pages:
             break
-        _t = _time.time()
-        ray.get(
-            [a.begin_wave.remote(wave) for a in seen_actors]
-            + [a.begin_wave.remote(wave) for a in polite_actors]
-            + [a.begin_wave.remote(wave) for a in robots_actors]
-        )
+        _t = time.time()
+        # leftover uncommitted wave dir (crashed run / rerun into same root):
+        # clean BEFORE fetchers write into it
+        wdir = os.path.join(doc_root, f"wave={wave:05d}")
+        if os.path.isdir(wdir):
+            shutil.rmtree(wdir)
 
-        # E1: robots mask + politeness offers (one streaming pass). The
-        # robots actors bank denied disc_keys, the politeness actors the
-        # offered keys, so the wave's logged key-set comes back from the
-        # actors — no distributed sort needed for order assignment.
-        marked = frontier.map_batches(robots_offer, batch_format="pyarrow").materialize()
-        decisions = ray.get([a.decide.remote() for a in polite_actors])
-        n_admitted = sum(d[0] for d in decisions)
-        n_offered = sum(d[1] for d in decisions)
-        n_deferred = n_offered - n_admitted
-        denied_keys = ray.get([a.drain_denied.remote() for a in robots_actors])
-        admitted_keys = ray.get([a.drain_admitted.remote() for a in polite_actors])
+        # A: robots mask + politeness offers, one task per frontier block
+        live = [r for r, c in zip(frontier_refs, frontier_counts) if c > 0]
+        marked_refs = [
+            mark_block_task.remote(r, robots_actors, polite_actors) for r in live
+        ]
+        ray.wait(marked_refs, num_returns=len(marked_refs), fetch_local=False)
+
+        # barrier RPC round: one decide_and_drain per politeness shard
+        # (counts + thresholds + admitted keys in ONE call), one
+        # drain_denied per robots shard
+        pol_res = ray.get([p.decide_and_drain.remote() for p in polite_actors])
+        denied_keys = ray.get([r.drain_denied.remote() for r in robots_actors])
+        n_admitted = sum(r[0] for r in pol_res)
+        n_offered = sum(r[1] for r in pol_res)
+        host_parts = [np.asarray(r[2], dtype=np.str_) for r in pol_res if r[2]]
+        thr_parts = [r[3] for r in pol_res if len(r[3])]
+        if host_parts:
+            all_hosts = np.concatenate(host_parts)
+            all_thr = np.concatenate(thr_parts)
+            order = np.argsort(all_hosts)
+            thr_hosts, thr_vals = all_hosts[order], all_thr[order]
+        else:
+            thr_hosts = np.empty(0, dtype="<U1")
+            thr_vals = np.empty(0, np.int64)
         logged_keys = np.sort(
             np.concatenate(
-                [k.astype(np.int64) for k in denied_keys + admitted_keys]
+                [k.astype(np.int64) for k in denied_keys]
+                + [r[4] for r in pol_res]
                 or [np.empty(0, np.int64)]
             )
         )
-        n_logged = int(len(logged_keys))
-        seq_keys_ref = ray.put(logged_keys)
-        _t = _tick("robots+offer+decide", _t)
+        thr_hosts_ref = ray.put(thr_hosts)
+        thr_vals_ref = ray.put(thr_vals)
+        keys_ref = ray.put(logged_keys)
+        _t = _tick("mark+decide", _t)
 
-        # E2: ONE fused execution — politeness gate, seq assignment
-        # (searchsorted into the broadcast logged-key array, RBC-7 order),
-        # fetch + parse fan-out over the persistent actor pool
-        gate_fetch = make_gate_seq_fetch_stage(
-            polite_actors, fetcher_actors, seq_keys_ref, seq_base
-        )
-        staged = marked.map_batches(
-            gate_fetch,
-            batch_format="pyarrow",
-            batch_size=None,  # whole blocks: keeps many chunk RPCs in
-            # flight per feeder task, avoiding actor-pool pipeline bubbles
-            num_cpus=0.25,
-        ).materialize()
-        _t = _tick("gate+seq+fetch", _t)
+        # B: gate + seq + fetch fan-out, one task per marked block.
+        # Chunk size adapts to the wave: ~6 chunks per fetcher bounds the
+        # end-of-wave straggler tail at ~1/6 of one actor's wave share
+        # (a FIXED tail per wave would otherwise cap scaling efficiency).
+        chunk_wave = int(min(chunk_rows, max(32, -(-n_admitted // (n_fetchers * 6)))))
+        live_counts = [c for c in frontier_counts if c > 0]
+        triples = []
+        chunk_off = 0
+        for m, rows in zip(marked_refs, live_counts):
+            triples.append(
+                fetch_block_task.remote(
+                    m, thr_hosts_ref, thr_vals_ref, keys_ref, seq_base, wave,
+                    fetcher_actors, chunk_wave, chunk_off,
+                )
+            )
+            chunk_off += -(-rows // chunk_wave)  # upper bound on block's chunks
+        log_refs = [t[0] for t in triples]
+        def_refs = [t[1] for t in triples]
+        counts = ray.get([t[2] for t in triples])
+        wave_fetched = sum(c["n_fetched"] for c in counts)
+        n_deferred = sum(c["n_deferred"] for c in counts)
+        def_pairs = [
+            (r, c["n_deferred"]) for r, c in zip(def_refs, counts) if c["n_deferred"]
+        ]
+        _t = _tick("gate+fetch", _t)
 
-        # E3 (slow path, only when a global page budget is set): count this
-        # wave's successful fetches, cut the wave at the budget-th fetch in
-        # seq (= disc_key) order, O-35
+        # budget cut (O-35, rare path): deterministic prefix at the r-th
+        # fetch in seq order, computed without driver rows (rank_cut_seq
+        # walks per-block metadata of a sorted one-column dataset)
         cut_seq = None
-        wave_fetched = None
-        if max_pages is not None:
-            wave_fetched = staged.filter(expr="status == 'fetched'").count()
-            if fetched_total + wave_fetched > max_pages:
-                r = max_pages - fetched_total
-                pairs = sorted(
-                    (row["seq"], row["status"])
-                    for row in staged.select_columns(["seq", "status"]).take_all()
-                    if row["status"] in ("fetched", "error", "robots_denied")
-                )
-                n_f = 0
-                for s, st in pairs:
-                    if st == "fetched":
-                        n_f += 1
-                        if n_f == r:
-                            cut_seq = s
-                            break
-                staged = (
-                    staged.filter(expr=f"seq <= {cut_seq}")
-                    .filter(expr="status != 'deferred'")
-                    .materialize()
-                )
-                wave_fetched = r
-                stop = True
+        if max_pages is not None and fetched_total + wave_fetched > max_pages:
+            from crawlray.ops.seqassign import rank_cut_seq
 
-        # E4: crawl_log + documents projections (lazy over materialized
-        # parents; wave bound BY VALUE — they execute after the loop moves on)
-        def _log_cols(wave_val=wave):
-            def fn(b: pa.Table) -> pa.Table:
-                return pa.table(
-                    {
-                        "seq": b.column("seq"),
-                        "url": b.column("url"),
-                        "host": b.column("host"),
-                        "wave": pa.array(np.full(b.num_rows, wave_val, np.int32), pa.int32()),
-                        "depth": b.column("depth"),
-                        "status": b.column("status"),
-                        "n_out": b.column("n_out"),
-                    }
-                )
+            r = max_pages - fetched_total  # >= 1 (guard at wave start)
+            cut_seq = rank_cut_seq(ray.data.from_arrow_refs(list(log_refs)), r)
+            filt = [filter_log_cut_task.remote(lr, cut_seq) for lr in log_refs]
+            log_refs = [f[0] for f in filt]
+            n_logged = sum(ray.get([f[1] for f in filt]))
+            wave_fetched = r
+            def_pairs = []
+            stop = True
+        else:
+            n_logged = int(len(logged_keys))
 
-            return fn
+        # fetchers flush: resolve (possibly cut) offers, await delivery,
+        # write this wave's document parquet partition
+        ray.get([f.end_wave.remote(wave, cut_seq) for f in fetcher_actors])
+        all_log_refs.extend(log_refs)
+        _t = _tick("end_wave", _t)
 
-        wave_log = staged.filter(expr="status != 'deferred'").map_batches(
-            _log_cols(), batch_format="pyarrow"
-        )
-        log_parts.append(wave_log)
-        wave_docs = staged.filter(expr="status == 'fetched'").map_batches(
-            lambda b: pa.table({"doc_id": b.column("url"), "spans": b.column("spans")}),
-            batch_format="pyarrow",
-        )
-        doc_parts.append(wave_docs)
-        deferred = staged.filter(expr="status == 'deferred'").map_batches(
-            lambda b: b.select(FRONTIER_COLS), batch_format="pyarrow"
-        )
+        # seen shards resolve the wave's discoveries; derive frontier cols
+        derived = [
+            derive_block_task.remote(a.finish_wave.remote(), num_seen_shards)
+            for a in seen_actors
+        ]
+        d_counts = ray.get([d[1] for d in derived])
+        pairs = list(zip([d[0] for d in derived], d_counts)) + def_pairs
+        frontier_refs, frontier_counts = _compact_refs(pairs, frontier_rows_per_block)
+        n_frontier_next = sum(frontier_counts)
+        n_new = sum(d_counts)
+        _t = _tick("finish+frontier", _t)
 
-        # E5: discoveries → within-wave dedup + seen admission fused into the
-        # shard actors (offer/finish two-phase; min-combine is order-
-        # independent ⇒ deterministic under any parallelism — replaces the
-        # sort-based groupby shuffle that dominated wall time)
-        counts = staged.map_batches(
-            offer_stage, batch_format="pyarrow", num_cpus=0.5
-        ).take_all()  # barrier: all offers delivered; tiny per-batch counts
-        if wave_fetched is None:
-            wave_fetched = sum(c["n_fetched"] for c in counts)
-        new_frontier = ray.data.from_arrow_refs(
-            [a.finish_wave.remote() for a in seen_actors]
-        ).map_batches(derive, batch_format="pyarrow")
-        _t = _tick("explode+dedup+seen", _t)
-
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        frontier = _compact(
-            new_frontier.union(deferred) if n_deferred else new_frontier, cpus
-        )
-        n_frontier_next = frontier.count() if not isinstance(frontier, int) else 0
-        n_new = n_frontier_next - n_deferred
-        _t = _tick("frontier-compact", _t)
         fetched_total += wave_fetched
-        seq_base += n_logged if cut_seq is None else wave_log.count()
+        seq_base += n_logged
         metrics["waves"].append(
             {
                 "wave": wave,
@@ -470,9 +517,10 @@ def run_crawl(
         if checkpointer is not None:
             checkpointer.commit_wave(
                 wave=wave,
-                frontier_next=frontier if n_frontier_next else None,
-                wave_log=wave_log,
-                wave_docs=wave_docs,
+                frontier_next=(
+                    ray.data.from_arrow_refs(frontier_refs) if n_frontier_next else None
+                ),
+                wave_log=ray.data.from_arrow_refs(log_refs),
                 seen_actors=seen_actors,
                 polite_actors=polite_actors,
                 metrics=metrics["waves"][-1],
@@ -488,31 +536,25 @@ def run_crawl(
         n_frontier = n_frontier_next
         wave += 1
 
-    empty_log = ray.data.from_arrow(
-        pa.table(
-            {
-                "seq": pa.array([], pa.int64()),
-                "url": pa.array([], pa.string()),
-                "host": pa.array([], pa.string()),
-                "wave": pa.array([], pa.int32()),
-                "depth": pa.array([], pa.int32()),
-                "status": pa.array([], pa.string()),
-                "n_out": pa.array([], pa.int32()),
-            }
-        )
-    )
-    def _assemble(parts, empty):
-        if not parts:
-            return empty
-        if len(parts) == 1:  # Dataset.union requires >= 2 children
-            return parts[0]
-        return parts[0].union(*parts[1:])
-
-    crawl_log = _assemble(log_parts, empty_log)
-    from crawlray.schema import DOCUMENTS
-
-    documents = _assemble(doc_parts, ray.data.from_arrow(DOCUMENTS.empty_table()))
+    # assemble public outputs
+    if all_log_refs:
+        crawl_log = ray.data.from_arrow_refs(all_log_refs)
+    else:
+        crawl_log = ray.data.from_arrow(LOG_SCHEMA.empty_table())
+    doc_files = _doc_files(doc_root, list(range(wave0, waves_done)))
+    if doc_files:
+        documents = ray.data.read_parquet(doc_files, columns=["doc_id", "spans"])
+    else:
+        documents = ray.data.from_arrow(DOCUMENTS.empty_table())
     metrics["fetched_total"] = fetched_total
+    metrics["doc_root"] = doc_root
+    if _profile:
+        busy = ray.get([f.busy_seconds.remote() for f in fetcher_actors])
+        print(
+            f"#   fetchers: n={len(busy)} busy_sum={sum(busy):.1f}s "
+            f"min={min(busy):.2f} max={max(busy):.2f}",
+            file=sys.stderr, flush=True,
+        )
     # fetchers are never needed after the wave loop — release their CPUs now
     for a in fetcher_actors:
         try:
@@ -522,7 +564,7 @@ def run_crawl(
     return CrawlResult(
         crawl_log=crawl_log,
         documents=documents,
-        waves=waves_done if log_parts else 0,
+        waves=waves_done if all_log_refs else 0,
         fetched_total=fetched_total,
         metrics=metrics,
         _seen_actors=seen_actors,
@@ -535,6 +577,8 @@ def resume_crawl(
     web=None,
     webgraph: pa.Table | None = None,
     robots: pa.Table | None = None,
+    webgraph_path: str | None = None,
+    robots_path: str | None = None,
     fetch_concurrency=None,
     fetch_batch_size: int = 512,
     stop_after_wave: int | None = None,
@@ -549,13 +593,12 @@ def resume_crawl(
     from ALL committed waves (pre- and post-resume).
     """
     import json as _json
-    import os as _os
 
     import pyarrow.parquet as _pq
 
     from crawlray.checkpoint import Checkpointer
 
-    with open(_os.path.join(out_dir, "config.json")) as f:
+    with open(os.path.join(out_dir, "config.json")) as f:
         cfg = _json.load(f)["config"]
     if web is not None and webgraph is None:
         webgraph = web.webgraph_table()
@@ -578,22 +621,22 @@ def resume_crawl(
     meta = Checkpointer.load_meta(out_dir, last)
 
     frontier_tbl = _pq.read_table(
-        _os.path.join(out_dir, f"wave={last:05d}", "frontier")
+        os.path.join(out_dir, f"wave={last:05d}", "frontier")
     )
     seen_hashes: dict[int, tuple[list, list]] = {}
     for w in waves:
-        sdir = _os.path.join(out_dir, f"wave={w:05d}", "seen_delta")
-        for fname in _os.listdir(sdir):
+        sdir = os.path.join(out_dir, f"wave={w:05d}", "seen_delta")
+        for fname in os.listdir(sdir):
             shard_id = int(fname.split("=")[1].split(".")[0])
-            t = _pq.read_table(_os.path.join(sdir, fname))
+            t = _pq.read_table(os.path.join(sdir, fname))
             lo, hi = seen_hashes.setdefault(shard_id, ([], []))
             lo.extend(t.column("url_hash_lo").to_pylist())
             hi.extend(t.column("url_hash_hi").to_pylist())
     host_state: dict[int, dict] = {}
-    hdir = _os.path.join(out_dir, f"wave={last:05d}", "host_state")
-    for fname in _os.listdir(hdir):
+    hdir = os.path.join(out_dir, f"wave={last:05d}", "host_state")
+    for fname in os.listdir(hdir):
         shard_id = int(fname.split("=")[1].split(".")[0])
-        t = _pq.read_table(_os.path.join(hdir, fname))
+        t = _pq.read_table(os.path.join(hdir, fname))
         host_state[shard_id] = {
             "hosts": t.column("host").to_pylist(),
             "tokens": t.column("tokens").to_pylist(),
@@ -602,9 +645,10 @@ def resume_crawl(
 
     res = run_crawl(
         seeds=[],
-        web=web,
         webgraph=webgraph,
         robots=robots,
+        webgraph_path=webgraph_path,
+        robots_path=robots_path,
         budget_per_host=cfg["budget_per_host"],
         max_depth=cfg["max_depth"],
         max_pages=cfg["max_pages"],

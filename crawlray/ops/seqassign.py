@@ -21,6 +21,31 @@ import pyarrow as pa
 import ray.data
 
 
+def rank_cut_seq(log_ds: ray.data.Dataset, r: int) -> int:
+    """seq of the r-th (1-based) 'fetched' row in ascending seq order —
+    the deterministic budget-cut point (SURVEY.md O-35, RBC-10).
+
+    No driver rows: filter + single-column sort, then walk per-block
+    row-count METADATA (O(#blocks) driver work) and fetch only the one
+    block containing the r-th row. Runs at most once per crawl (the wave
+    that crosses the global page budget)."""
+    ds = (
+        log_ds.filter(expr="status == 'fetched'")
+        .select_columns(["seq"])
+        .sort("seq")
+        .materialize()
+    )
+    acc = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n and acc + n >= r:
+                block = ray.get(block_ref)
+                return int(block.column("seq")[r - acc - 1].as_py())
+            acc += n
+    raise ValueError(f"rank_cut_seq: fewer than r={r} fetched rows ({acc})")
+
+
 def sort_and_zip_index(
     ds: ray.data.Dataset, key: str, base: int = 0, out_col: str = "seq"
 ) -> ray.data.Dataset:

@@ -1,24 +1,43 @@
-"""Per-wave pipeline stages (SURVEY.md §3.2) — every stage is a batch
-function over zero-copy Arrow batches, run via `Dataset.map_batches`.
+"""Per-wave pipeline stages (SURVEY.md §3.2).
 
-Stage functions that talk to stateful actors (seen shards, robots cache,
-politeness) group their batch rows by the target shard and issue ONE
-batched RPC per shard per batch, awaiting them in parallel — key-routed
-RPCs instead of a Ray Data shuffle (SURVEY.md O-26). All stage functions
-are retry-safe: robots lookups are read-only, politeness offers are
-set-idempotent, and seen-shard adds are wave-idempotent (see actors/).
+Round-2 architecture: the wave hot loop runs as plain Ray tasks over Arrow
+block refs plus key-routed actor RPCs, NOT as per-wave Ray Data streaming
+executions. Rationale (measured, BENCH/BASELINE.md round 1): each streaming
+execution costs a 0.2–0.5 s driver floor and the wave loop needed ~6 of
+them per wave — pure fixed cost that capped N→4N scaling efficiency at
+0.40. The wave loop is exactly the case the Dataset API cannot express
+without that cost: an iterative loop over shared mutable actor state (the
+sharded seen set, politeness buckets). Ray Data remains the IR everywhere
+else — blocks are Arrow tables in the object store, the crawl's public
+outputs are `ray.data.Dataset`s, and every library operator (ops/) is
+Dataset-based.
+
+Data-volume design (the second round-1 scale fix): parsed span payloads
+never transit the object store. Fetcher actors buffer their own documents
+and write them straight to per-wave parquet (one file per actor per wave —
+the resumable, partitioned layout), and offer extracted outlinks directly
+to the seen-shard actors (map-side min-combine first). What flows back
+through task returns is only the small crawl-log projection.
+
+Stage functions that talk to stateful actors group their batch rows by the
+target shard and issue ONE batched RPC per shard per batch — key-routed
+RPCs instead of a Ray Data shuffle (SURVEY.md O-26). All stages are
+retry-safe: robots lookups are read-only, politeness offers and seen-shard
+offers are min-combine idempotent, and fetchers deduplicate re-sent chunks
+by (wave, first disc_key).
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
+import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 
-from crawlray.actors.politeness import host_shard_of
+from crawlray.actors.politeness import NO_ADMIT, host_shard_of
 from crawlray.actors.robots import robots_shard_of
 from crawlray.backend import SyntheticBackend
 from crawlray.kernels.html import parse_page, spans_to_dicts
@@ -27,6 +46,29 @@ from crawlray.murmur3 import hash_urls_128
 from crawlray.schema import LINK_STRIDE, SPAN_STRUCT, pack_disc_depth, unpack_disc_depth
 
 FRONTIER_COLS = ["url", "host", "depth", "disc_key", "url_hash_lo", "url_hash_hi", "shard"]
+
+LOG_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("wave", pa.int32()),
+        ("depth", pa.int32()),
+        ("status", pa.string()),
+        ("n_out", pa.int32()),
+    ]
+)
+
+DOC_FILE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("seq", pa.int64()),
+        ("spans", pa.list_(SPAN_STRUCT)),
+        ("lang_pred", pa.string()),
+        ("n_tokens", pa.int32()),
+        ("simhash", pa.uint64()),
+    ]
+)
 
 
 def seen_shard_of(url: str, num_shards: int) -> int:
@@ -52,187 +94,59 @@ def _group_by_shard(shards: np.ndarray) -> dict[int, np.ndarray]:
     return out
 
 
-def make_robots_offer_stage(robots_actors, polite_actors):
+# --------------------------------------------------------------------------
+# phase A: robots mask + politeness offers (one task per frontier block)
+# --------------------------------------------------------------------------
+
+
+def mark_block(batch: pa.Table, robots_actors, polite_actors) -> pa.Table:
     """Adds an `allowed` robots mask and registers politeness offers for
-    allowed rows — one streaming pass, two batched RPC fan-outs. The robots
-    actors also bank the denied disc_keys and the politeness actors the
-    offered keys, so after decide() the driver can recover the wave's full
-    logged key-set from the actors without touching the data again."""
+    allowed rows — two batched RPC fan-outs. The robots actors bank the
+    denied disc_keys and the politeness actors the offered keys, so after
+    decide_and_drain() the driver recovers the wave's full logged key-set
+    from the actors without touching the data again."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("allowed", pa.array([], pa.bool_()))
     n_r = len(robots_actors)
     n_p = len(polite_actors)
+    hosts = batch.column("host").to_pylist()
+    urls = batch.column("url").to_pylist()
+    disc = batch.column("disc_key").to_numpy()
 
-    def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch.append_column("allowed", pa.array([], pa.bool_()))
-        hosts = batch.column("host").to_pylist()
-        urls = batch.column("url").to_pylist()
-        disc = batch.column("disc_key").to_numpy()
-
-        rshards = np.array([robots_shard_of(h, n_r) for h in hosts])
-        rgroups = _group_by_shard(rshards)
-        futs = {
-            s: robots_actors[s].allowed.remote(
-                [hosts[i] for i in idxs], [urls[i] for i in idxs], disc[idxs]
-            )
-            for s, idxs in rgroups.items()
-        }
-        allowed = np.zeros(n, dtype=bool)
-        for s, idxs in rgroups.items():
-            allowed[idxs] = ray.get(futs[s])
-
-        aidx = np.nonzero(allowed)[0]
-        if len(aidx):
-            pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
-            ofuts = [
-                polite_actors[s].offer.remote(
-                    [hosts[aidx[j]] for j in idxs], disc[aidx[idxs]]
-                )
-                for s, idxs in _group_by_shard(pshards).items()
-            ]
-            ray.get(ofuts)
-        return batch.append_column("allowed", pa.array(allowed))
-
-    return fn
-
-
-STAGED_EXTRA = ["url_hash_lo", "url_hash_hi", "shard"]
-
-
-def make_gate_seq_fetch_stage(
-    polite_actors, fetcher_actors, seq_keys_ref, seq_base: int, chunk_rows: int = 256
-):
-    """ONE fused execution from robots-marked frontier to parsed pages:
-    politeness admission (threshold RPCs) → seq assignment (searchsorted
-    into the broadcast sorted logged-key array — the keys came back from
-    the actors at decide time, so no distributed sort runs) → fan-out
-    fetch+parse across the persistent actor pool. Deferred rows pass
-    through with status='deferred' and their frontier columns intact.
-
-    Scale note (SURVEY.md §7.3-H4): the driver/broadcast key array is the
-    wave's LOGGED set, bounded by politeness (≤ B × active hosts per wave),
-    not the frontier or discovery volume. For configurations where that
-    bound is still huge, `crawlray.ops.seqassign.sort_and_zip_index` is the
-    distributed-sort alternative with O(#blocks) driver state.
-    """
-    from crawlray.murmur3 import murmur3_32
-
-    n_p = len(polite_actors)
-    n_f = len(fetcher_actors)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        empty = FetchParseStage.empty_output()
-        for c in STAGED_EXTRA:
-            empty = empty.append_column(
-                c, pa.array([], pa.uint64() if c != "shard" else pa.uint32())
-            )
-        if batch.num_rows == 0:
-            return empty
-        n = batch.num_rows
-        allowed = batch.column("allowed").to_numpy(zero_copy_only=False)
-        hosts = batch.column("host").to_pylist()
-        disc = batch.column("disc_key").to_numpy()
-
-        admitted = np.zeros(n, dtype=bool)
-        aidx = np.nonzero(allowed)[0]
-        if len(aidx):
-            pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
-            groups = _group_by_shard(pshards)
-            futs = {
-                s: polite_actors[s].thresholds_for.remote([hosts[aidx[j]] for j in idxs])
-                for s, idxs in groups.items()
-            }
-            for s, idxs in groups.items():
-                thr = ray.get(futs[s])
-                admitted[aidx[idxs]] = disc[aidx[idxs]] <= thr
-
-        keys = ray.get(seq_keys_ref)
-        seq = np.searchsorted(keys, disc) + seq_base
-        deferred_mask = allowed & ~admitted
-        seq[deferred_mask] = -1
-
-        batch = batch.drop_columns(["allowed"]).append_column(
-            "seq", pa.array(seq, pa.int64())
+    rshards = np.array([robots_shard_of(h, n_r) for h in hosts])
+    rgroups = _group_by_shard(rshards)
+    futs = {
+        s: robots_actors[s].allowed.remote(
+            [hosts[i] for i in idxs], [urls[i] for i in idxs], disc[idxs]
         )
+        for s, idxs in rgroups.items()
+    }
+    allowed = np.zeros(n, dtype=bool)
+    for s, idxs in rgroups.items():
+        allowed[idxs] = ray.get(futs[s])
 
-        parts = []
-        adm_tbl = batch.filter(pa.array(admitted))
-        if adm_tbl.num_rows:
-            base = murmur3_32(adm_tbl.column("url")[0].as_py().encode()) % n_f
-            futs = []
-            for j, off in enumerate(range(0, adm_tbl.num_rows, chunk_rows)):
-                chunk = adm_tbl.slice(off, chunk_rows)
-                futs.append(fetcher_actors[(base + j) % n_f].fetch_parse.remote(chunk))
-            parsed = pa.concat_tables(ray.get(futs))
-            # parsed lacks the frontier hash/shard cols — zero-fill (only
-            # deferred rows need them, to re-enter the next wave's frontier)
-            parsed = parsed.append_column(
-                "url_hash_lo", pa.array(np.zeros(parsed.num_rows, np.uint64), pa.uint64())
-            ).append_column(
-                "url_hash_hi", pa.array(np.zeros(parsed.num_rows, np.uint64), pa.uint64())
-            ).append_column(
-                "shard", pa.array(np.zeros(parsed.num_rows, np.uint32), pa.uint32())
+    aidx = np.nonzero(allowed)[0]
+    if len(aidx):
+        pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
+        ofuts = [
+            polite_actors[s].offer.remote(
+                [hosts[aidx[j]] for j in idxs], disc[aidx[idxs]]
             )
-            parts.append(parsed)
-
-        rest = batch.filter(pa.array(~admitted))
-        if rest.num_rows:
-            # seq == -1 marks deferred (set above); everything else
-            # non-admitted was robots-denied
-            status = np.where(
-                rest.column("seq").to_numpy() == -1, "deferred", "robots_denied"
-            )
-            rest_out = pa.table(
-                {
-                    "url": rest.column("url"),
-                    "host": rest.column("host"),
-                    "depth": rest.column("depth"),
-                    "disc_key": rest.column("disc_key"),
-                    "seq": rest.column("seq"),
-                    "status": pa.array(status.tolist(), pa.string()),
-                    "n_out": pa.array(np.zeros(rest.num_rows, np.int32), pa.int32()),
-                    "spans": pa.array([[]] * rest.num_rows, empty.schema.field("spans").type),
-                    "outlinks": pa.array([[]] * rest.num_rows, pa.list_(pa.string())),
-                    "lang_pred": pa.array([""] * rest.num_rows, pa.string()),
-                    "n_tokens": pa.array(np.zeros(rest.num_rows, np.int32), pa.int32()),
-                    "simhash": pa.array(np.zeros(rest.num_rows, np.uint64), pa.uint64()),
-                    "url_hash_lo": rest.column("url_hash_lo"),
-                    "url_hash_hi": rest.column("url_hash_hi"),
-                    "shard": rest.column("shard"),
-                }
-            )
-            parts.append(rest_out)
-        if not parts:
-            return empty
-        return pa.concat_tables([p.select(empty.column_names) for p in parts])
-
-    return fn
+            for s, idxs in _group_by_shard(pshards).items()
+        ]
+        ray.get(ofuts)
+    return batch.append_column("allowed", pa.array(allowed))
 
 
-def make_threshold_stage(polite_actors):
-    """Adds an `admitted` mask: disc_key ≤ the host's admission threshold."""
-    n_p = len(polite_actors)
+@ray.remote(num_cpus=0.25)
+def mark_block_task(block: pa.Table, robots_actors, polite_actors) -> pa.Table:
+    return mark_block(block, robots_actors, polite_actors)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch.append_column("admitted", pa.array([], pa.bool_()))
-        hosts = batch.column("host").to_pylist()
-        disc = batch.column("disc_key").to_numpy()
-        pshards = np.array([host_shard_of(h, n_p) for h in hosts])
-        groups = _group_by_shard(pshards)
-        futs = {
-            s: polite_actors[s].thresholds_for.remote([hosts[i] for i in idxs])
-            for s, idxs in groups.items()
-        }
-        admitted = np.zeros(n, dtype=bool)
-        for s, idxs in groups.items():
-            thr = ray.get(futs[s])
-            admitted[idxs] = disc[idxs] <= thr
-        return batch.append_column("admitted", pa.array(admitted))
 
-    return fn
-
+# --------------------------------------------------------------------------
+# enrichment kernels (run inside fetcher actors, alongside parse)
+# --------------------------------------------------------------------------
 
 _ENRICH_STOPWORDS = {
     "en": frozenset("the of and a to in is it that for".split()),
@@ -279,32 +193,134 @@ def enrich_doc(text: str) -> tuple[str, int, int]:
     return best, nt, int(sim)
 
 
+# --------------------------------------------------------------------------
+# outlink explode (vectorized; used by fetcher offers and the library op)
+# --------------------------------------------------------------------------
+
+
+def explode_outlinks(batch: pa.Table, max_depth: int | None) -> pa.Table:
+    """Fetched pages → (url, pack) discovery rows; pack carries the dedup
+    winner (disc_key, depth) in one int64 so within-wave dedup is a single
+    vectorized min-combine (SURVEY.md O-30, §1.3). Only these two columns
+    enter the exchange — minimal volume."""
+    b = batch.filter(pc.equal(batch.column("status"), "fetched"))
+    empty = pa.table({"url": pa.array([], pa.string()), "pack": pa.array([], pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    links = b.column("outlinks").combine_chunks()
+    flat = links.flatten()
+    total = len(flat)
+    if total == 0:
+        return empty
+    parent_idx = pc.list_parent_indices(links).to_numpy().astype(np.int64)
+    lengths = pc.list_value_length(links).to_numpy().astype(np.int64)
+    starts = np.cumsum(lengths) - lengths
+    link_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    parent_seq = b.column("seq").to_numpy()[parent_idx]
+    child_depth = b.column("depth").to_numpy().astype(np.int64)[parent_idx] + 1
+    disc = parent_seq * LINK_STRIDE + link_idx
+    pack = pack_disc_depth(disc, child_depth)
+    tbl = pa.table({"url": flat, "pack": pa.array(pack, pa.int64())})
+    if max_depth is not None:
+        tbl = tbl.filter(pa.array(child_depth <= max_depth))
+    return tbl
+
+
+def make_explode_stage(max_depth: int | None):
+    """Ray-Data-facing wrapper over explode_outlinks (library surface)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return explode_outlinks(batch, max_depth)
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# fetch + parse + doc write + offer — the stateful heart of the wave
+# --------------------------------------------------------------------------
+
+
 class FetchParseStage:
     """Stateful fetch+parse stage (SURVEY.md O-23 + O-14/O-15 fused).
 
     The fetch backend index (url → html for the synthetic web) is built ONCE
-    per actor in __init__ from a zero-copy object-store table ref — the
-    canonical "stateful setup once per actor, work per batch" pattern. Fetch
-    and parse are fused because the synthetic fetch is an in-memory lookup;
-    a real HttpBackend deployment would split them into an I/O pool
-    (num_cpus<1) and a CPU parse pool.
+    per actor in __init__ from zero-copy object-store table refs — the
+    canonical "stateful setup once per actor, work per batch" pattern.
 
-    Two deployment modes share this class:
-      * `ds.map_batches(FetchParseStage, concurrency=..., fn_constructor_
-        kwargs=...)` — Ray Data's actor-pool pattern, used by the standalone
-        document-parse pipeline (O-14);
-      * wrapped as a persistent `ray.remote` actor pool by the wave loop
-        (`make_fetch_stage`) so the pool is created once per CRAWL, not once
-        per wave — per-wave actor spin-up dominated wall time otherwise.
+    Wave mode (`fetch_parse_wave`) additionally:
+      * buffers this actor's parsed documents and writes them to
+        `doc_root/wave=W/documents/part-<actor>.parquet` at end_wave —
+        span payloads never transit the object store, and the per-wave
+        per-actor files are the resumable partitioned output layout;
+      * explodes + min-combines outlinks per chunk and offers them
+        directly to the seen-shard actors (fire-and-forget futures,
+        awaited at end_wave) — the map side of within-wave dedup runs
+        where the data already is.
+    When a global page budget is active (`defer_offers=True`), offers and
+    doc writes are deferred to end_wave(cut_seq), which filters both to
+    seq ≤ cut_seq — the deterministic budget prefix (RBC-10) requires the
+    wave barrier anyway.
 
-    Input batch: FRONTIER cols + seq. Output: one row per input URL with
-    status, n_out, interleaved spans, and the page's deduped outlinks.
+    Also usable as a plain Ray Data actor-pool stage:
+    `ds.map_batches(FetchParseStage, concurrency=..., fn_constructor_kwargs=
+    {"webgraph_ref": ref})` for the standalone document-parse pipeline.
     """
 
-    def __init__(self, webgraph_ref, enrich: bool = False):
-        tbl = ray.get(webgraph_ref) if isinstance(webgraph_ref, ray.ObjectRef) else webgraph_ref
-        self.backend = SyntheticBackend(tbl)
+    def __init__(
+        self,
+        webgraph_ref,
+        enrich: bool = False,
+        seen_actors=None,
+        num_seen_shards: int = 0,
+        max_depth: int | None = None,
+        doc_root: str | None = None,
+        actor_idx: int = 0,
+        defer_offers: bool = False,
+        web_index_refs: tuple | None = None,
+    ):
+        if web_index_refs is not None:
+            # scale path: pre-sorted shared url index (built ONCE by
+            # build_web_index_task) + the original webgraph blocks — actor
+            # init is zero-copy gets, not a per-actor Python dict build,
+            # and the multi-GB html payload is never copied
+            urls_ref, perm_ref, wg_refs = web_index_refs
+            urls = ray.get(urls_ref) if isinstance(urls_ref, ray.ObjectRef) else urls_ref
+            perm = ray.get(perm_ref) if isinstance(perm_ref, ray.ObjectRef) else perm_ref
+            if isinstance(wg_refs, list):
+                wg = pa.concat_tables(ray.get(wg_refs))
+            elif isinstance(wg_refs, ray.ObjectRef):
+                wg = ray.get(wg_refs)
+            else:
+                wg = wg_refs
+            self.backend = SyntheticBackend.from_sorted_index(
+                urls, perm, wg.column("html")
+            )
+        else:
+            if isinstance(webgraph_ref, list):
+                tbl = pa.concat_tables(ray.get(webgraph_ref))  # zero-copy chunks
+            elif isinstance(webgraph_ref, ray.ObjectRef):
+                tbl = ray.get(webgraph_ref)
+            else:
+                tbl = webgraph_ref
+            self.backend = SyntheticBackend(tbl)
         self.enrich = enrich
+        self.seen_actors = seen_actors or []
+        self.num_seen_shards = num_seen_shards
+        self.max_depth = max_depth
+        self.doc_root = doc_root
+        self.actor_idx = actor_idx
+        self.defer_offers = defer_offers
+        self._doc_buf: list[pa.Table] = []
+        self._link_buf: list[pa.Table] = []  # only when defer_offers
+        self._pending_offers: list = []
+        self._chunks_done: set[tuple[int, int]] = set()
+        self._wave = -1
+        self._busy = 0.0  # cumulative seconds inside fetch_parse_wave
+
+    def busy_seconds(self) -> float:
+        return self._busy
+
+    # ---- full-output mode (standalone Ray Data pipelines) ----------------
 
     def fetch_parse(self, batch: pa.Table) -> pa.Table:
         return self(batch)
@@ -337,8 +353,8 @@ class FetchParseStage:
         langs: list[str] = []
         n_toks: list[int] = []
         simhashes: list[int] = []
-        for u in urls:
-            html = self.backend.fetch(u)
+        htmls = self.backend.fetch_many(urls)
+        for u, html in zip(urls, htmls):
             if html is None:
                 statuses.append("error")
                 n_outs.append(0)
@@ -380,45 +396,80 @@ class FetchParseStage:
             }
         )
 
+    # ---- wave mode -------------------------------------------------------
 
-# 0.5 CPU per fetcher: the pool oversubscribes slightly so fetch (I/O-ish)
-# and parse (CPU) interleave; the feeding map tasks are 0.25-CPU waiters.
-FetcherActor = ray.remote(num_cpus=0.5)(FetchParseStage)
+    def _offer_links(self, links: pa.Table) -> None:
+        """Map-side combine + key-routed offer to the seen shards. Futures
+        are banked and awaited at end_wave (delivery must complete before
+        finish_wave resolves the wave's dedup)."""
+        if links.num_rows == 0:
+            return
+        comb = links.group_by(["url"]).aggregate([("pack", "min")])
+        urls = comb.column("url").to_pylist()
+        packs = comb.column("pack_min").to_numpy()
+        shards = np.array([seen_shard_of(u, self.num_seen_shards) for u in urls])
+        for s, idxs in _group_by_shard(shards).items():
+            self._pending_offers.append(
+                self.seen_actors[s].offer.remote([urls[i] for i in idxs], packs[idxs])
+            )
 
+    def fetch_parse_wave(self, chunk: pa.Table, wave: int) -> pa.Table:
+        """Fetch+parse one chunk; buffer docs, offer outlinks; return ONLY
+        the small crawl-log projection (no spans, no outlinks)."""
+        import time as _time
 
-def make_fetch_stage(fetcher_actors, chunk_rows: int = 256):
-    """Wave-loop fetch stage: fan each batch out as sub-batch RPCs across the
-    persistent fetcher pool, awaited in parallel. Round-robin from a
-    content-derived base (first-URL hash) keeps load spread deterministic in
-    CONTENT, not timing; fine chunks (256 rows) avoid the balls-in-bins
-    imbalance a one-batch-one-actor routing shows (~3-4× tail). The map task
-    only awaits RPCs (fractional num_cpus); actors do the CPU work."""
-    from crawlray.murmur3 import murmur3_32
+        _t0 = _time.time()
+        try:
+            return self._fetch_parse_wave(chunk, wave)
+        finally:
+            self._busy += _time.time() - _t0
 
-    n = len(fetcher_actors)
+    def _fetch_parse_wave(self, chunk: pa.Table, wave: int) -> pa.Table:
+        if wave != self._wave:
+            # a new wave implicitly confirms the previous one was flushed
+            self._wave = wave
+            self._chunks_done = set()
+        key = (wave, int(chunk.column("disc_key")[0].as_py())) if chunk.num_rows else None
+        if key is not None and key in self._chunks_done:
+            # re-sent chunk (task retry upstream): docs/offers already banked
+            full = self(chunk)
+            return full.select(["url", "host", "depth", "disc_key", "seq", "status", "n_out"])
+        full = self(chunk)
+        fetched = full.filter(pc.equal(full.column("status"), "fetched"))
+        if fetched.num_rows:
+            doc_tbl = pa.table(
+                {
+                    "doc_id": fetched.column("url"),
+                    "seq": fetched.column("seq"),
+                    "spans": fetched.column("spans"),
+                    "lang_pred": fetched.column("lang_pred"),
+                    "n_tokens": fetched.column("n_tokens"),
+                    "simhash": fetched.column("simhash"),
+                }
+            )
+            self._doc_buf.append(doc_tbl)
+        if self.defer_offers:
+            # budget path: bank discoveries with parent seq attached so the
+            # cut can filter them at end_wave (RBC-10 deterministic prefix)
+            links = self._links_with_seq(full)
+            if links.num_rows:
+                self._link_buf.append(links)
+        else:
+            self._offer_links(explode_outlinks(full, self.max_depth))
+        if key is not None:
+            self._chunks_done.add(key)
+        return full.select(["url", "host", "depth", "disc_key", "seq", "status", "n_out"])
 
-    def fn(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return FetchParseStage.empty_output()
-        base = murmur3_32(batch.column("url")[0].as_py().encode()) % n
-        futs = []
-        for j, off in enumerate(range(0, batch.num_rows, chunk_rows)):
-            chunk = batch.slice(off, chunk_rows)
-            futs.append(fetcher_actors[(base + j) % n].fetch_parse.remote(chunk))
-        return pa.concat_tables(ray.get(futs))
-
-    return fn
-
-
-def make_explode_stage(max_depth: int | None):
-    """Fetched pages → (url, pack) discovery rows; pack carries the dedup
-    winner (disc_key, depth) in one int64 so the following within-wave dedup
-    is a single vectorized groupby-min (SURVEY.md O-30, §1.3). Only these
-    two columns enter the shuffle — minimal exchange volume."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch.column("status"), "fetched"))
-        empty = pa.table({"url": pa.array([], pa.string()), "pack": pa.array([], pa.int64())})
+    def _links_with_seq(self, full: pa.Table) -> pa.Table:
+        """(url, pack, parent_seq) discovery rows — defer_offers path only."""
+        b = full.filter(pc.equal(full.column("status"), "fetched"))
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "pack": pa.array([], pa.int64()),
+                "parent_seq": pa.array([], pa.int64()),
+            }
+        )
         if b.num_rows == 0:
             return empty
         links = b.column("outlinks").combine_chunks()
@@ -434,107 +485,229 @@ def make_explode_stage(max_depth: int | None):
         child_depth = b.column("depth").to_numpy().astype(np.int64)[parent_idx] + 1
         disc = parent_seq * LINK_STRIDE + link_idx
         pack = pack_disc_depth(disc, child_depth)
-        tbl = pa.table({"url": flat, "pack": pa.array(pack, pa.int64())})
-        if max_depth is not None:
-            tbl = tbl.filter(pa.array(child_depth <= max_depth))
+        tbl = pa.table(
+            {
+                "url": flat,
+                "pack": pa.array(pack, pa.int64()),
+                "parent_seq": pa.array(parent_seq, pa.int64()),
+            }
+        )
+        if self.max_depth is not None:
+            tbl = tbl.filter(pa.array(child_depth <= self.max_depth))
         return tbl
 
-    return fn
+    def end_wave(self, wave: int, cut_seq: int | None = None) -> int:
+        """Flush this actor's wave state: resolve deferred offers (budget
+        path), await offer delivery, write the doc buffer to the wave's
+        parquet partition. Returns the number of documents written."""
+        if self._link_buf:
+            links = pa.concat_tables(self._link_buf)
+            self._link_buf = []
+            if cut_seq is not None:
+                links = links.filter(pc.less_equal(links.column("parent_seq"), cut_seq))
+            self._offer_links(links.select(["url", "pack"]))
+        if self._pending_offers:
+            ray.get(self._pending_offers)
+            self._pending_offers = []
+        n = 0
+        if self._doc_buf:
+            docs = pa.concat_tables(self._doc_buf)
+            self._doc_buf = []
+            if cut_seq is not None:
+                docs = docs.filter(pc.less_equal(docs.column("seq"), cut_seq))
+            if docs.num_rows and self.doc_root is not None:
+                d = os.path.join(self.doc_root, f"wave={wave:05d}", "documents")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(
+                    docs, os.path.join(d, f"part-{self.actor_idx:04d}.parquet")
+                )
+                n = docs.num_rows
+        self._chunks_done = set()
+        return n
 
 
-def make_offer_stage(seen_actors, max_depth: int | None):
-    """Fused explode + per-batch pre-combine + keyed offer RPCs (O-15 +
-    O-30 map side + O-26 routing). Per batch of parsed pages: explode
-    outlinks to (url, pack) vectorized, min-combine duplicates within the
-    batch (Arrow group_by — the map-side combiner that cuts RPC volume),
-    route by seen-shard and offer. The reduce side (global min + seen
-    admission) happens inside the shard actors at finish_wave."""
-    n = len(seen_actors)
-    explode = make_explode_stage(max_depth)
+# 0.5 CPU per fetcher: the pool oversubscribes slightly so fetch (I/O-ish)
+# and parse (CPU) interleave; the feeding tasks are 0.25-CPU waiters.
+FetcherActor = ray.remote(num_cpus=0.5)(FetchParseStage)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        tbl = explode(batch)
-        if tbl.num_rows:
-            comb = tbl.group_by(["url"]).aggregate([("pack", "min")])
-            urls = comb.column("url").to_pylist()
-            packs = comb.column("pack_min").to_numpy()
-            shards = np.array([seen_shard_of(u, n) for u in urls])
-            futs = [
-                seen_actors[s].offer.remote([urls[i] for i in idxs], packs[idxs])
-                for s, idxs in _group_by_shard(shards).items()
-            ]
-            ray.get(futs)
-        status = batch.column("status") if "status" in batch.column_names else None
-        n_fetched = (
-            int(pc.sum(pc.cast(pc.equal(status, "fetched"), pa.int64())).as_py() or 0)
-            if status is not None
-            else 0
+
+@ray.remote(num_cpus=1, num_returns=2)
+def build_web_index_task(*tables: pa.Table):
+    """Sort the webgraph URLS once, in one task; the returned small
+    (urls_sorted numpy, perm numpy) pair is shared zero-copy with every
+    fetcher actor, which combines it with the untouched webgraph html
+    blocks (see SyntheticBackend.from_sorted_index)."""
+    wg = pa.concat_tables(list(tables))
+    return SyntheticBackend.build_sorted_index(wg)
+
+
+# --------------------------------------------------------------------------
+# phase B: gate + seq + fetch fan-out (one task per marked block)
+# --------------------------------------------------------------------------
+
+
+def _empty_counts() -> dict:
+    return {"n_fetched": 0, "n_errors": 0, "n_denied": 0, "n_deferred": 0}
+
+
+@ray.remote(num_cpus=0.25, num_returns=3)
+def fetch_block_task(
+    block: pa.Table,
+    thr_hosts: np.ndarray,
+    thr_vals: np.ndarray,
+    logged_keys: np.ndarray,
+    seq_base: int,
+    wave: int,
+    fetchers: list,
+    chunk_rows: int,
+    chunk_base: int = 0,
+):
+    """Politeness gate (vectorized lookup into the broadcast per-host
+    admission thresholds) → seq assignment (searchsorted into the broadcast
+    sorted logged-key array — RBC-7 order, no distributed sort) → fan-out
+    fetch across the persistent actor pool. Returns (log_block,
+    deferred_block, counts); spans/outlinks never pass through here.
+
+    Scale note (SURVEY.md §7.3-H4): the broadcast key/threshold arrays are
+    the wave's LOGGED set and ACTIVE host set, bounded by politeness
+    (≤ B × active hosts per wave), not by frontier or discovery volume."""
+    empty_def = pa.schema(
+        [
+            ("url", pa.string()),
+            ("host", pa.string()),
+            ("depth", pa.int32()),
+            ("disc_key", pa.int64()),
+            ("url_hash_lo", pa.uint64()),
+            ("url_hash_hi", pa.uint64()),
+            ("shard", pa.uint32()),
+        ]
+    ).empty_table()
+    if block.num_rows == 0:
+        return LOG_SCHEMA.empty_table(), empty_def, _empty_counts()
+    n = block.num_rows
+    allowed = block.column("allowed").to_numpy(zero_copy_only=False)
+    disc = block.column("disc_key").to_numpy()
+    hosts = np.asarray(block.column("host").to_pylist(), dtype=np.str_)
+
+    thr = np.full(n, NO_ADMIT, np.int64)
+    if len(thr_hosts):
+        pos = np.searchsorted(thr_hosts, hosts)
+        pos_c = np.minimum(pos, len(thr_hosts) - 1)
+        m = thr_hosts[pos_c] == hosts
+        thr[m] = thr_vals[pos_c[m]]
+    admitted = allowed & (disc <= thr)
+    deferred_mask = allowed & ~admitted
+
+    seq = np.searchsorted(logged_keys, disc).astype(np.int64) + seq_base
+    base_tbl = block.select(["url", "host", "depth", "disc_key"]).append_column(
+        "seq", pa.array(seq, pa.int64())
+    )
+
+    log_parts: list[pa.Table] = []
+    counts = _empty_counts()
+    adm_tbl = base_tbl.filter(pa.array(admitted))
+    if adm_tbl.num_rows:
+        n_f = len(fetchers)
+        base = chunk_base % n_f
+        # static round-robin from a driver-assigned global offset: the
+        # driver passes each block the running chunk count of the blocks
+        # before it, so the WHOLE WAVE forms one round-robin across the
+        # fetcher pool (±1 chunk per actor) instead of independently-phased
+        # per-block rotations (measured ~12%-of-wall tail). Deterministic in
+        # CONTENT, not timing; all chunk RPCs go out immediately so every
+        # actor's queue stays full (a pull-based ray.wait loop was measured
+        # ~30% slower — the per-completion round-trip idles actors). The
+        # end-of-wave tail is bounded by the adaptive chunk size chosen by
+        # the driver (~1/6 of an actor's wave share).
+        futs = []
+        for j, off in enumerate(range(0, adm_tbl.num_rows, chunk_rows)):
+            chunk = adm_tbl.slice(off, chunk_rows)
+            futs.append(fetchers[(base + j) % n_f].fetch_parse_wave.remote(chunk, wave))
+        results = ray.get(futs)
+        fetched_tbl = pa.concat_tables(results)
+        st = fetched_tbl.column("status")
+        counts["n_fetched"] = int(
+            pc.sum(pc.cast(pc.equal(st, "fetched"), pa.int64())).as_py() or 0
         )
-        n_errors = (
-            int(pc.sum(pc.cast(pc.equal(status, "error"), pa.int64())).as_py() or 0)
-            if status is not None
-            else 0
+        counts["n_errors"] = adm_tbl.num_rows - counts["n_fetched"]
+        log_parts.append(fetched_tbl)
+
+    den_tbl = base_tbl.filter(pa.array(~allowed))
+    if den_tbl.num_rows:
+        counts["n_denied"] = den_tbl.num_rows
+        log_parts.append(
+            den_tbl.append_column(
+                "status", pa.array(["robots_denied"] * den_tbl.num_rows, pa.string())
+            ).append_column(
+                "n_out", pa.array(np.zeros(den_tbl.num_rows, np.int32), pa.int32())
+            )
         )
-        return pa.table(
+
+    if log_parts:
+        merged = pa.concat_tables([p.select(
+            ["seq", "url", "host", "depth", "status", "n_out"]
+        ) for p in log_parts])
+        wave_col = pa.array(np.full(merged.num_rows, wave, np.int32), pa.int32())
+        log_tbl = pa.table(
             {
-                "n_links": pa.array([tbl.num_rows], pa.int64()),
-                "n_fetched": pa.array([n_fetched], pa.int64()),
-                "n_errors": pa.array([n_errors], pa.int64()),
+                "seq": merged.column("seq"),
+                "url": merged.column("url"),
+                "host": merged.column("host"),
+                "wave": wave_col,
+                "depth": merged.column("depth"),
+                "status": merged.column("status"),
+                "n_out": merged.column("n_out"),
             }
         )
+    else:
+        log_tbl = LOG_SCHEMA.empty_table()
 
-    return fn
+    deferred = block.select(FRONTIER_COLS).filter(pa.array(deferred_mask))
+    counts["n_deferred"] = deferred.num_rows
+    return log_tbl, deferred if deferred.num_rows else empty_def, counts
 
 
-def make_derive_frontier_stage(num_seen_shards: int):
+# --------------------------------------------------------------------------
+# frontier derivation + compaction helpers
+# --------------------------------------------------------------------------
+
+
+def derive_frontier_block(batch: pa.Table, num_seen_shards: int) -> pa.Table:
     """Shard-actor finish_wave output (url, pack, hashes) → full FRONTIER
     columns. Host parse + unpack run once per unique new URL."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        disc, depth = unpack_disc_depth(batch.column("pack").to_numpy())
-        hosts = [url_host(u) for u in urls]
-        shards = np.array([seen_shard_of(u, num_seen_shards) for u in urls], np.uint32)
-        return pa.table(
-            {
-                "url": batch.column("url"),
-                "host": pa.array(hosts, pa.string()),
-                "depth": pa.array(depth.astype(np.int32), pa.int32()),
-                "disc_key": pa.array(disc, pa.int64()),
-                "url_hash_lo": batch.column("url_hash_lo"),
-                "url_hash_hi": batch.column("url_hash_hi"),
-                "shard": pa.array(shards, pa.uint32()),
-            }
-        )
-
-    return fn
-
-
-def make_seen_filter_stage(seen_actors):
-    """Cross-wave exact dedup: keep only URLs never seen before, adding them
-    to the seen set (check_and_add) — key-routed batched RPCs (O-26)."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch
-        shards = batch.column("shard").to_numpy()
-        urls = batch.column("url").to_pylist()
-        lo = batch.column("url_hash_lo").to_numpy()
-        hi = batch.column("url_hash_hi").to_numpy()
-        groups = _group_by_shard(shards.astype(np.int64))
-        futs = {
-            s: seen_actors[s].check_and_add.remote(
-                [urls[i] for i in idxs], lo[idxs], hi[idxs]
-            )
-            for s, idxs in groups.items()
+    urls = batch.column("url").to_pylist()
+    disc, depth = unpack_disc_depth(batch.column("pack").to_numpy())
+    hosts = [url_host(u) for u in urls]
+    shards = np.array([seen_shard_of(u, num_seen_shards) for u in urls], np.uint32)
+    return pa.table(
+        {
+            "url": batch.column("url"),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depth.astype(np.int32), pa.int32()),
+            "disc_key": pa.array(disc, pa.int64()),
+            "url_hash_lo": batch.column("url_hash_lo"),
+            "url_hash_hi": batch.column("url_hash_hi"),
+            "shard": pa.array(shards, pa.uint32()),
         }
-        new = np.zeros(n, dtype=bool)
-        for s, idxs in groups.items():
-            new[idxs] = ray.get(futs[s])
-        return batch.filter(pa.array(new))
+    )
 
-    return fn
+
+@ray.remote(num_cpus=0.25, num_returns=2)
+def derive_block_task(block: pa.Table, num_seen_shards: int):
+    t = derive_frontier_block(block, num_seen_shards)
+    return t, t.num_rows
+
+
+@ray.remote(num_cpus=0.25)
+def concat_blocks_task(*tbls: pa.Table) -> pa.Table:
+    return pa.concat_tables(list(tbls))
+
+
+@ray.remote(num_cpus=0.25, num_returns=2)
+def filter_log_cut_task(block: pa.Table, cut_seq: int):
+    """Budget-cut filter for one log block (O-35 rare path)."""
+    t = block.filter(pc.less_equal(block.column("seq"), cut_seq))
+    return t, t.num_rows
 
 
 def frontier_table_from_urls(
