@@ -196,7 +196,7 @@ def run_crawl(
     user_agent: str = "*",
     out_dir: str | None = None,
     stop_after_wave: int | None = None,
-    frontier_rows_per_block: int = 8192,
+    frontier_rows_per_block: int = 16384,
     _resume_state: dict | None = None,
 ) -> CrawlResult:
     """Run a full crawl. Caller owns the Ray session (never inits here).

@@ -139,7 +139,7 @@ def mark_block(batch: pa.Table, robots_actors, polite_actors) -> pa.Table:
     return batch.append_column("allowed", pa.array(allowed))
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.5)
 def mark_block_task(block: pa.Table, robots_actors, polite_actors) -> pa.Table:
     return mark_block(block, robots_actors, polite_actors)
 
@@ -550,7 +550,7 @@ def _empty_counts() -> dict:
     return {"n_fetched": 0, "n_errors": 0, "n_denied": 0, "n_deferred": 0}
 
 
-@ray.remote(num_cpus=0.25, num_returns=3)
+@ray.remote(num_cpus=0.5, num_returns=3)
 def fetch_block_task(
     block: pa.Table,
     thr_hosts: np.ndarray,
