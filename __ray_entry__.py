@@ -389,6 +389,28 @@ def _ann_ivf(sf_dir: str):
     return out.select_columns(["vec_id", "bucket"])
 
 
+def _ann_ivf_search(sf_dir: str):
+    """IVF ANN end-to-end (rows-only): nearest-centroid bucketing + per-bucket
+    probe search for the first 10 vectors (nprobe=3). Recall vs the exact
+    brute-force baseline is asserted in tests/unit/test_knn_ivf.py."""
+    import pyarrow.parquet as pq
+
+    from crawlray.ops.knn import ivf_search_knn
+
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cent = np.array(
+        q.filter(pc.less(q.column("vec_id"), 8)).column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    qt = q.filter(pc.less(q.column("vec_id"), 10))
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    out = ivf_search_knn(_rd(sf_dir, "embeddings"), cent, queries, qids, k=5, nprobe=3)
+    return out.select(["query_id", "neighbor_id"])
+
+
 def _media_decode(sf_dir: str):
     """Multimodal plumbing: binary payload column → actor-pool decode stub
     producing typed metadata. The decode itself is a deterministic fake
@@ -443,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": _simhash_docs,
         "simhash_dedup": _simhash_dedup,
         "ann_ivf": _ann_ivf,
+        "ann_ivf_search": _ann_ivf_search,
         "media_decode": _media_decode,
         "crawl_smoke": _crawl_smoke,
     }
@@ -549,5 +572,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rows-only (no SQL equivalent): lang_id, minhash_signatures,
         # minhash_lsh_dedup, simhash_docs, simhash_dedup, ann_ivf,
-        # crawl_smoke (oracle parity proven in tests/conformance instead)
+        # ann_ivf_search, crawl_smoke (parity proven in tests instead)
     }

@@ -1,11 +1,19 @@
 """Similarity search over an embedding column (task brief: ANN over
-list<float>; brute-force cosine top-k baseline + LSH-bucketed scale path).
+list<float>; brute-force cosine top-k baseline + IVF scale path).
 
-Pattern: the query matrix is broadcast ONCE via `ray.put`; every map task
-computes a vectorized numpy matmul for its batch and emits only its local
-top-k candidates, so the shuffle/merge volume is O(#batches × queries × k),
-independent of corpus size. The final per-query merge runs on that small
-candidate set.
+Patterns:
+- `knn_cosine`: the query matrix is broadcast ONCE via `ray.put`; every map
+  task computes a vectorized numpy matmul for its batch and emits only its
+  local top-k candidates, so the merge volume is O(#batches × queries × k),
+  independent of corpus size.
+- `similar_pairs_cosine` (exact threshold pairs): block-pair task matrix —
+  the corpus is staged as bounded Arrow block refs in the object store and
+  every (block_i, block_j) pair is compared by its own Ray task; the driver
+  holds refs and final pairs only, never corpus rows. O(n²) flops are
+  inherent to the EXACT problem; the subquadratic approximation is
+  `ivf_bucket_assign` + `ivf_search_knn`.
+- `ivf_search_knn`: nearest-centroid bucketing (one groupby shuffle), then
+  per-bucket local top-k for the queries probing that bucket.
 """
 
 from __future__ import annotations
@@ -29,6 +37,58 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(batch.num_rows, dim)
 
 
+def _local_topk_rows(
+    sims: np.ndarray,
+    qids: np.ndarray,
+    ids: np.ndarray,
+    k: int,
+    exclude_self: bool,
+) -> tuple[list, list, list]:
+    """Per-query local top-k candidates from a (n_queries, n_rows) sim
+    matrix. Ties are broken by ascending neighbor id BEFORE truncation so
+    the local candidate set is a superset of the global deterministic
+    top-k (block-layout independent)."""
+    out_q, out_n, out_s = [], [], []
+    kk = min(k + (1 if exclude_self else 0), sims.shape[1])
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        if kk < len(row):
+            # keep EVERY element ≥ the kk-th value (so all boundary ties are
+            # present), then order by (-sim, neighbor_id) and truncate: the
+            # local candidate set is a superset of the deterministic top-kk
+            thresh = np.partition(row, len(row) - kk)[len(row) - kk]
+            part = np.nonzero(row >= thresh)[0]
+            part = part[np.lexsort((ids[part], -row[part]))][:kk]
+        else:
+            part = np.lexsort((ids, -row))
+        for j in part:
+            if exclude_self and ids[j] == qids[qi]:
+                continue
+            out_q.append(qids[qi])
+            out_n.append(ids[j])
+            out_s.append(row[j])
+    return out_q, out_n, out_s
+
+
+def _merge_topk(cand: list[dict], k: int) -> pa.Table:
+    """Driver merge over the small candidate set: top-k per query with the
+    deterministic tie-break (sim desc, neighbor_id asc)."""
+    cand.sort(key=lambda r: (r["query_id"], -r["sim"], r["neighbor_id"]))
+    rows, count, cur = [], 0, None
+    for r in cand:
+        if r["query_id"] != cur:
+            cur, count = r["query_id"], 0
+        if count < k:
+            rows.append(r)
+            count += 1
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+        ),
+    )
+
+
 def knn_cosine(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -49,18 +109,7 @@ def knn_cosine(
         qids = ray.get(qid_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sims = q @ m.T  # (n_queries, batch_rows)
-        out_q, out_n, out_s = [], [], []
-        kk = min(k + (1 if exclude_self else 0), sims.shape[1])
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            top = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
-            for j in top:
-                if exclude_self and ids[j] == qids[qi]:
-                    continue
-                out_q.append(qids[qi])
-                out_n.append(ids[j])
-                out_s.append(row[j])
+        out_q, out_n, out_s = _local_topk_rows(q @ m.T, qids, ids, k, exclude_self)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -70,22 +119,39 @@ def knn_cosine(
         )
 
     cand = ds.map_batches(_local_topk, batch_format="pyarrow").take_all()
-    # final merge over the small candidate set: top-k per query,
-    # deterministic tie-break (sim desc, neighbor_id asc)
-    cand.sort(key=lambda r: (r["query_id"], -r["sim"], r["neighbor_id"]))
-    rows, count, cur = [], 0, None
-    for r in cand:
-        if r["query_id"] != cur:
-            cur, count = r["query_id"], 0
-        if count < k:
-            rows.append(r)
-            count += 1
-    return pa.Table.from_pylist(
-        rows,
-        schema=pa.schema(
-            [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
-        ),
-    )
+    return _merge_topk(cand, k)
+
+
+@ray.remote
+def _block_pair_task(
+    tbl_i: pa.Table,
+    tbl_j: pa.Table,
+    same: bool,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> pa.Table:
+    """All pairs with cosine ≥ threshold between two corpus blocks.
+
+    Each unordered row pair lives in exactly one (i ≤ j) block pair, so
+    emitting (min_id, max_id) yields every qualifying pair exactly once."""
+    ids_i = tbl_i.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_j = tbl_j.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    m_i = _normalize(_batch_matrix(tbl_i, vec_col))
+    m_j = _normalize(_batch_matrix(tbl_j, vec_col))
+    sims = m_i @ m_j.T
+    bi, bj = np.nonzero(sims >= threshold)
+    a, b = ids_i[bi], ids_j[bj]
+    if same:
+        keep = a < b
+        a, b = a[keep], b[keep]
+    else:
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        a, b = lo, hi
+    return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
 
 
 def similar_pairs_cosine(
@@ -93,40 +159,37 @@ def similar_pairs_cosine(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 8192,
 ) -> pa.Table:
     """All pairs (id_a < id_b) with cosine ≥ threshold — embedding near-dup.
 
-    Sandbox-scale implementation broadcasts the full (normalized) corpus
-    matrix once and scans it per batch (O(n²) flops, vectorized). The scale
-    path is LSH/IVF bucketing first (see `ivf_bucket_assign`) so only
-    same-bucket pairs are compared; documented rather than forced here
-    because the driver corpus is 500–5000 vectors.
+    EXACT and distributed: the (id, vec) projection is staged as bounded
+    object-store blocks; one Ray task per (i ≤ j) block pair does the
+    vectorized matmul and emits only qualifying pairs. The driver holds
+    block refs and the final (small) pair set — the corpus is never
+    materialized driver-side. Work is O(n²) flops spread over
+    P(P+1)/2 tasks, the inherent cost of the exact answer; use
+    `ivf_search_knn` for the approximate sub-quadratic path.
     """
-    all_tbl = ds.select_columns([id_col, vec_col]).take_all()
-    ids_all = np.array([r[id_col] for r in all_tbl], dtype=np.int64)
-    mat_all = _normalize(np.array([r[vec_col] for r in all_tbl], dtype=np.float64))
-    ref_ids = ray.put(ids_all)
-    ref_mat = ray.put(mat_all)
-
-    def _pairs(batch: pa.Table) -> pa.Table:
-        ids_b = batch.column(id_col).to_numpy(zero_copy_only=False)
-        m_b = _normalize(_batch_matrix(batch, vec_col))
-        ids_g = ray.get(ref_ids)
-        m_g = ray.get(ref_mat)
-        sims = m_b @ m_g.T
-        bi, gj = np.nonzero(sims >= threshold)
-        keep = ids_b[bi] < ids_g[gj]  # dedupe (a,b)/(b,a) + self
+    slim = ds.select_columns([id_col, vec_col])
+    n = slim.count()
+    nb = max(1, -(-n // rows_per_block))
+    refs = list(slim.repartition(nb).to_arrow_refs())
+    tasks = [
+        _block_pair_task.remote(refs[i], refs[j], i == j, threshold, id_col, vec_col)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
         return pa.table(
-            {
-                "id_a": pa.array(ids_b[bi][keep], pa.int64()),
-                "id_b": pa.array(ids_g[gj][keep], pa.int64()),
-            }
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
+    tbl = pa.concat_tables(parts)
+    import pyarrow.compute as pc
 
-    out = ds.map_batches(_pairs, batch_format="pyarrow").take_all()
-    out.sort(key=lambda r: (r["id_a"], r["id_b"]))
-    return pa.Table.from_pylist(
-        out, schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    return tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
     )
 
 
@@ -158,3 +221,64 @@ def ivf_bucket_assign(
         )
 
     return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def ivf_search_knn(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Approximate top-k via IVF probing — the sub-quadratic ANN path.
+
+    Each query probes its `nprobe` nearest centroid buckets; the bucketed
+    corpus (one groupby shuffle) runs a local vectorized top-k per bucket
+    for exactly the queries probing it. Candidate volume is
+    O(queries × nprobe × k); recall depends on centroid quality/nprobe
+    (tested ≥ the brute-force baseline's recall floor in
+    tests/unit/test_knn_ivf.py)."""
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # queries → probed buckets (driver-side: queries × centroids is small)
+    probe_order = np.argsort(-(qn @ c.T), axis=1, kind="stable")[:, :nprobe]
+    q_ref = ray.put(qn)
+    qid_ref = ray.put(qids)
+    probes_ref = ray.put(probe_order)
+
+    assigned = ivf_bucket_assign(ds, centroids, id_col, vec_col)
+
+    def _probe(group: pa.Table) -> pa.Table:
+        bucket = group.column("bucket")[0].as_py()
+        q = ray.get(q_ref)
+        all_qids = ray.get(qid_ref)
+        probes = ray.get(probes_ref)
+        sel = np.nonzero((probes == bucket).any(axis=1))[0]
+        if len(sel) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(group, vec_col))
+        out_q, out_n, out_s = _local_topk_rows(
+            q[sel] @ m.T, all_qids[sel], ids, k, exclude_self
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = assigned.groupby("bucket").map_groups(_probe, batch_format="pyarrow")
+    return _merge_topk(cand.take_all(), k)

@@ -1,13 +1,17 @@
 """Near-duplicate detection for training-data pipelines (task brief:
 MinHash+LSH, SimHash, n-gram Jaccard; SURVEY.md O-39).
 
-Pipeline shape (the 100 TB path):
-  shingle → minhash (vectorized universal hashing) → band → LSH bucket
-  groupby (the only shuffle, keyed by (band, bucket)) → candidate pairs
-  within buckets → exact n-gram Jaccard verify on the pair set.
-Only same-bucket pairs are ever compared, so the quadratic blowup is
-confined to collision buckets; signatures are computed once per document
-inside `map_batches` tasks.
+Pipeline shape (the 100 TB path — no full-dataset materialization anywhere):
+  shingle → minhash (vectorized exact universal hashing mod 2^61-1) → band →
+  LSH bucket groupby (shuffle #1, keyed by (band, bucket)) → vectorized
+  candidate pairs within size-capped buckets (oversize buckets are truncated
+  DETERMINISTICALLY and the drop count is surfaced, never silent) → pair
+  dedup groupby (shuffle #2) → exact n-gram Jaccard verify as a distributed
+  pass over CANDIDATE volume only: the candidate-id set is broadcast once
+  (`ray.put`), candidate docs are re-shingled inside `map_batches`, and the
+  per-pair Jaccard is computed under a groupby keyed by pair. The driver
+  only ever holds final verified pairs and O(#candidates) id lists — the
+  corpus itself is never `take_all()`'d.
 """
 
 from __future__ import annotations
@@ -16,9 +20,43 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
-_MERSENNE = (1 << 61) - 1
+_P61 = (1 << 61) - 1
+_MERSENNE = np.uint64(_P61)
+_MASK29 = np.uint64((1 << 29) - 1)
+_MASK61 = np.uint64(_P61)
+
+# Deterministic sentinel id for drop-accounting rows emitted by the bucket
+# pair generator (filtered out + summed before pairs are used).
+_DROP_SENTINEL = -(1 << 62)
+
+
+def _mulmod_mersenne(a: np.ndarray, x: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact (a*x + b) mod p, p = 2^61-1, fully vectorized in uint64.
+
+    Requires a, b < 2^61 and x < 2^32 (crc32 shingle hashes). The naive
+    `(a*x + b) % p` silently wraps mod 2^64 (a*x can reach 2^93), so the
+    product is computed in 29/32-bit limbs and reduced with the Mersenne
+    fold v = hi*2^61 + lo ≡ hi + lo (mod p); every intermediate fits uint64,
+    so the claimed universal-hash family property actually holds.
+    """
+    ah = a >> np.uint64(32)  # < 2^29
+    al = a & np.uint64(0xFFFFFFFF)  # < 2^32
+    m1 = ah * x  # < 2^61
+    m0 = al * x  # < 2^64
+    # a*x = m1*2^32 + m0;  m1*2^32 ≡ (m1>>29) + ((m1 & 2^29-1) << 32)
+    t = (
+        (m1 >> np.uint64(29))
+        + ((m1 & _MASK29) << np.uint64(32))
+        + (m0 >> np.uint64(61))
+        + (m0 & _MASK61)
+        + b
+    )
+    t = (t >> np.uint64(61)) + (t & _MASK61)
+    t = (t >> np.uint64(61)) + (t & _MASK61)
+    return np.where(t >= _MERSENNE, t - _MERSENNE, t)
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -34,8 +72,8 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 
 def _perm_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)  # seeded → deterministic
-    a = rng.randint(1, _MERSENNE, size=k, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=k, dtype=np.uint64)
+    a = rng.randint(1, _P61, size=k, dtype=np.uint64)
+    b = rng.randint(0, _P61, size=k, dtype=np.uint64)
     return a, b
 
 
@@ -49,23 +87,84 @@ def minhash_signatures(
     a, b = _perm_params(num_perm)
 
     def _sig(batch: pa.Table) -> pa.Table:
-        sigs = []
-        for t in batch.column(text_col).to_pylist():
+        sigs = np.empty((batch.num_rows, num_perm), dtype=np.uint64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
             sh = _shingle_hashes(t or "")
             if len(sh) == 0:
-                sigs.append([0] * num_perm)
+                sigs[i] = 0
                 continue
-            # universal hashing mod a Mersenne prime, vectorized (k × |sh|)
-            v = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            sigs.append(v.min(axis=1).tolist())
+            # chunk huge shingle sets so the (k × |sh|) temporaries stay small
+            mins = np.full(num_perm, _P61, dtype=np.uint64)
+            for off in range(0, len(sh), 16384):
+                chunk = sh[off : off + 16384]
+                v = _mulmod_mersenne(a[:, None], chunk[None, :], b[:, None])
+                np.minimum(mins, v.min(axis=1), out=mins)
+            sigs[i] = mins
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "sig": pa.array(sigs, pa.list_(pa.uint64())),
+                "sig": pa.array(sigs.tolist(), pa.list_(pa.uint64())),
             }
         )
 
     return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def _sig_matrix(batch: pa.Table, num_perm: int) -> np.ndarray:
+    lists = batch.column("sig").combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    return flat.reshape(batch.num_rows, num_perm)
+
+
+def _band_bucket_hash(chunk: np.ndarray) -> np.ndarray:
+    """Stable FNV-style hash of each row of a (n, rows_per_band) uint64
+    matrix → int64 bucket keys (python hash() is process-salted; this isn't)."""
+    h = np.full(chunk.shape[0], 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for c in range(chunk.shape[1]):
+        h = (h ^ chunk[:, c]) * prime
+        h = (h ^ (chunk[:, c] >> np.uint64(32))) * prime
+    return h.view(np.int64)
+
+
+def _pairs_in_group(
+    ids: np.ndarray, max_bucket: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """All (a<b) pairs among sorted ids, vectorized; buckets above max_bucket
+    are truncated to their max_bucket smallest ids (deterministic) and the
+    number of dropped ids is returned for accounting (never silent)."""
+    ids = np.sort(ids)
+    dropped = 0
+    if len(ids) > max_bucket:
+        dropped = len(ids) - max_bucket
+        ids = ids[:max_bucket]
+    if len(ids) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64), dropped
+    iu, ju = np.triu_indices(len(ids), k=1)
+    return ids[iu], ids[ju], dropped
+
+
+def _pairs_table(
+    id_a: np.ndarray, id_b: np.ndarray, dropped: int
+) -> pa.Table:
+    if dropped:
+        id_a = np.concatenate([id_a, [_DROP_SENTINEL]])
+        id_b = np.concatenate([id_b, [dropped]])
+    return pa.table(
+        {"id_a": pa.array(id_a, pa.int64()), "id_b": pa.array(id_b, pa.int64())}
+    )
+
+
+def _dedup_pairs(cand: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
+    """Distinct (id_a, id_b) pairs + total dropped-id count from sentinels."""
+    drop_rows = cand.filter(expr=f"id_a == {_DROP_SENTINEL}")
+    n_dropped = sum(r["id_b"] for r in drop_rows.take_all())  # tiny
+    pairs = (
+        cand.filter(expr=f"id_a != {_DROP_SENTINEL}")
+        .groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    return pairs, n_dropped
 
 
 def minhash_lsh_pairs(
@@ -75,88 +174,170 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    max_bucket: int = 8192,
 ) -> pa.Table:
-    """MinHash+LSH near-dup pairs with exact Jaccard verification.
+    """MinHash+LSH near-dup pairs with exact distributed Jaccard verification.
 
     Emits (id_a, id_b, jaccard) for verified pairs, id_a < id_b, sorted.
-    The band-bucket groupby is the only all-to-all exchange; the verify
-    step re-shingles only the candidate docs (broadcast lookup of their
-    texts — candidate volume ≪ corpus by construction).
+    See the module docstring for the scale shape; the driver never holds
+    more than the candidate-id list and the final verified pairs.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, id_col, text_col, num_perm)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
-        ids_out, band_out, bucket_out = [], [], []
-        ids = batch.column(id_col).to_pylist()
-        for i, sig in enumerate(batch.column("sig").to_pylist()):
-            for bnd in range(bands):
-                chunk = sig[bnd * rows_per_band : (bnd + 1) * rows_per_band]
-                ids_out.append(ids[i])
-                band_out.append(bnd)
-                # stable across processes (python hash() is salted)
-                bucket_out.append(
-                    zlib.crc32(np.asarray(chunk, np.uint64).tobytes())
-                )
+        n = batch.num_rows
+        mat = _sig_matrix(batch, num_perm)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        buckets = np.empty((n, bands), dtype=np.int64)
+        for bnd in range(bands):
+            buckets[:, bnd] = _band_bucket_hash(
+                mat[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            )
         return pa.table(
             {
-                id_col: pa.array(ids_out),
-                "band": pa.array(band_out, pa.int32()),
-                "bucket": pa.array(bucket_out, pa.int64()),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1)),
             }
         )
 
     buckets = sigs.map_batches(_bucketize, batch_format="pyarrow")
 
     def _pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column(id_col).to_pylist())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pa.table({"id_a": pa.array(out_a), "id_b": pa.array(out_b)})
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return _pairs_table(*_pairs_in_group(ids, max_bucket))
 
-    cand = (
-        buckets.groupby(["band", "bucket"])
-        .map_groups(_pairs_in_bucket, batch_format="pyarrow")
-        .take_all()
+    cand = buckets.groupby(["band", "bucket"]).map_groups(
+        _pairs_in_bucket, batch_format="pyarrow"
     )
-    pair_set = sorted({(r["id_a"], r["id_b"]) for r in cand})
-    if not pair_set:
+    pairs, n_dropped = _dedup_pairs(cand)
+    if n_dropped:
+        print(
+            f"# minhash_lsh_pairs: {n_dropped} ids dropped from oversize LSH "
+            f"buckets (max_bucket={max_bucket}) — recall is bounded, not exact"
+        )
+
+    verified = _verify_jaccard(ds, pairs, id_col, text_col, jaccard_threshold)
+    out = verified.take_all()  # final result set only
+    out.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
+
+
+def _verify_jaccard(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard over candidate pairs, distributed.
+
+    1. broadcast the candidate-id set (sorted int64, `ray.put` once);
+    2. re-shingle ONLY candidate docs inside `map_batches` (corpus scan,
+       no shuffle, no driver rows);
+    3. explode pairs into half-rows keyed by doc id, union with the
+       shingle rows, groupby(doc id) attaches each doc's shingles to its
+       half-rows, groupby(pair) computes Jaccard from the two halves.
+    All shuffles run over candidate volume only.
+    """
+    need_a = pairs.unique("id_a")
+    need_b = pairs.unique("id_b")
+    need = np.array(sorted(set(need_a) | set(need_b)), dtype=np.int64)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if len(need) == 0:
+        return ray.data.from_arrow(empty)
+    need_ref = ray.put(need)
+
+    def _cand_shingles(batch: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        pos[pos >= len(want)] = 0
+        mask = want[pos] == ids
+        sel = np.nonzero(mask)[0]
+        texts = batch.column(text_col).take(pa.array(sel)).to_pylist()
         return pa.table(
             {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
+                "jid": pa.array(ids[sel], pa.int64()),
+                "pkey": pa.array([""] * len(sel), pa.string()),
+                "sh": pa.array(
+                    [_shingle_hashes(t or "").tolist() for t in texts],
+                    pa.list_(pa.uint64()),
+                ),
             }
         )
 
-    # exact verify: shingle only the candidate docs
-    need = sorted({i for p in pair_set for i in p})
-    texts = {}
-    for row in ds.map_batches(
-        lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
-    ).take_all():
-        if row[id_col] in set(need):
-            texts[row[id_col]] = row[text_col]
-    out_a, out_b, out_j = [], [], []
-    sh_cache = {i: set(_shingle_hashes(texts.get(i, "") or "").tolist()) for i in need}
-    for a_id, b_id in pair_set:
-        sa, sb = sh_cache[a_id], sh_cache[b_id]
+    sh_ds = ds.map_batches(_cand_shingles, batch_format="pyarrow")
+
+    def _halves(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        pk = [f"{x}_{y}" for x, y in zip(a, b)]
+        return pa.table(
+            {
+                "jid": pa.array(np.concatenate([a, b]).astype(np.int64), pa.int64()),
+                "pkey": pa.array(pk + pk, pa.string()),
+                "sh": pa.array([None] * (2 * len(pk)), pa.list_(pa.uint64())),
+            }
+        )
+
+    halves = pairs.map_batches(_halves, batch_format="pyarrow")
+
+    def _attach(group: pa.Table) -> pa.Table:
+        pk = group.column("pkey").to_pylist()
+        sh_col = group.column("sh").to_pylist()
+        doc_sh = None
+        out_pk = []
+        for p, s in zip(pk, sh_col):
+            if p == "":
+                doc_sh = s
+            else:
+                out_pk.append(p)
+        if doc_sh is None:  # candidate id absent from the corpus
+            doc_sh = []
+        return pa.table(
+            {
+                "pkey": pa.array(out_pk, pa.string()),
+                "sh": pa.array([doc_sh] * len(out_pk), pa.list_(pa.uint64())),
+            }
+        )
+
+    att = sh_ds.union(halves).groupby("jid").map_groups(
+        _attach, batch_format="pyarrow"
+    )
+
+    def _jaccard(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:
+            return empty
+        pk = group.column("pkey")[0].as_py()
+        sh = group.column("sh").to_pylist()
+        sa, sb = set(sh[0] or []), set(sh[1] or [])
         union = len(sa | sb)
         j = (len(sa & sb) / union) if union else 0.0
-        if j >= jaccard_threshold:
-            out_a.append(a_id)
-            out_b.append(b_id)
-            out_j.append(round(j, 4))
-    return pa.table(
-        {
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
-    )
+        if j < threshold:
+            return empty
+        a_id, b_id = pk.split("_")
+        return pa.table(
+            {
+                "id_a": pa.array([int(a_id)], pa.int64()),
+                "id_b": pa.array([int(b_id)], pa.int64()),
+                "jaccard": pa.array([round(j, 4)], pa.float64()),
+            }
+        )
+
+    return att.groupby("pkey").map_groups(_jaccard, batch_format="pyarrow")
 
 
 def simhash_table(
@@ -178,67 +359,99 @@ def simhash_table(
     return ds.map_batches(_sh, batch_format="pyarrow")
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances between two uint64 vectors, vectorized
+    (byte-view XOR + popcount lookup): (len(a), len(b)) uint16."""
+    x = a[:, None] ^ b[None, :]
+    return _POPCOUNT8[x.view(np.uint8).reshape(len(a), len(b), 8)].sum(
+        axis=2, dtype=np.uint16
+    )
+
+
 def simhash_dup_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 8192,
 ) -> pa.Table:
     """SimHash near-dup pairs: bucket by 4 × 16-bit simhash bands (a pair
     within Hamming distance ≤ max_hamming < 4 bands must agree on ≥1 band),
-    verify Hamming distance exactly within buckets."""
+    verify Hamming distance exactly within buckets.
+
+    Per-bucket verification is vectorized (XOR byte-view + popcount table,
+    chunked so memory stays O(chunk × bucket)); buckets above max_bucket are
+    deterministically truncated with the drop count surfaced, and pair dedup
+    across bands is a distributed groupby — the driver only ever holds the
+    final pair set.
+    """
     sims = simhash_table(ds, id_col, text_col)
 
     def _bands(batch: pa.Table) -> pa.Table:
-        ids_out, band_out, key_out, sim_out = [], [], [], []
-        ids = batch.column(id_col).to_pylist()
-        vals = batch.column("simhash").to_pylist()
-        for i, v in enumerate(vals):
-            for bnd in range(4):
-                ids_out.append(ids[i])
-                band_out.append(bnd)
-                key_out.append((v >> (16 * bnd)) & 0xFFFF)
-                sim_out.append(v)
+        n = batch.num_rows
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vals = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = np.empty((n, 4), dtype=np.int64)
+        for bnd in range(4):
+            keys[:, bnd] = ((vals >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
         return pa.table(
             {
-                id_col: pa.array(ids_out),
-                "band": pa.array(band_out, pa.int32()),
-                "key": pa.array(key_out, pa.int64()),
-                "simhash": pa.array(sim_out, pa.uint64()),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "key": pa.array(keys.reshape(-1)),
+                "simhash": pa.array(np.repeat(vals, 4), pa.uint64()),
             }
         )
 
     def _pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column(id_col).to_pylist(), group.column("simhash").to_pylist())
-        )
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        dropped = 0
+        if len(ids) > max_bucket:
+            dropped = len(ids) - max_bucket
+            ids, sh = ids[:max_bucket], sh[:max_bucket]
         out_a, out_b, out_d = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = bin(rows[i][1] ^ rows[j][1]).count("1")
-                if d <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-                    out_d.append(d)
-        return pa.table(
-            {
-                "id_a": pa.array(out_a),
-                "id_b": pa.array(out_b),
-                "hamming": pa.array(out_d, pa.int32()),
-            }
-        )
+        for i0 in range(0, len(ids), 256):  # chunked: memory O(256 × bucket)
+            i1 = min(i0 + 256, len(ids))
+            d = _hamming_matrix(sh[i0:i1], sh)
+            ii, jj = np.nonzero(d <= max_hamming)
+            keep = (ii + i0) < jj  # upper triangle only
+            out_a.append(ids[ii[keep] + i0])
+            out_b.append(ids[jj[keep]])
+            out_d.append(d[ii[keep], jj[keep]].astype(np.int64))
+        id_a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        id_b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        dist = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        tbl = _pairs_table(id_a, id_b, dropped)
+        ham = dist
+        if dropped:
+            ham = np.concatenate([ham, [-1]])
+        return tbl.append_column("hamming", pa.array(ham.astype(np.int32), pa.int32()))
 
     cand = (
         sims.map_batches(_bands, batch_format="pyarrow")
         .groupby(["band", "key"])
         .map_groups(_pairs, batch_format="pyarrow")
-        .take_all()
     )
-    uniq = sorted({(r["id_a"], r["id_b"], r["hamming"]) for r in cand})
+    pairs, n_dropped = _dedup_pairs(cand)
+    if n_dropped:
+        print(
+            f"# simhash_dup_pairs: {n_dropped} ids dropped from oversize "
+            f"buckets (max_bucket={max_bucket}) — recall is bounded, not exact"
+        )
+    rows = pairs.take_all()  # final result set only
+    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
     return pa.table(
         {
-            "id_a": pa.array([r[0] for r in uniq], pa.int64()),
-            "id_b": pa.array([r[1] for r in uniq], pa.int64()),
-            "hamming": pa.array([r[2] for r in uniq], pa.int32()),
+            "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+            "hamming": pa.array([r["hamming"] for r in rows], pa.int32()),
         }
     )

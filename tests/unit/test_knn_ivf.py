@@ -1,0 +1,95 @@
+"""kNN / ANN operators: brute-force parity of the block-pair exact search,
+tie-break determinism, and IVF probe recall vs the brute-force baseline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawlray.ops.knn import (
+    ivf_search_knn,
+    knn_cosine,
+    similar_pairs_cosine,
+)
+
+
+def _vecs(n=200, dim=16, seed=3, n_clusters=8):
+    """Deterministic clustered vectors (so IVF has real structure)."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    assign = rng.randint(0, n_clusters, size=n)
+    m = centers[assign] + 0.15 * rng.randn(n, dim)
+    return m, centers
+
+
+def _ds(m):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float64())),
+        }
+    )
+    return ray.data.from_arrow(tbl), tbl
+
+
+def _brute_pairs(m, threshold):
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    out = set()
+    for i in range(len(m)):
+        for j in range(i + 1, len(m)):
+            if sims[i, j] >= threshold:
+                out.add((i, j))
+    return out
+
+
+def test_similar_pairs_exact_vs_brute_force(ray_session):
+    m, _ = _vecs()
+    ds, _ = _ds(m)
+    # tiny blocks force the multi-block (cross-block-task) path
+    got = similar_pairs_cosine(ds, threshold=0.9, rows_per_block=32)
+    got_pairs = set(zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist()))
+    assert got_pairs == _brute_pairs(m, 0.9)
+    # sorted output
+    ids = list(zip(got.column("id_a").to_pylist(), got.column("id_b").to_pylist()))
+    assert ids == sorted(ids)
+
+
+def test_knn_tie_break_is_block_layout_independent(ray_session):
+    import ray.data
+
+    # duplicate embeddings → exact sim ties; the winner must be the smaller
+    # neighbor_id regardless of how rows are split into blocks
+    base = np.eye(4)
+    m = np.concatenate([base, base, base])  # ids 0..11, three copies of each
+    _, tbl = _ds(m)
+    q = m[:2]
+    qids = np.array([100, 101])
+    results = []
+    for nblocks in (1, 3, 6):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = knn_cosine(ds, q, qids, k=3, exclude_self=False)
+        results.append(
+            list(zip(out.column("query_id").to_pylist(), out.column("neighbor_id").to_pylist()))
+        )
+    assert results[0] == results[1] == results[2]
+    # query 0 == vectors 0, 4, 8 exactly → ties broken by ascending id
+    assert [n for qq, n in results[0] if qq == 100] == [0, 4, 8]
+
+
+def test_ivf_search_recall(ray_session):
+    m, centers = _vecs(n=400)
+    ds, _ = _ds(m)
+    q = m[:20]
+    qids = np.arange(20, dtype=np.int64)
+    exact = knn_cosine(ds, q, qids, k=5)
+    approx = ivf_search_knn(ds, centers, q, qids, k=5, nprobe=3)
+    exact_set = set(zip(exact.column("query_id").to_pylist(), exact.column("neighbor_id").to_pylist()))
+    approx_set = set(zip(approx.column("query_id").to_pylist(), approx.column("neighbor_id").to_pylist()))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # clustered data + nprobe=3 of 8 buckets: recall must be high (deterministic)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
+    # determinism
+    approx2 = ivf_search_knn(ds, centers, q, qids, k=5, nprobe=3)
+    assert approx.equals(approx2)
