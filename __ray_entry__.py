@@ -188,6 +188,24 @@ def _join_agg(sf_dir: str):
     return _round_cols(out, {"revenue": 2})
 
 
+def _shuffle_join(sf_dir: str):
+    """O-27 at scale: large-large shuffle hash join lineitem ⋈ orders (both
+    fact tables; neither side broadcast — `Dataset.join` hash-partitions
+    both and joins each partition independently)."""
+    from crawlray.ops.relational import shuffle_join
+
+    li = _rd(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+    orders = _rd(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    out = shuffle_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+    return out.select_columns(
+        ["l_orderkey", "l_quantity", "l_extendedprice", "o_orderstatus", "o_totalprice"]
+    )
+
+
 def _anti_join(sf_dir: str):
     """O-26 kernel: anti join — customers with no completed ('F') orders."""
     from crawlray.ops.relational import broadcast_semi_anti
@@ -447,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sort_topk": _global_sort_topk,
         "hash_join": _hash_join,
         "join_agg": _join_agg,
+        "shuffle_join": _shuffle_join,
         "anti_join": _anti_join,
         "distinct_types": _distinct_types,
         "union_all": _union_all,
@@ -508,6 +527,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "shuffle_join": """
+            SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice,
+                   o.o_orderstatus, o.o_totalprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         """,
         "anti_join": """
             SELECT * FROM customer

@@ -43,6 +43,42 @@ def broadcast_join(
     return big.map_batches(_join, batch_format="pyarrow")
 
 
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    right_on: list[str] | None = None,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Large-large distributed join: hash-shuffle BOTH sides on the key
+    (`ray.data.Dataset.join`, present since Ray 2.46; each of the
+    `num_partitions` key ranges is joined independently by an aggregator
+    actor, so neither side is ever materialized on one node).
+
+    Chooser — which join to use:
+      * one side fits comfortably in a worker's heap (dimension table,
+        lookup set): `broadcast_join` — no shuffle at all, the big side
+        streams;
+      * both sides large (fact ⋈ fact, e.g. documents ⋈ crawl_log at full
+        corpus scale): this — O(|L|+|R|) network, bounded per-partition
+        memory; raise `num_partitions` until a partition of the LARGER side
+        fits in an aggregator's heap;
+      * key skew: pre-salt the hot keys (append `url_hash_lo % S` to the
+        key columns of both sides for the hot-key subset) before calling.
+    """
+    if num_partitions is None:
+        # ~1 partition per CPU: each is joined by one aggregator task
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on is not None else None,
+    )
+
+
 def broadcast_semi_anti(
     big: ray.data.Dataset,
     key: str,
