@@ -197,6 +197,9 @@ def run_crawl(
     out_dir: str | None = None,
     stop_after_wave: int | None = None,
     frontier_rows_per_block: int = 16384,
+    priority_policy=None,
+    frontier_steps=None,
+    doc_steps=None,
     _resume_state: dict | None = None,
 ) -> CrawlResult:
     """Run a full crawl. Caller owns the Ray session (never inits here).
@@ -209,7 +212,17 @@ def run_crawl(
     seen deltas, host state, lineage; `_SUCCESS`-committed — see
     crawlray/checkpoint.py). `stop_after_wave`: stop after committing that
     wave (testing hook for resume equivalence).
+    `priority_policy`: a crawlray.steps.PriorityPolicy (O-48) assigning each
+    frontier row's order key (admission + seq rank); None = BFS (disc_key),
+    bit-for-bit the reference ordering. `frontier_steps`/`doc_steps`:
+    registered PipelineStep names or callables (O-45) composed into the
+    wave at the frontier / parsed-document hook points.
     """
+    from crawlray.steps import resolve_steps
+
+    frontier_steps = resolve_steps(frontier_steps)
+    doc_steps = resolve_steps(doc_steps)
+    policy_name = getattr(priority_policy, "name", None if priority_policy is None else "custom")
     import crawlray
 
     _t_start = time.time()
@@ -344,9 +357,13 @@ def run_crawl(
             None, enrich, seen_actors, num_seen_shards, max_depth,
             doc_root, i, max_pages is not None,
             (urls_idx_ref, perm_idx_ref, webgraph_refs),
+            doc_steps or None,
         )
         for i in range(n_fetchers)
     ]
+    # shipped once; each mark task reads them zero-copy from the store
+    fsteps_ref = ray.put(frontier_steps) if frontier_steps else None
+    policy_ref = ray.put(priority_policy) if priority_policy is not None else None
     chunk_rows = max(16, int(fetch_batch_size))
 
     all_log_refs: list = []
@@ -369,6 +386,7 @@ def run_crawl(
             "carryover_tokens": carryover_tokens,
             "user_agent": user_agent,
             "webgraph_fingerprint": web_fp,
+            "priority_policy": policy_name or "bfs",
         }
         checkpointer = Checkpointer(out_dir, cfg)
 
@@ -407,7 +425,10 @@ def run_crawl(
         # A: robots mask + politeness offers, one task per frontier block
         live = [r for r, c in zip(frontier_refs, frontier_counts) if c > 0]
         marked_refs = [
-            mark_block_task.remote(r, robots_actors, polite_actors) for r in live
+            mark_block_task.remote(
+                r, robots_actors, polite_actors, wave, fsteps_ref, policy_ref
+            )
+            for r in live
         ]
         ray.wait(marked_refs, num_returns=len(marked_refs), fetch_local=False)
 
@@ -582,6 +603,9 @@ def resume_crawl(
     fetch_concurrency=None,
     fetch_batch_size: int = 512,
     stop_after_wave: int | None = None,
+    priority_policy=None,
+    frontier_steps=None,
+    doc_steps=None,
 ) -> CrawlResult:
     """Resume a checkpointed crawl from its newest committed wave (O-6, §3.3).
 
@@ -613,6 +637,14 @@ def resume_crawl(
                 f"fingerprint {want_fp}, caller supplied {got_fp} — resuming "
                 f"would continue against a different web"
             )
+    want_pol = cfg.get("priority_policy", "bfs")
+    got_pol = getattr(priority_policy, "name", None if priority_policy is None else "custom")
+    if (got_pol or "bfs") != want_pol:
+        raise ValueError(
+            f"resume priority-policy mismatch: checkpoint was written with "
+            f"{want_pol!r}, caller supplied {got_pol or 'bfs'!r} — resuming "
+            f"would change admission/seq ordering mid-crawl"
+        )
     Checkpointer.clean_uncommitted(out_dir)
     waves = Checkpointer.committed_waves(out_dir)
     if not waves:
@@ -661,6 +693,9 @@ def resume_crawl(
         fetch_batch_size=fetch_batch_size,
         out_dir=out_dir,
         stop_after_wave=stop_after_wave,
+        priority_policy=priority_policy,
+        frontier_steps=frontier_steps,
+        doc_steps=doc_steps,
         _resume_state={
             "frontier_tbl": frontier_tbl,
             "wave0": last + 1,

@@ -99,26 +99,44 @@ def _group_by_shard(shards: np.ndarray) -> dict[int, np.ndarray]:
 # --------------------------------------------------------------------------
 
 
-def mark_block(batch: pa.Table, robots_actors, polite_actors) -> pa.Table:
-    """Adds an `allowed` robots mask and registers politeness offers for
-    allowed rows — two batched RPC fan-outs. The robots actors bank the
-    denied disc_keys and the politeness actors the offered keys, so after
+def mark_block(
+    batch: pa.Table,
+    robots_actors,
+    polite_actors,
+    wave: int = 0,
+    frontier_steps=None,
+    policy=None,
+) -> pa.Table:
+    """Applies the registered frontier steps, assigns each row's ORDER KEY
+    (`okey`, from the priority policy — O-48; BFS default = disc_key), adds
+    an `allowed` robots mask, and registers politeness offers for allowed
+    rows — two batched RPC fan-outs. The robots actors bank the denied
+    okeys and the politeness actors the offered okeys, so after
     decide_and_drain() the driver recovers the wave's full logged key-set
     from the actors without touching the data again."""
+    for st in frontier_steps or ():
+        batch = st(batch)
     n = batch.num_rows
     if n == 0:
-        return batch.append_column("allowed", pa.array([], pa.bool_()))
+        return batch.append_column("okey", pa.array([], pa.int64())).append_column(
+            "allowed", pa.array([], pa.bool_())
+        )
+    okey = (
+        batch.column("disc_key").to_numpy().astype(np.int64)
+        if policy is None
+        else np.asarray(policy(batch, wave), dtype=np.int64)
+    )
+    batch = batch.append_column("okey", pa.array(okey, pa.int64()))
     n_r = len(robots_actors)
     n_p = len(polite_actors)
     hosts = batch.column("host").to_pylist()
     urls = batch.column("url").to_pylist()
-    disc = batch.column("disc_key").to_numpy()
 
     rshards = np.array([robots_shard_of(h, n_r) for h in hosts])
     rgroups = _group_by_shard(rshards)
     futs = {
         s: robots_actors[s].allowed.remote(
-            [hosts[i] for i in idxs], [urls[i] for i in idxs], disc[idxs]
+            [hosts[i] for i in idxs], [urls[i] for i in idxs], okey[idxs]
         )
         for s, idxs in rgroups.items()
     }
@@ -131,7 +149,7 @@ def mark_block(batch: pa.Table, robots_actors, polite_actors) -> pa.Table:
         pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
         ofuts = [
             polite_actors[s].offer.remote(
-                [hosts[aidx[j]] for j in idxs], disc[aidx[idxs]]
+                [hosts[aidx[j]] for j in idxs], okey[aidx[idxs]]
             )
             for s, idxs in _group_by_shard(pshards).items()
         ]
@@ -140,8 +158,11 @@ def mark_block(batch: pa.Table, robots_actors, polite_actors) -> pa.Table:
 
 
 @ray.remote(num_cpus=0.5)
-def mark_block_task(block: pa.Table, robots_actors, polite_actors) -> pa.Table:
-    return mark_block(block, robots_actors, polite_actors)
+def mark_block_task(
+    block: pa.Table, robots_actors, polite_actors, wave: int = 0,
+    frontier_steps=None, policy=None,
+) -> pa.Table:
+    return mark_block(block, robots_actors, polite_actors, wave, frontier_steps, policy)
 
 
 # --------------------------------------------------------------------------
@@ -277,6 +298,7 @@ class FetchParseStage:
         actor_idx: int = 0,
         defer_offers: bool = False,
         web_index_refs: tuple | None = None,
+        doc_steps=None,
     ):
         if web_index_refs is not None:
             # scale path: pre-sorted shared url index (built ONCE by
@@ -310,6 +332,7 @@ class FetchParseStage:
         self.doc_root = doc_root
         self.actor_idx = actor_idx
         self.defer_offers = defer_offers
+        self.doc_steps = list(doc_steps or ())  # registered document steps
         self._doc_buf: list[pa.Table] = []
         self._link_buf: list[pa.Table] = []  # only when defer_offers
         self._pending_offers: list = []
@@ -447,6 +470,8 @@ class FetchParseStage:
                     "simhash": fetched.column("simhash"),
                 }
             )
+            for st in self.doc_steps:  # O-45 document hook, in-actor
+                doc_tbl = st(doc_tbl)
             self._doc_buf.append(doc_tbl)
         if self.defer_offers:
             # budget path: bank discoveries with parent seq attached so the
@@ -586,7 +611,7 @@ def fetch_block_task(
         return LOG_SCHEMA.empty_table(), empty_def, _empty_counts()
     n = block.num_rows
     allowed = block.column("allowed").to_numpy(zero_copy_only=False)
-    disc = block.column("disc_key").to_numpy()
+    okey = block.column("okey").to_numpy()
     hosts = np.asarray(block.column("host").to_pylist(), dtype=np.str_)
 
     thr = np.full(n, NO_ADMIT, np.int64)
@@ -595,10 +620,12 @@ def fetch_block_task(
         pos_c = np.minimum(pos, len(thr_hosts) - 1)
         m = thr_hosts[pos_c] == hosts
         thr[m] = thr_vals[pos_c[m]]
-    admitted = allowed & (disc <= thr)
+    admitted = allowed & (okey <= thr)
     deferred_mask = allowed & ~admitted
 
-    seq = np.searchsorted(logged_keys, disc).astype(np.int64) + seq_base
+    # seq = rank of the row's ORDER KEY in the wave's logged key-set
+    # (okey = disc_key under the default BFS policy — RBC-7)
+    seq = np.searchsorted(logged_keys, okey).astype(np.int64) + seq_base
     base_tbl = block.select(["url", "host", "depth", "disc_key"]).append_column(
         "seq", pa.array(seq, pa.int64())
     )
