@@ -407,6 +407,17 @@ def _ann_ivf(sf_dir: str):
     return out.select_columns(["vec_id", "bucket"])
 
 
+def _approx_distinct(sf_dir: str):
+    """O-32 HLL approx-distinct of events.user_id (rows-only: an estimate by
+    construction; ±2% accuracy vs exact asserted in tests/unit/test_sketch.py).
+    The same sketch rides along in the crawl's seen shards for frontier
+    cardinality metrics at 10^10-URL scale."""
+    from crawlray.ops.sketch import approx_distinct
+
+    est = approx_distinct(_rd(sf_dir, "events"), "user_id")
+    return pa.table({"estimate": pa.array([int(est)], pa.int64())})
+
+
 def _ann_ivf_search(sf_dir: str):
     """IVF ANN end-to-end (rows-only): nearest-centroid bucketing + per-bucket
     probe search for the first 10 vectors (nprobe=3). Recall vs the exact
@@ -485,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _simhash_dedup,
         "ann_ivf": _ann_ivf,
         "ann_ivf_search": _ann_ivf_search,
+        "approx_distinct": _approx_distinct,
         "media_decode": _media_decode,
         "crawl_smoke": _crawl_smoke,
     }

@@ -28,6 +28,7 @@ import ray
 
 from crawlray.cuckoo import CuckooFilter
 from crawlray.murmur3 import murmur3_x64_128
+from crawlray.ops.sketch import HLL
 
 
 @ray.remote(num_cpus=0)
@@ -36,6 +37,9 @@ class SeenShardActor:
         self.shard_id = shard_id
         self.exact: set[tuple[int, int]] = set()
         self.cuckoo = CuckooFilter(cuckoo_capacity)
+        # metrics-only cardinality sketch (O-32): registers ride along for
+        # ~4 KB/shard; merged driver-side once per crawl, never per row
+        self.hll = HLL(12)
         self.wave_added: set[tuple[int, int]] = set()
         self._offer_urls: list[list[str]] = []
         self._offer_packs: list[np.ndarray] = []
@@ -118,6 +122,7 @@ class SeenShardActor:
             packs.append(p)
             los.append(lo)
             his.append(hi)
+        self.hll.add_hashes(np.asarray(los, dtype=np.uint64))
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
@@ -152,6 +157,7 @@ class SeenShardActor:
             self.delta_urls.append(urls[i])
             self.delta_hashes.append(k)
             new[i] = True
+        self.hll.add_hashes(np.asarray(lo, dtype=np.uint64)[new])
         return new
 
     def contains(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
@@ -187,4 +193,9 @@ class SeenShardActor:
             if k not in self.exact:
                 self.exact.add(k)
                 self.cuckoo.add(k[0], k[1])
+        self.hll.add_hashes(np.asarray(lo, dtype=np.uint64))
         return len(self.exact)
+
+    def hll_registers(self) -> bytes:
+        """This shard's HLL partial (merged driver-side by register max)."""
+        return self.hll.registers.tobytes()

@@ -277,6 +277,11 @@ def run_crawl(
         )
         for i in range(num_host_shards)
     ]
+    from crawlray.actors.metrics import MetricsActor
+
+    metrics_actor = MetricsActor.remote()
+    if _resume_state is not None and _resume_state.get("counters"):
+        ray.get(metrics_actor.load.remote(_resume_state["counters"]))
 
     _t_actors = time.time()
     fetched_total = 0
@@ -358,6 +363,7 @@ def run_crawl(
             doc_root, i, max_pages is not None,
             (urls_idx_ref, perm_idx_ref, webgraph_refs),
             doc_steps or None,
+            metrics_actor,
         )
         for i in range(n_fetchers)
     ]
@@ -536,6 +542,9 @@ def run_crawl(
             }
         )
         if checkpointer is not None:
+            # checkpoint path already pays RPC rounds: include the O-24
+            # counter snapshot so it persists with the committed wave
+            metrics["waves"][-1]["counters"] = ray.get(metrics_actor.snapshot.remote())
             checkpointer.commit_wave(
                 wave=wave,
                 frontier_next=(
@@ -569,6 +578,15 @@ def run_crawl(
         documents = ray.data.from_arrow(DOCUMENTS.empty_table())
     metrics["fetched_total"] = fetched_total
     metrics["doc_root"] = doc_root
+    # final counter snapshot (O-24) + seen-set cardinality estimate (O-32):
+    # one RPC round each, after the wave loop — never inside it
+    metrics["counters"] = ray.get(metrics_actor.snapshot.remote())
+    from crawlray.ops.sketch import HLL
+
+    merged_hll = HLL(12)
+    for regs in ray.get([a.hll_registers.remote() for a in seen_actors]):
+        merged_hll.merge(HLL(12, np.frombuffer(regs, dtype=np.uint8).copy()))
+    metrics["seen_url_estimate"] = int(merged_hll.estimate())
     if _profile:
         busy = ray.get([f.busy_seconds.remote() for f in fetcher_actors])
         print(
@@ -589,7 +607,7 @@ def run_crawl(
         fetched_total=fetched_total,
         metrics=metrics,
         _seen_actors=seen_actors,
-        _all_actors=seen_actors + robots_actors + polite_actors,
+        _all_actors=seen_actors + robots_actors + polite_actors + [metrics_actor],
     )
 
 
@@ -703,6 +721,7 @@ def resume_crawl(
             "fetched_total": meta["fetched_total_after"],
             "seen_hashes": seen_hashes,
             "host_state": host_state,
+            "counters": meta.get("metrics", {}).get("counters"),
         },
     )
     log_ds, doc_ds = Checkpointer.read_results(out_dir)

@@ -1,0 +1,111 @@
+"""Approximate-distinct sketches (SURVEY.md O-32): HyperLogLog.
+
+Flajolet et al.'s HLL with the standard small-range (linear counting)
+correction. Partial registers are computed per batch inside `map_batches`
+(numpy-vectorized) and merged by register-wise max — the classic
+commutative/idempotent sketch merge, so task retries and arbitrary block
+orders cannot skew the estimate. Driver-side state is one `m = 2^p`-byte
+register array per merge site, never rows.
+
+Used for frontier/seen-set cardinality metrics at 10^10-URL scale, where an
+exact count per wave would mean counting across every seen shard; the HLL
+rides along for ~4 KB per shard (p=12 → ±1.6% typical error). The exact
+seen set remains authoritative for crawl semantics — the sketch is
+metrics-only (non-authoritative by design, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — turns arbitrary int64/uint64 values
+    into well-mixed uint64 hashes (public-domain algorithm, Steele et al.)."""
+    z = x.astype(np.uint64) + _SPLITMIX_GAMMA
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+class HLL:
+    """HyperLogLog over 64-bit hashes. p register-index bits, m = 2^p
+    registers of rank (leading-zero count of the remaining 64-p bits + 1)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        if not 4 <= p <= 16:
+            raise ValueError("p must be in [4, 16]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            np.zeros(self.m, dtype=np.uint8) if registers is None else registers
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Vectorized update from pre-hashed uint64 values."""
+        if len(h) == 0:
+            return
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of `rest` + 1, exact via a shift-and-compare
+        # ladder (no float log hazards; 6 vectorized passes)
+        lz = np.zeros(len(rest), dtype=np.uint8)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = v < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += np.uint8(shift)
+            v[mask] <<= np.uint64(shift)
+        rank = lz.astype(np.uint8) + np.uint8(1)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        s = np.sum(np.exp2(-self.registers.astype(np.float64)))
+        e = alpha * m * m / s
+        if e <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting
+        return float(e)
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Column → uint64 hashes: splitmix64 for integer columns, murmur3_128
+    low word for strings (same kernel the seen set keys on)."""
+    typ = col.type
+    if pa.types.is_integer(typ):
+        vals = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return splitmix64(vals)
+    from crawlray.murmur3 import hash_urls_128
+
+    lo, _hi = hash_urls_128(col.to_pylist())
+    return lo
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, col: str, p: int = 12
+) -> float:
+    """HLL cardinality estimate of a Dataset column. One map pass emitting
+    a 2^p-byte partial per block; driver merges registers (never rows)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_hashes(_hash_column(batch.column(col).combine_chunks()))
+        return pa.table({"registers": pa.array([h.registers.tobytes()], pa.binary())})
+
+    merged = HLL(p)
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        merged.merge(HLL(p, np.frombuffer(row["registers"], dtype=np.uint8).copy()))
+    return merged.estimate()

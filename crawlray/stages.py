@@ -299,6 +299,7 @@ class FetchParseStage:
         defer_offers: bool = False,
         web_index_refs: tuple | None = None,
         doc_steps=None,
+        metrics_actor=None,
     ):
         if web_index_refs is not None:
             # scale path: pre-sorted shared url index (built ONCE by
@@ -333,6 +334,10 @@ class FetchParseStage:
         self.actor_idx = actor_idx
         self.defer_offers = defer_offers
         self.doc_steps = list(doc_steps or ())  # registered document steps
+        self.metrics_actor = metrics_actor  # O-24 counter sink (optional)
+        self._wave_fetched = 0
+        self._wave_errors = 0
+        self._busy_pushed = 0.0
         self._doc_buf: list[pa.Table] = []
         self._link_buf: list[pa.Table] = []  # only when defer_offers
         self._pending_offers: list = []
@@ -459,6 +464,8 @@ class FetchParseStage:
             return full.select(["url", "host", "depth", "disc_key", "seq", "status", "n_out"])
         full = self(chunk)
         fetched = full.filter(pc.equal(full.column("status"), "fetched"))
+        self._wave_fetched += fetched.num_rows
+        self._wave_errors += full.num_rows - fetched.num_rows
         if fetched.num_rows:
             doc_tbl = pa.table(
                 {
@@ -548,6 +555,19 @@ class FetchParseStage:
                 )
                 n = docs.num_rows
         self._chunks_done = set()
+        if self.metrics_actor is not None:
+            # fire-and-forget: counters must never add a wave barrier
+            self.metrics_actor.incr.remote(
+                {
+                    "pages_fetched": self._wave_fetched,
+                    "fetch_errors": self._wave_errors,
+                    "docs_written": n,
+                    "fetcher_busy_s": round(self._busy - self._busy_pushed, 3),
+                }
+            )
+            self._wave_fetched = 0
+            self._wave_errors = 0
+            self._busy_pushed = self._busy
         return n
 
 
