@@ -110,10 +110,63 @@ def cmd_verify(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_submit(args) -> int:
+    """Package the crawl as a `ray job submit` job (north_rule: "run via ray
+    job submit on a fixed-size multi-node Ray cluster").
+
+    Builds the entrypoint (`python -m crawlray.cli run ...` with the crawl
+    flags forwarded) and a runtime_env shipping this repo as the job's
+    working_dir, then submits via the Ray Job Submission API. With
+    `--dry-run` (or when no cluster/dashboard exists, as in this sandbox)
+    it prints the exact submission instead: the entrypoint string is the
+    contract — tests/unit/test_cli_submit.py executes it standalone to
+    prove that what would be submitted actually runs."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    entry_flags = [
+        "--shape", str(args.shape), "--seed", str(args.seed),
+        "--n-urls", str(args.n_urls), "--n-hosts", str(args.n_hosts),
+        "--n-seeds", str(args.n_seeds), "--budget", str(args.budget),
+    ]
+    if args.max_depth is not None:
+        entry_flags += ["--max-depth", str(args.max_depth)]
+    if args.max_pages is not None:
+        entry_flags += ["--max-pages", str(args.max_pages)]
+    if args.out:
+        entry_flags += ["--out", args.out]
+    entrypoint = "python -m crawlray.cli run " + " ".join(entry_flags)
+    runtime_env = {
+        "working_dir": repo,
+        "excludes": ["tests/", "BENCH/", ".git/", "*.md"],
+    }
+    submission = {
+        "entrypoint": entrypoint,
+        "runtime_env": runtime_env,
+        "address": args.address,
+        "equivalent_cli": (
+            f"ray job submit --address {args.address or '<cluster>'} "
+            f"--working-dir {repo} -- {entrypoint}"
+        ),
+    }
+    if args.dry_run or not args.address:
+        print(json.dumps(submission))
+        return 0
+    from ray.job_submission import JobSubmissionClient
+
+    client = JobSubmissionClient(args.address)
+    job_id = client.submit_job(entrypoint=entrypoint, runtime_env=runtime_env)
+    print(json.dumps({"job_id": job_id, **submission}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="crawlray")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name, fn in (("run", cmd_run), ("resume", cmd_resume), ("verify", cmd_verify)):
+    for name, fn in (
+        ("run", cmd_run), ("resume", cmd_resume), ("verify", cmd_verify),
+        ("submit", cmd_submit),
+    ):
         p = sub.add_parser(name)
         p.set_defaults(fn=fn)
         p.add_argument("--shape", default="zipf_hosts")
@@ -126,6 +179,9 @@ def main(argv=None) -> int:
         p.add_argument("--max-pages", type=int, default=None)
         p.add_argument("--num-cpus", type=int, default=None)
         p.add_argument("--out", default=None)
+        if name == "submit":
+            p.add_argument("--address", default=None, help="Ray dashboard URL")
+            p.add_argument("--dry-run", action="store_true")
     args = ap.parse_args(argv)
     if args.cmd == "resume" and not args.out:
         ap.error("resume requires --out")
