@@ -55,8 +55,11 @@ class HostPolitenessActor:
         self._offer_hosts = []
         self._offer_keys = []
 
-    def offer(self, hosts: list[str], disc_keys) -> None:
-        # O(1): buffer; the combine runs vectorized at decide_and_drain
+    def offer(self, hosts, disc_keys) -> None:
+        # O(1): buffer; the combine runs vectorized at decide_and_drain.
+        # hosts: pa.Array (arrow wire format) or plain list.
+        if not isinstance(hosts, list):
+            hosts = hosts.to_pylist()
         self._offer_hosts.append(hosts)
         self._offer_keys.append(np.asarray(disc_keys, dtype=np.int64))
 

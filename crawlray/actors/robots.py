@@ -61,8 +61,13 @@ class RobotsCacheActor:
         self._denied_keys: list[np.ndarray] = []
 
     def allowed(
-        self, hosts: list[str], urls: list[str], disc_keys: np.ndarray | None = None
+        self, hosts, urls, disc_keys: np.ndarray | None = None
     ) -> np.ndarray:
+        """hosts/urls: pa.Array (arrow wire format) or plain lists."""
+        if not isinstance(hosts, list):
+            hosts = hosts.to_pylist()
+        if not isinstance(urls, list):
+            urls = urls.to_pylist()
         out = np.empty(len(urls), dtype=bool)
         for i, (h, u) in enumerate(zip(hosts, urls)):
             out[i] = self._rules(h).can_fetch(self.user_agent, u)

@@ -64,9 +64,13 @@ class SeenShardActor:
     # sort-based groupby shuffle over the full discovery stream (measured
     # ~45% of crawl wall time) with key-routed RPCs + per-shard combine.
 
-    def offer(self, urls: list[str], packs) -> None:
+    def offer(self, urls, packs) -> None:
         # O(1) per call: buffer the (already per-batch-combined) offer
         # arrays; the global min-combine runs vectorized at finish_wave.
+        # `urls` is a pa.Array (zero-copy out-of-band wire format) or a
+        # plain list from older callers/tests.
+        if isinstance(urls, list):
+            urls = pa.array(urls, pa.string())
         self._offer_urls.append(urls)
         self._offer_packs.append(np.asarray(packs, dtype=np.int64))
 
@@ -89,12 +93,9 @@ class SeenShardActor:
                     "url_hash_hi": pa.array([], pa.uint64()),
                 }
             )
-        flat_urls: list[str] = []
-        for chunk in self._offer_urls:
-            flat_urls.extend(chunk)
         offers = pa.table(
             {
-                "url": pa.array(flat_urls, pa.string()),
+                "url": pa.chunked_array(self._offer_urls),
                 "pack": pa.array(np.concatenate(self._offer_packs), pa.int64()),
             }
         )

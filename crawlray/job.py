@@ -200,6 +200,7 @@ def run_crawl(
     priority_policy=None,
     frontier_steps=None,
     doc_steps=None,
+    scratch_dir: str | None = None,
     _resume_state: dict | None = None,
 ) -> CrawlResult:
     """Run a full crawl. Caller owns the Ray session (never inits here).
@@ -339,9 +340,11 @@ def run_crawl(
     n_frontier = frontier_tbl.num_rows
 
     # documents land on disk, written by the fetcher actors per wave —
-    # partitioned, resumable output; span payloads never transit plasma
+    # partitioned, resumable output; span payloads never transit plasma.
+    # `scratch_dir` lets callers without a checkpoint root choose the
+    # filesystem (benches use tmpfs so the measurement isn't disk-bound)
     doc_root = out_dir if out_dir is not None else tempfile.mkdtemp(
-        prefix="crawlray_docs_", dir="/tmp"
+        prefix="crawlray_docs_", dir=scratch_dir or "/tmp"
     )
 
     # persistent fetch+parse pool: created once per CRAWL (not per wave —
@@ -467,10 +470,17 @@ def run_crawl(
         keys_ref = ray.put(logged_keys)
         _t = _tick("mark+decide", _t)
 
-        # B: gate + seq + fetch fan-out, one task per marked block.
+        # B: gate + seq + fetch DISPATCH, one task per marked block. The
+        # feeders return immediately with the chunk ObjectRefs (a feeder
+        # blocked in ray.get made Ray spawn 100+ replacement workers —
+        # stages.fetch_block_task docstring); the driver groups the refs
+        # into gather tasks and waits on their counts, which is the wave's
+        # fetch barrier without any worker held hostage.
         # Chunk size adapts to the wave: ~6 chunks per fetcher bounds the
         # end-of-wave straggler tail at ~1/6 of one actor's wave share
         # (a FIXED tail per wave would otherwise cap scaling efficiency).
+        from crawlray.stages import gather_log_task
+
         chunk_wave = int(min(chunk_rows, max(32, -(-n_admitted // (n_fetchers * 6)))))
         live_counts = [c for c in frontier_counts if c > 0]
         triples = []
@@ -483,13 +493,22 @@ def run_crawl(
                 )
             )
             chunk_off += -(-rows // chunk_wave)  # upper bound on block's chunks
-        log_refs = [t[0] for t in triples]
-        def_refs = [t[1] for t in triples]
-        counts = ray.get([t[2] for t in triples])
-        wave_fetched = sum(c["n_fetched"] for c in counts)
-        n_deferred = sum(c["n_deferred"] for c in counts)
+        metas = ray.get([t[0] for t in triples])  # dispatch metadata only
+        den_refs = [t[1] for t in triples]
+        def_refs = [t[2] for t in triples]
+        chunk_refs = [r for m in metas for r in m["chunk_refs"]]
+        n_admitted_blocks = sum(m["n_admitted"] for m in metas)
+        n_deferred = sum(m["n_deferred"] for m in metas)
         def_pairs = [
-            (r, c["n_deferred"]) for r, c in zip(def_refs, counts) if c["n_deferred"]
+            (r, m["n_deferred"]) for r, m in zip(def_refs, metas) if m["n_deferred"]
+        ]
+        gathers = [
+            gather_log_task.remote(*chunk_refs[off : off + 64])
+            for off in range(0, len(chunk_refs), 64)
+        ]
+        wave_fetched = sum(ray.get([g[1] for g in gathers]))  # fetch barrier
+        log_refs = [g[0] for g in gathers] + [
+            r for r, m in zip(den_refs, metas) if m["n_denied"]
         ]
         _t = _tick("gate+fetch", _t)
 
@@ -589,9 +608,15 @@ def run_crawl(
     metrics["seen_url_estimate"] = int(merged_hll.estimate())
     if _profile:
         busy = ray.get([f.busy_seconds.remote() for f in fetcher_actors])
+        phases = ray.get([f.phase_times.remote() for f in fetcher_actors])
+        agg: dict = {}
+        for ph in phases:
+            for k, v in ph.items():
+                agg[k] = agg.get(k, 0.0) + v
         print(
             f"#   fetchers: n={len(busy)} busy_sum={sum(busy):.1f}s "
-            f"min={min(busy):.2f} max={max(busy):.2f}",
+            f"min={min(busy):.2f} max={max(busy):.2f} "
+            f"phases={{{', '.join(f'{k}: {v:.1f}' for k, v in sorted(agg.items()))}}}",
             file=sys.stderr, flush=True,
         )
     # fetchers are never needed after the wave loop — release their CPUs now

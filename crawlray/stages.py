@@ -129,14 +129,20 @@ def mark_block(
     batch = batch.append_column("okey", pa.array(okey, pa.int64()))
     n_r = len(robots_actors)
     n_p = len(polite_actors)
-    hosts = batch.column("host").to_pylist()
-    urls = batch.column("url").to_pylist()
+    hosts = batch.column("host").to_pylist()  # py strings for shard routing
+    host_arr = batch.column("host").combine_chunks()
+    url_arr = batch.column("url").combine_chunks()
 
+    # RPC payloads are ARROW slices, not python string lists: arrow arrays
+    # pickle with out-of-band buffers (one memcpy), while list[str] pays
+    # per-string pickling — measured as a large, contention-sensitive cost
     rshards = np.array([robots_shard_of(h, n_r) for h in hosts])
     rgroups = _group_by_shard(rshards)
     futs = {
         s: robots_actors[s].allowed.remote(
-            [hosts[i] for i in idxs], [urls[i] for i in idxs], okey[idxs]
+            host_arr.take(pa.array(idxs, pa.int64())),
+            url_arr.take(pa.array(idxs, pa.int64())),
+            okey[idxs],
         )
         for s, idxs in rgroups.items()
     }
@@ -149,7 +155,7 @@ def mark_block(
         pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
         ofuts = [
             polite_actors[s].offer.remote(
-                [hosts[aidx[j]] for j in idxs], okey[aidx[idxs]]
+                host_arr.take(pa.array(aidx[idxs], pa.int64())), okey[aidx[idxs]]
             )
             for s, idxs in _group_by_shard(pshards).items()
         ]
@@ -180,9 +186,18 @@ _ENRICH_STOPWORDS = {
 def enrich_doc(text: str) -> tuple[str, int, int]:
     """Per-document enrichment for the training-data path: language-ID
     (stopword overlap), token count, and a 64-bit simhash over 3-gram token
-    shingles (crc32-hashed, bit-vote accumulated with numpy). This is the
-    per-page compute a real 100 TB crawl pipeline runs alongside parse —
-    the crawl bench enables it to make the workload representative."""
+    shingles. This is the per-page compute a real 100 TB crawl pipeline
+    runs alongside parse — the crawl bench enables it to make the workload
+    representative.
+
+    Vectorized shape (round 2): one crc32 per TOKEN (not per 3-gram string
+    join), 3-gram hashes combined from shifted token-hash slices with
+    odd-constant multiplies + a splitmix-style mix, and bit votes counted
+    via np.unpackbits — 64 bytes per shingle of memory traffic instead of
+    the former 512-byte bit matrix. The old version moved ~800 KB per page
+    through memory, which saturated node bandwidth before CPUs at 24+
+    parallel fetchers (measured: per-page cost inflated 2.3x from 8 to 32
+    workers)."""
     import zlib
 
     tokens = text.split()
@@ -196,22 +211,21 @@ def enrich_doc(text: str) -> tuple[str, int, int]:
     if nt < 3:
         return best, nt, 0
     crc = zlib.crc32
-    hashes = np.array(
-        [
-            crc(f"{tokens[i]} {tokens[i+1]} {tokens[i+2]}".encode())
-            for i in range(nt - 2)
-        ],
-        dtype=np.uint64,
+    th = np.array([crc(t.encode()) for t in tokens], dtype=np.uint64)
+    h = (
+        (th[:-2] * np.uint64(0x9E3779B97F4A7C15))
+        ^ (th[1:-1] * np.uint64(0xC2B2AE3D27D4EB4F))
+        ^ (th[2:] * np.uint64(0x165667B19E3779F9))
     )
-    # widen crc32 to 64 bits deterministically
-    hashes = hashes * np.uint64(0x9E3779B97F4A7C15)
-    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    votes = bits.sum(axis=0)
-    sim = np.uint64(0)
-    for b in range(64):
-        if votes[b] * 2 >= len(hashes):
-            sim |= np.uint64(1) << np.uint64(b)
-    return best, nt, int(sim)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    votes = np.unpackbits(h.view(np.uint8)).reshape(-1, 64).sum(
+        axis=0, dtype=np.int64
+    )
+    maj = (votes * 2 >= len(h)).astype(np.uint8)
+    sim = int.from_bytes(np.packbits(maj).tobytes(), "little")
+    return best, nt, sim
 
 
 # --------------------------------------------------------------------------
@@ -333,6 +347,15 @@ class FetchParseStage:
         self.doc_root = doc_root
         self.actor_idx = actor_idx
         self.defer_offers = defer_offers
+        # offers accumulate per actor and flush every OFFER_FLUSH_ROWS of
+        # combined links: per-chunk offering was ~16 RPCs per 128-row chunk
+        # (~75k tiny RPCs per big wave), which drove kernel/IPC time to
+        # 30-55% of the node (measured via /proc/stat during a bench run).
+        # Batching also deepens the map-side min-combine: duplicates across
+        # a whole actor's recent chunks collapse before any RPC is sent.
+        self._offer_buf: list[pa.Table] = []
+        self._offer_buf_rows = 0
+        self.OFFER_FLUSH_ROWS = 16384
         self.doc_steps = list(doc_steps or ())  # registered document steps
         self.metrics_actor = metrics_actor  # O-24 counter sink (optional)
         self._wave_fetched = 0
@@ -372,21 +395,38 @@ class FetchParseStage:
             ]
         ).empty_table()
 
+    def phase_times(self) -> dict:
+        return dict(self._phase)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _t
+
+        if not hasattr(self, "_phase"):
+            self._phase = {"fetch": 0.0, "parse": 0.0, "arrow": 0.0}
         urls = batch.column("url").to_pylist()
         statuses: list[str] = []
         n_outs: list[int] = []
-        spans_col: list[list[dict]] = []
         outlinks_col: list[list[str]] = []
         langs: list[str] = []
         n_toks: list[int] = []
         simhashes: list[int] = []
+        # columnar span accumulation: flat field lists + list offsets — the
+        # struct array is built ONCE from columns (a per-span dict would pay
+        # python-dict introspection in pa.array for every span)
+        sp_kind: list[str] = []
+        sp_text: list[str] = []
+        sp_ref: list[str] = []
+        sp_off: list[int] = []
+        sp_offsets: list[int] = [0]
+        _t0 = _t.time()
         htmls = self.backend.fetch_many(urls)
+        _t1 = _t.time()
+        self._phase["fetch"] += _t1 - _t0
         for u, html in zip(urls, htmls):
             if html is None:
                 statuses.append("error")
                 n_outs.append(0)
-                spans_col.append([])
+                sp_offsets.append(len(sp_kind))
                 outlinks_col.append([])
                 langs.append("")
                 n_toks.append(0)
@@ -395,7 +435,12 @@ class FetchParseStage:
             spans, outlinks = parse_page(html, u)
             statuses.append("fetched")
             n_outs.append(len(outlinks))
-            spans_col.append(spans_to_dicts(spans))
+            for s in spans:
+                sp_kind.append(s.kind)
+                sp_text.append(s.text)
+                sp_ref.append(s.media_ref)
+                sp_off.append(s.offset)
+            sp_offsets.append(len(sp_kind))
             outlinks_col.append(outlinks)
             if self.enrich:
                 text = " ".join(s.text for s in spans if s.kind == "text")
@@ -407,7 +452,21 @@ class FetchParseStage:
                 langs.append("")
                 n_toks.append(0)
                 simhashes.append(0)
-        return pa.table(
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(sp_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(sp_kind, pa.string()),
+                    pa.array(sp_text, pa.string()),
+                    pa.array(sp_ref, pa.string()),
+                    pa.array(sp_off, pa.int32()),
+                ],
+                fields=list(SPAN_STRUCT),
+            ),
+        )
+        _t2 = _t.time()
+        self._phase["parse"] += _t2 - _t1
+        out = pa.table(
             {
                 "url": batch.column("url"),
                 "host": batch.column("host"),
@@ -416,15 +475,40 @@ class FetchParseStage:
                 "seq": batch.column("seq"),
                 "status": pa.array(statuses, pa.string()),
                 "n_out": pa.array(n_outs, pa.int32()),
-                "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
+                "spans": spans_arr,
                 "outlinks": pa.array(outlinks_col, pa.list_(pa.string())),
                 "lang_pred": pa.array(langs, pa.string()),
                 "n_tokens": pa.array(n_toks, pa.int32()),
                 "simhash": pa.array(simhashes, pa.uint64()),
             }
         )
+        self._phase["arrow"] += _t.time() - _t2
+        return out
 
     # ---- wave mode -------------------------------------------------------
+
+    def _bank_links(self, links: pa.Table) -> None:
+        """Buffer exploded (url, pack) discovery rows; flush to the seen
+        shards once OFFER_FLUSH_ROWS have accumulated (min-combine makes
+        partial flushes idempotent and order-free)."""
+        if links.num_rows == 0:
+            return
+        self._offer_buf.append(links)
+        self._offer_buf_rows += links.num_rows
+        if self._offer_buf_rows >= self.OFFER_FLUSH_ROWS:
+            self._flush_offers()
+
+    def _flush_offers(self) -> None:
+        if not self._offer_buf:
+            return
+        links = (
+            self._offer_buf[0]
+            if len(self._offer_buf) == 1
+            else pa.concat_tables(self._offer_buf)
+        )
+        self._offer_buf = []
+        self._offer_buf_rows = 0
+        self._offer_links(links)
 
     def _offer_links(self, links: pa.Table) -> None:
         """Map-side combine + key-routed offer to the seen shards. Futures
@@ -433,17 +517,21 @@ class FetchParseStage:
         if links.num_rows == 0:
             return
         comb = links.group_by(["url"]).aggregate([("pack", "min")])
-        urls = comb.column("url").to_pylist()
+        url_arr = comb.column("url").combine_chunks()
+        urls = url_arr.to_pylist()  # py strings for crc32 shard routing only
         packs = comb.column("pack_min").to_numpy()
         shards = np.array([seen_shard_of(u, self.num_seen_shards) for u in urls])
         for s, idxs in _group_by_shard(shards).items():
+            # arrow slice payload (out-of-band buffers), not a list[str]
             self._pending_offers.append(
-                self.seen_actors[s].offer.remote([urls[i] for i in idxs], packs[idxs])
+                self.seen_actors[s].offer.remote(
+                    url_arr.take(pa.array(idxs, pa.int64())), packs[idxs]
+                )
             )
 
     def fetch_parse_wave(self, chunk: pa.Table, wave: int) -> pa.Table:
-        """Fetch+parse one chunk; buffer docs, offer outlinks; return ONLY
-        the small crawl-log projection (no spans, no outlinks)."""
+        """Fetch+parse one chunk; buffer docs, offer outlinks; return the
+        chunk's CRAWL_LOG rows (log-formatted, no spans/outlinks)."""
         import time as _time
 
         _t0 = _time.time()
@@ -451,6 +539,19 @@ class FetchParseStage:
             return self._fetch_parse_wave(chunk, wave)
         finally:
             self._busy += _time.time() - _t0
+
+    def _log_format(self, full: pa.Table, wave: int) -> pa.Table:
+        return pa.table(
+            {
+                "seq": full.column("seq"),
+                "url": full.column("url"),
+                "host": full.column("host"),
+                "wave": pa.array(np.full(full.num_rows, wave, np.int32), pa.int32()),
+                "depth": full.column("depth"),
+                "status": full.column("status"),
+                "n_out": full.column("n_out"),
+            }
+        )
 
     def _fetch_parse_wave(self, chunk: pa.Table, wave: int) -> pa.Table:
         if wave != self._wave:
@@ -461,7 +562,7 @@ class FetchParseStage:
         if key is not None and key in self._chunks_done:
             # re-sent chunk (task retry upstream): docs/offers already banked
             full = self(chunk)
-            return full.select(["url", "host", "depth", "disc_key", "seq", "status", "n_out"])
+            return self._log_format(full, wave)
         full = self(chunk)
         fetched = full.filter(pc.equal(full.column("status"), "fetched"))
         self._wave_fetched += fetched.num_rows
@@ -480,6 +581,9 @@ class FetchParseStage:
             for st in self.doc_steps:  # O-45 document hook, in-actor
                 doc_tbl = st(doc_tbl)
             self._doc_buf.append(doc_tbl)
+        import time as _t
+
+        _o0 = _t.time()
         if self.defer_offers:
             # budget path: bank discoveries with parent seq attached so the
             # cut can filter them at end_wave (RBC-10 deterministic prefix)
@@ -487,10 +591,12 @@ class FetchParseStage:
             if links.num_rows:
                 self._link_buf.append(links)
         else:
-            self._offer_links(explode_outlinks(full, self.max_depth))
+            self._bank_links(explode_outlinks(full, self.max_depth))
+        self._phase.setdefault("offer", 0.0)
+        self._phase["offer"] += _t.time() - _o0
         if key is not None:
             self._chunks_done.add(key)
-        return full.select(["url", "host", "depth", "disc_key", "seq", "status", "n_out"])
+        return self._log_format(full, wave)
 
     def _links_with_seq(self, full: pa.Table) -> pa.Table:
         """(url, pack, parent_seq) discovery rows — defer_offers path only."""
@@ -538,6 +644,7 @@ class FetchParseStage:
             if cut_seq is not None:
                 links = links.filter(pc.less_equal(links.column("parent_seq"), cut_seq))
             self._offer_links(links.select(["url", "pack"]))
+        self._flush_offers()
         if self._pending_offers:
             ray.get(self._pending_offers)
             self._pending_offers = []
@@ -592,10 +699,10 @@ def build_web_index_task(*tables: pa.Table):
 
 
 def _empty_counts() -> dict:
-    return {"n_fetched": 0, "n_errors": 0, "n_denied": 0, "n_deferred": 0}
+    return {"n_admitted": 0, "n_denied": 0, "n_deferred": 0, "chunk_refs": []}
 
 
-@ray.remote(num_cpus=0.5, num_returns=3)
+@ray.remote(num_cpus=0.25, num_returns=3)
 def fetch_block_task(
     block: pa.Table,
     thr_hosts: np.ndarray,
@@ -610,8 +717,13 @@ def fetch_block_task(
     """Politeness gate (vectorized lookup into the broadcast per-host
     admission thresholds) → seq assignment (searchsorted into the broadcast
     sorted logged-key array — RBC-7 order, no distributed sort) → fan-out
-    fetch across the persistent actor pool. Returns (log_block,
-    deferred_block, counts); spans/outlinks never pass through here.
+    DISPATCH across the persistent actor pool. Returns
+    (meta{chunk log ObjectRefs + counts}, denied_log_block, deferred_block)
+    and finishes IMMEDIATELY — it never waits on fetch results. A feeder
+    that blocked in ray.get for the fetch window made Ray spawn replacement
+    workers for everything queued behind it (measured: 140-166 worker
+    processes on a 32-CPU node, kernel time 30-55%); the driver now gathers
+    the chunk refs itself via gather_log_task.
 
     Scale note (SURVEY.md §7.3-H4): the broadcast key/threshold arrays are
     the wave's LOGGED set and ACTIVE host set, bounded by politeness
@@ -628,7 +740,7 @@ def fetch_block_task(
         ]
     ).empty_table()
     if block.num_rows == 0:
-        return LOG_SCHEMA.empty_table(), empty_def, _empty_counts()
+        return _empty_counts(), LOG_SCHEMA.empty_table(), empty_def
     n = block.num_rows
     allowed = block.column("allowed").to_numpy(zero_copy_only=False)
     okey = block.column("okey").to_numpy()
@@ -650,68 +762,60 @@ def fetch_block_task(
         "seq", pa.array(seq, pa.int64())
     )
 
-    log_parts: list[pa.Table] = []
     counts = _empty_counts()
     adm_tbl = base_tbl.filter(pa.array(admitted))
     if adm_tbl.num_rows:
+        counts["n_admitted"] = adm_tbl.num_rows
         n_f = len(fetchers)
         base = chunk_base % n_f
         # static round-robin from a driver-assigned global offset: the
         # driver passes each block the running chunk count of the blocks
         # before it, so the WHOLE WAVE forms one round-robin across the
-        # fetcher pool (±1 chunk per actor) instead of independently-phased
-        # per-block rotations (measured ~12%-of-wall tail). Deterministic in
-        # CONTENT, not timing; all chunk RPCs go out immediately so every
-        # actor's queue stays full (a pull-based ray.wait loop was measured
-        # ~30% slower — the per-completion round-trip idles actors). The
-        # end-of-wave tail is bounded by the adaptive chunk size chosen by
-        # the driver (~1/6 of an actor's wave share).
-        futs = []
+        # fetcher pool (±1 chunk per actor). Deterministic in CONTENT, not
+        # timing; all chunk RPCs go out immediately so every actor's queue
+        # stays full. The end-of-wave tail is bounded by the adaptive chunk
+        # size chosen by the driver (~1/6 of an actor's wave share).
         for j, off in enumerate(range(0, adm_tbl.num_rows, chunk_rows)):
             chunk = adm_tbl.slice(off, chunk_rows)
-            futs.append(fetchers[(base + j) % n_f].fetch_parse_wave.remote(chunk, wave))
-        results = ray.get(futs)
-        fetched_tbl = pa.concat_tables(results)
-        st = fetched_tbl.column("status")
-        counts["n_fetched"] = int(
-            pc.sum(pc.cast(pc.equal(st, "fetched"), pa.int64())).as_py() or 0
-        )
-        counts["n_errors"] = adm_tbl.num_rows - counts["n_fetched"]
-        log_parts.append(fetched_tbl)
+            counts["chunk_refs"].append(
+                fetchers[(base + j) % n_f].fetch_parse_wave.remote(chunk, wave)
+            )
 
     den_tbl = base_tbl.filter(pa.array(~allowed))
     if den_tbl.num_rows:
         counts["n_denied"] = den_tbl.num_rows
-        log_parts.append(
-            den_tbl.append_column(
-                "status", pa.array(["robots_denied"] * den_tbl.num_rows, pa.string())
-            ).append_column(
-                "n_out", pa.array(np.zeros(den_tbl.num_rows, np.int32), pa.int32())
-            )
-        )
-
-    if log_parts:
-        merged = pa.concat_tables([p.select(
-            ["seq", "url", "host", "depth", "status", "n_out"]
-        ) for p in log_parts])
-        wave_col = pa.array(np.full(merged.num_rows, wave, np.int32), pa.int32())
-        log_tbl = pa.table(
+        den_log = pa.table(
             {
-                "seq": merged.column("seq"),
-                "url": merged.column("url"),
-                "host": merged.column("host"),
-                "wave": wave_col,
-                "depth": merged.column("depth"),
-                "status": merged.column("status"),
-                "n_out": merged.column("n_out"),
+                "seq": den_tbl.column("seq"),
+                "url": den_tbl.column("url"),
+                "host": den_tbl.column("host"),
+                "wave": pa.array(np.full(den_tbl.num_rows, wave, np.int32), pa.int32()),
+                "depth": den_tbl.column("depth"),
+                "status": pa.array(["robots_denied"] * den_tbl.num_rows, pa.string()),
+                "n_out": pa.array(np.zeros(den_tbl.num_rows, np.int32), pa.int32()),
             }
         )
     else:
-        log_tbl = LOG_SCHEMA.empty_table()
+        den_log = LOG_SCHEMA.empty_table()
 
     deferred = block.select(FRONTIER_COLS).filter(pa.array(deferred_mask))
     counts["n_deferred"] = deferred.num_rows
-    return log_tbl, deferred if deferred.num_rows else empty_def, counts
+    return counts, den_log, deferred if deferred.num_rows else empty_def
+
+
+@ray.remote(num_cpus=0.25, num_returns=2)
+def gather_log_task(*chunk_tbls: pa.Table):
+    """Concat a group of chunk log tables into one driver-owned block and
+    count its fetched rows. The chunk objects are owned by the (transient)
+    feeder workers that dispatched them; re-owning the combined block via a
+    driver-submitted task keeps crawl_log alive independent of worker
+    reaping, without ever moving rows through the driver."""
+    t = pa.concat_tables(list(chunk_tbls))
+    n_fetched = int(
+        pc.sum(pc.cast(pc.equal(t.column("status"), "fetched"), pa.int64())).as_py()
+        or 0
+    )
+    return t, n_fetched
 
 
 # --------------------------------------------------------------------------
