@@ -22,6 +22,7 @@ and the admitted keys (driver-side seq assignment)."""
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import ray
 
 from crawlray.murmur3 import murmur3_32
@@ -57,9 +58,11 @@ class HostPolitenessActor:
 
     def offer(self, hosts, disc_keys) -> None:
         # O(1): buffer; the combine runs vectorized at decide_and_drain.
-        # hosts: pa.Array (arrow wire format) or plain list.
-        if not isinstance(hosts, list):
-            hosts = hosts.to_pylist()
+        # hosts stay ARROW (pa.Array wire format) end to end — the combine
+        # dictionary-encodes them so the sort runs on int codes, never on a
+        # numpy string array (measured as the decide barrier's main cost).
+        if isinstance(hosts, list):
+            hosts = pa.array(hosts, pa.string())
         self._offer_hosts.append(hosts)
         self._offer_keys.append(np.asarray(disc_keys, dtype=np.int64))
 
@@ -71,35 +74,38 @@ class HostPolitenessActor:
         np.int64 array). Resets the offer buffers."""
         if not self._offer_keys:
             return 0, 0, [], np.empty(0, np.int64), np.empty(0, np.int64)
-        flat_hosts: list[str] = []
-        for chunk in self._offer_hosts:
-            flat_hosts.extend(chunk)
-        hosts = np.asarray(flat_hosts, dtype=np.str_)
+        harr = pa.chunked_array(self._offer_hosts).combine_chunks()
+        enc = harr.dictionary_encode()
+        uhosts = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy().astype(np.int64)
         keys = np.concatenate(self._offer_keys)
         self._offer_hosts = []
         self._offer_keys = []
 
-        order = np.lexsort((keys, hosts))
-        hosts = hosts[order]
+        # per-host token buckets are independent, and the driver re-sorts
+        # everything returned — so group order (dictionary code order here,
+        # host string order before) is free to differ
+        order = np.lexsort((keys, codes))
+        codes = codes[order]
         keys = keys[order]
         # dedup identical (host, key) pairs (task retries / multi-parent)
         if len(keys) > 1:
             keep = np.empty(len(keys), dtype=bool)
             keep[0] = True
-            keep[1:] = (hosts[1:] != hosts[:-1]) | (keys[1:] != keys[:-1])
-            hosts = hosts[keep]
+            keep[1:] = (codes[1:] != codes[:-1]) | (keys[1:] != keys[:-1])
+            codes = codes[keep]
             keys = keys[keep]
         # group boundaries per host (keys already ascending within host)
-        bounds = np.nonzero(hosts[1:] != hosts[:-1])[0] + 1
+        bounds = np.nonzero(codes[1:] != codes[:-1])[0] + 1
         starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(hosts)]))
+        ends = np.concatenate((bounds, [len(codes)]))
 
         out_hosts: list[str] = []
         out_thr = np.empty(len(starts), np.int64)
         admitted_parts: list[np.ndarray] = []
         admitted_total = 0
         for gi, (s, e) in enumerate(zip(starts, ends)):
-            h = str(hosts[s])
+            h = uhosts[codes[s]]
             n_keys = e - s
             if self.carryover:
                 avail = min(self.burst, self.tokens.get(h, self.burst) + self.rate)

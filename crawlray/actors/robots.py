@@ -15,6 +15,7 @@ from __future__ import annotations
 import urllib.robotparser
 
 import numpy as np
+import pyarrow as pa
 import ray
 
 from crawlray.murmur3 import murmur3_32
@@ -37,6 +38,7 @@ class RobotsCacheActor:
         self.user_agent = user_agent
         self._denied_keys: list[np.ndarray] = []
         self._parsed: dict[str, urllib.robotparser.RobotFileParser] = {}
+        self._verdicts: dict[str, int] = {}  # 1=always-allow, -1=always-deny, 0=per-url
         self._bodies: dict[str, str] = {}
         if robots_ref is not None:
             # ObjectRefs passed as top-level actor args arrive pre-resolved;
@@ -57,20 +59,68 @@ class RobotsCacheActor:
             self._parsed[host] = rp
         return rp
 
+    def _verdict(self, host: str) -> int:
+        """Host tri-state: most robots bodies decide every URL the same way
+        (empty Disallow / no body / blanket deny), so one cached verdict per
+        host replaces a per-URL robotparser.can_fetch walk. 0 means the rule
+        set genuinely depends on the path — those rows take the exact
+        can_fetch slow path, preserving bit-for-bit oracle parity."""
+        v = self._verdicts.get(host)
+        if v is None:
+            rp = self._rules(host)
+            if rp.allow_all:
+                v = 1
+            elif rp.disallow_all:
+                v = -1
+            else:
+                entry = None
+                for e in rp.entries:
+                    if e.applies_to(self.user_agent):
+                        entry = e
+                        break
+                if entry is None:
+                    entry = rp.default_entry
+                if entry is None:
+                    v = 1  # no applicable rules: robotparser allows
+                elif all(rl.allowance for rl in entry.rulelines):
+                    v = 1
+                else:
+                    v = 0
+            self._verdicts[host] = v
+        return v
+
     def begin_wave(self, wave: int) -> None:
         self._denied_keys: list[np.ndarray] = []
 
     def allowed(
         self, hosts, urls, disc_keys: np.ndarray | None = None
     ) -> np.ndarray:
-        """hosts/urls: pa.Array (arrow wire format) or plain lists."""
-        if not isinstance(hosts, list):
-            hosts = hosts.to_pylist()
-        if not isinstance(urls, list):
-            urls = urls.to_pylist()
-        out = np.empty(len(urls), dtype=bool)
-        for i, (h, u) in enumerate(zip(hosts, urls)):
-            out[i] = self._rules(h).can_fetch(self.user_agent, u)
+        """hosts/urls: pa.Array (arrow wire format) or plain lists.
+
+        Vectorized: dictionary-encode hosts, evaluate one verdict per
+        UNIQUE host, and broadcast. Only rows of path-dependent hosts pay
+        the per-URL robotparser walk (and only those URL strings are ever
+        converted to Python)."""
+        if isinstance(hosts, list):
+            hosts = pa.array(hosts, pa.string())
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        enc = hosts.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        verd = np.array([self._verdict(h) for h in uniq], dtype=np.int8)
+        idx = enc.indices.to_numpy()
+        v = verd[idx]
+        out = v > 0
+        mixed = np.nonzero(v == 0)[0]
+        if len(mixed):
+            if isinstance(urls, list):
+                murls = [urls[i] for i in mixed]
+            else:
+                murls = urls.take(pa.array(mixed, pa.int64())).to_pylist()
+            for j, i in enumerate(mixed):
+                out[i] = self._rules(uniq[idx[i]]).can_fetch(
+                    self.user_agent, murls[j]
+                )
         if disc_keys is not None:
             # accumulate this wave's denied keys so the driver can assign seq
             # without a distributed sort (drained at drain_denied; duplicates

