@@ -51,6 +51,8 @@ class SeenShardActor:
         self.wave_added: set[tuple[int, int]] = set()
         self._offer_urls: list = []
         self._offer_packs: list[np.ndarray] = []
+        self._offer_lo: list[np.ndarray] = []
+        self._offer_hi: list[np.ndarray] = []
         self._offer_rows = 0
         self._partials: list[pa.Table] = []
         self.delta_urls: list[str] = []
@@ -62,6 +64,8 @@ class SeenShardActor:
         self.wave_added = set()
         self._offer_urls = []
         self._offer_packs = []
+        self._offer_lo = []
+        self._offer_hi = []
         self._offer_rows = 0
         self._partials = []
 
@@ -76,15 +80,21 @@ class SeenShardActor:
     # sort-based groupby shuffle over the full discovery stream (measured
     # ~45% of crawl wall time) with key-routed RPCs + per-shard combine.
 
-    def offer(self, urls, packs) -> None:
+    def offer(self, urls, packs, lo=None, hi=None) -> None:
         # O(1) per call: buffer the (already per-batch-combined) offer
         # arrays; pre-combine kicks in past PRECOMBINE_ROWS (see class
         # docstring). `urls` is a pa.Array (zero-copy out-of-band wire
-        # format) or a plain list from older callers/tests.
+        # format) or a plain list from older callers/tests. Offerers that
+        # already hashed for shard routing ship (lo, hi) so this shard
+        # never re-hashes; legacy two-arg calls hash at precombine.
         if isinstance(urls, list):
             urls = pa.array(urls, pa.string())
+        if lo is None:
+            lo, hi = murmur3_x64_128_batch(urls)
         self._offer_urls.append(urls)
         self._offer_packs.append(np.asarray(packs, dtype=np.int64))
+        self._offer_lo.append(np.asarray(lo, dtype=np.uint64))
+        self._offer_hi.append(np.asarray(hi, dtype=np.uint64))
         self._offer_rows += len(urls)
         if self._offer_rows >= self.PRECOMBINE_ROWS:
             self._precombine()
@@ -101,13 +111,22 @@ class SeenShardActor:
             {
                 "url": pa.chunked_array(self._offer_urls),
                 "pack": pa.array(np.concatenate(self._offer_packs), pa.int64()),
+                "lo": pa.array(np.concatenate(self._offer_lo), pa.uint64()),
+                "hi": pa.array(np.concatenate(self._offer_hi), pa.uint64()),
             }
         )
         self._offer_urls = []
         self._offer_packs = []
+        self._offer_lo = []
+        self._offer_hi = []
         self._offer_rows = 0
-        comb = offers.group_by(["url"]).aggregate([("pack", "min")])
-        lo, hi = murmur3_x64_128_batch(comb.column("url"))
+        # lo/hi are functions of url, so "min" just picks the (identical)
+        # value while the C++ group_by dedups in one pass
+        comb = offers.group_by(["url"]).aggregate(
+            [("pack", "min"), ("lo", "min"), ("hi", "min")]
+        )
+        lo = comb.column("lo_min").to_numpy()
+        hi = comb.column("hi_min").to_numpy()
         keep = np.ones(len(lo), dtype=bool)
         maybe = self.cuckoo.maybe_contains_many(lo, hi)
         for i in np.nonzero(maybe)[0]:

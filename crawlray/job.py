@@ -243,9 +243,18 @@ def run_crawl(
             for f in os.listdir(webgraph_path)
             if f.endswith(".parquet")
         )
-        wg_ds = ray.data.read_parquet(files).materialize()
-        webgraph_refs = list(wg_ds.to_arrow_refs())
-        n_pages = wg_ds.count()
+        # plain read tasks, not ray.data.read_parquet().materialize(): the
+        # file list is known and blocks land in plasma either way, but the
+        # streaming executor's spin-up was >half the measured load time for
+        # a 64-file directory. Row counts come from parquet footers.
+        import pyarrow.parquet as _pq
+
+        @ray.remote(num_cpus=0.5)
+        def _read_pq(path: str) -> pa.Table:
+            return _pq.read_table(path)
+
+        webgraph_refs = [_read_pq.remote(f) for f in files]
+        n_pages = sum(_pq.read_metadata(f).num_rows for f in files)
         fp_tbl = pa.concat_tables(
             [ray.get(webgraph_refs[0]), ray.get(webgraph_refs[-1])]
         )
@@ -483,7 +492,13 @@ def run_crawl(
         # (a FIXED tail per wave would otherwise cap scaling efficiency).
         from crawlray.stages import gather_log_task
 
-        chunk_wave = int(min(chunk_rows, max(32, -(-n_admitted // (n_fetchers * 6)))))
+        # ~20 chunks per fetcher: the end-of-wave straggler tail is bounded
+        # by ONE chunk's cost, and per-chunk cost varies with host page
+        # sizes (zipf), so finer interleave also evens cumulative load —
+        # measured busy spread 27-40s at /6 granularity. Per-chunk overhead
+        # (RPC + arrow slice + log format) is ~5ms once offers are banked,
+        # so 480 chunks/wave cost ~2.5s spread across the pool.
+        chunk_wave = int(min(chunk_rows, max(32, -(-n_admitted // (n_fetchers * 20)))))
         live_counts = [c for c in frontier_counts if c > 0]
         triples = []
         chunk_off = 0

@@ -42,7 +42,7 @@ from crawlray.actors.robots import robots_shard_of
 from crawlray.backend import SyntheticBackend
 from crawlray.kernels.html import parse_page, spans_to_dicts
 from crawlray.kernels.url import url_host
-from crawlray.murmur3 import hash_urls_128
+from crawlray.murmur3 import hash_urls_128, murmur3_x64_128_batch
 from crawlray.schema import LINK_STRIDE, SPAN_STRUCT, pack_disc_depth, unpack_disc_depth
 
 FRONTIER_COLS = ["url", "host", "depth", "disc_key", "url_hash_lo", "url_hash_hi", "shard"]
@@ -72,14 +72,17 @@ DOC_FILE_SCHEMA = pa.schema(
 
 
 def seen_shard_of(url: str, num_shards: int) -> int:
-    """Seen-shard routing hash. crc32 (C-speed, stable across processes)
-    rather than the murmur3_128 membership key: routing runs once per
-    DISCOVERED link (duplicates included) in the hot offer path, while
-    murmur3 runs once per UNIQUE new URL inside the owning shard actor —
-    'hash once' applies to the expensive hash, not the router."""
-    import zlib
+    """Seen-shard routing: murmur3_128 lo % num_shards — the SAME hash the
+    shard uses for membership (schema.py documents the frontier `shard`
+    column as url_hash_lo % num_seen_shards). Hashing once per unique URL at
+    the offerer (vectorized murmur3_x64_128_batch) serves routing AND
+    membership; this scalar form exists for seed bootstrap and small paths.
+    Routing must agree everywhere a URL is mapped to a shard (offer, seed
+    registration, frontier derivation, checkpoint resume ingest)."""
+    from crawlray.murmur3 import murmur3_x64_128
 
-    return zlib.crc32(url.encode("utf-8", "surrogatepass")) % num_shards
+    lo, _ = murmur3_x64_128(url.encode("utf-8", "surrogatepass"))
+    return lo % num_shards
 
 
 def _group_by_shard(shards: np.ndarray) -> dict[int, np.ndarray]:
@@ -247,7 +250,16 @@ def explode_outlinks(batch: pa.Table, max_depth: int | None) -> pa.Table:
     winner (disc_key, depth) in one int64 so within-wave dedup is a single
     vectorized min-combine (SURVEY.md O-30, §1.3). Only these two columns
     enter the exchange — minimal volume."""
-    b = batch.filter(pc.equal(batch.column("status"), "fetched"))
+    # select BEFORE filter: the caller's batch carries the heavy spans
+    # column, and pa.Table.filter copies every selected column — filtering
+    # the full table re-copied ~10 KB of span text per page just to read
+    # its outlinks (measured as the dominant offer-phase cost)
+    cols = ["status", "outlinks", "seq", "depth"]
+    b = batch.select([c for c in cols if c in batch.column_names])
+    mask = pc.equal(b.column("status"), "fetched")
+    n_fetched = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+    if n_fetched < b.num_rows:
+        b = b.filter(mask)
     empty = pa.table({"url": pa.array([], pa.string()), "pack": pa.array([], pa.int64())})
     if b.num_rows == 0:
         return empty
@@ -525,18 +537,32 @@ class FetchParseStage:
         finish_wave resolves the wave's dedup)."""
         if links.num_rows == 0:
             return
+        import time as _tm
+
+        _c0 = _tm.time()
         comb = links.group_by(["url"]).aggregate([("pack", "min")])
         url_arr = comb.column("url").combine_chunks()
-        urls = url_arr.to_pylist()  # py strings for crc32 shard routing only
         packs = comb.column("pack_min").to_numpy()
-        shards = np.array([seen_shard_of(u, self.num_seen_shards) for u in urls])
+        # hash ONCE per unique URL (vectorized): lo%shards is the route and
+        # (lo,hi) is the membership key the shard needs anyway — shipping
+        # them kills both the per-URL python routing loop here and the
+        # re-hash inside the shard's precombine
+        lo, hi = murmur3_x64_128_batch(url_arr)
+        shards = (lo % np.uint64(self.num_seen_shards)).astype(np.int64)
+        _c1 = _tm.time()
         for s, idxs in _group_by_shard(shards).items():
             # arrow slice payload (out-of-band buffers), not a list[str]
             self._pending_offers.append(
                 self.seen_actors[s].offer.remote(
-                    url_arr.take(pa.array(idxs, pa.int64())), packs[idxs]
+                    url_arr.take(pa.array(idxs, pa.int64())),
+                    packs[idxs],
+                    lo[idxs],
+                    hi[idxs],
                 )
             )
+        _c2 = _tm.time()
+        self._phase["offer_combine"] = self._phase.get("offer_combine", 0.0) + (_c1 - _c0)
+        self._phase["offer_rpc"] = self._phase.get("offer_rpc", 0.0) + (_c2 - _c1)
 
     def fetch_parse_wave(self, chunk: pa.Table, wave: int) -> pa.Table:
         """Fetch+parse one chunk; buffer docs, offer outlinks; return the
@@ -573,7 +599,11 @@ class FetchParseStage:
             full = self(chunk)
             return self._log_format(full, wave)
         full = self(chunk)
-        fetched = full.filter(pc.equal(full.column("status"), "fetched"))
+        _fmask = pc.equal(full.column("status"), "fetched")
+        _nf = pc.sum(pc.cast(_fmask, pa.int64())).as_py() or 0
+        # all-fetched chunks (the common case on a healthy crawl) skip the
+        # filter copy — it would duplicate every span byte in the chunk
+        fetched = full if _nf == full.num_rows else full.filter(_fmask)
         self._wave_fetched += fetched.num_rows
         self._wave_errors += full.num_rows - fetched.num_rows
         if fetched.num_rows:
@@ -609,7 +639,10 @@ class FetchParseStage:
 
     def _links_with_seq(self, full: pa.Table) -> pa.Table:
         """(url, pack, parent_seq) discovery rows — defer_offers path only."""
-        b = full.filter(pc.equal(full.column("status"), "fetched"))
+        b = full.select(["status", "outlinks", "seq", "depth"])
+        mask = pc.equal(b.column("status"), "fetched")
+        if (pc.sum(pc.cast(mask, pa.int64())).as_py() or 0) < b.num_rows:
+            b = b.filter(mask)
         empty = pa.table(
             {
                 "url": pa.array([], pa.string()),
@@ -753,14 +786,20 @@ def fetch_block_task(
     n = block.num_rows
     allowed = block.column("allowed").to_numpy(zero_copy_only=False)
     okey = block.column("okey").to_numpy()
-    hosts = np.asarray(block.column("host").to_pylist(), dtype=np.str_)
+    # threshold lookup per UNIQUE host (dictionary-encode), broadcast by
+    # code: a frontier block has ~1000x more rows than hosts and the
+    # full-block np.str_ conversion was a measured feeder cost
+    enc = block.column("host").combine_chunks().dictionary_encode()
+    uhosts = np.asarray(enc.dictionary.to_pylist(), dtype=np.str_)
+    codes = enc.indices.to_numpy()
 
-    thr = np.full(n, NO_ADMIT, np.int64)
+    thr_u = np.full(len(uhosts), NO_ADMIT, np.int64)
     if len(thr_hosts):
-        pos = np.searchsorted(thr_hosts, hosts)
+        pos = np.searchsorted(thr_hosts, uhosts)
         pos_c = np.minimum(pos, len(thr_hosts) - 1)
-        m = thr_hosts[pos_c] == hosts
-        thr[m] = thr_vals[pos_c[m]]
+        m = thr_hosts[pos_c] == uhosts
+        thr_u[m] = thr_vals[pos_c[m]]
+    thr = thr_u[codes]
     admitted = allowed & (okey <= thr)
     deferred_mask = allowed & ~admitted
 
@@ -838,7 +877,9 @@ def derive_frontier_block(batch: pa.Table, num_seen_shards: int) -> pa.Table:
     urls = batch.column("url").to_pylist()
     disc, depth = unpack_disc_depth(batch.column("pack").to_numpy())
     hosts = [url_host(u) for u in urls]
-    shards = np.array([seen_shard_of(u, num_seen_shards) for u in urls], np.uint32)
+    shards = (
+        batch.column("url_hash_lo").to_numpy() % np.uint64(num_seen_shards)
+    ).astype(np.uint32)
     return pa.table(
         {
             "url": batch.column("url"),
@@ -877,7 +918,7 @@ def frontier_table_from_urls(
     small by definition; everything discovered flows through the stages)."""
     hosts = [url_host(u) for u in urls]
     lo, hi = hash_urls_128(urls)
-    shards = np.array([seen_shard_of(u, num_seen_shards) for u in urls], np.uint32)
+    shards = (lo % np.uint64(num_seen_shards)).astype(np.uint32)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
