@@ -38,8 +38,10 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
-def _rd(sf_dir: str, table: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+def _rd(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
 
 
 def _round_cols(ds: ray.data.Dataset, cols: dict[str, int]) -> ray.data.Dataset:
@@ -217,6 +219,18 @@ def _anti_join(sf_dir: str):
     )
     return broadcast_semi_anti(
         _rd(sf_dir, "customer"), key="c_custkey", small_keys=custkeys, anti=True
+    )
+
+
+def _hash_sample(sf_dir: str):
+    """O-36, deterministic variant: content-keyed ~9.8% sample (25 of 256
+    md5-prefix buckets) — reproducible across runs/parallelism/engines,
+    unlike Dataset.random_sample (which stays the seeded-RNG path)."""
+    from crawlray.ops.relational import hash_sample
+
+    return hash_sample(
+        _rd(sf_dir, "documents", columns=["doc_id", "source"]),
+        key="doc_id", buckets_kept=25,
     )
 
 
@@ -478,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_agg": _join_agg,
         "shuffle_join": _shuffle_join,
         "anti_join": _anti_join,
+        "hash_sample": _hash_sample,
         "distinct_types": _distinct_types,
         "union_all": _union_all,
         "window_bucket": _window_bucket,
@@ -549,6 +564,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM customer
             WHERE c_custkey NOT IN
                   (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
         """,
         "distinct_types": "SELECT DISTINCT event_type FROM events",
         "union_all": """

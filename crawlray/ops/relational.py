@@ -118,6 +118,40 @@ def topk(
     return ds.sort(keys, descending=descending).limit(k)
 
 
+def hash_sample(
+    ds: ray.data.Dataset, key: str, buckets_kept: int, total_buckets: int = 256
+) -> ray.data.Dataset:
+    """Deterministic content-keyed sample (O-36, the reproducible variant).
+
+    Keeps rows whose md5(key) falls in the first `buckets_kept` of
+    `total_buckets` hex-prefix buckets — e.g. (25, 256) ≈ a 9.8% sample.
+    Unlike `Dataset.random_sample`, the kept set is a pure function of the
+    key: stable across runs, parallelism levels and engines (the DuckDB
+    oracle expresses the same predicate as
+    `substr(md5(key), 1, 2) < '<hex>'`), and consistent between tables —
+    sampling two tables by the same join key keeps matching rows together,
+    which a per-row RNG cannot do. Per-batch work is a vectorized string
+    compare on the 2-hex-char prefix; only the md5 itself is per-row.
+    """
+    if total_buckets != 256:
+        raise ValueError("total_buckets must be 256 (2 hex chars)")
+    if not 0 <= buckets_kept <= 256:
+        raise ValueError("buckets_kept must be in [0, 256]")
+    if buckets_kept == 256:
+        return ds  # keep-all: '100' would compare lexicographically wrong
+    threshold = format(buckets_kept, "02x")
+    import hashlib
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        prefixes = pa.array(
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+            for v in batch.column(key).to_pylist()
+        )
+        return batch.filter(pc.less(prefixes, threshold))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")
+
+
 def single_row_agg(ds: ray.data.Dataset, aggs) -> pa.Table:
     """Global (non-grouped) aggregate → a one-row Arrow table.
 

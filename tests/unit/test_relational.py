@@ -1,0 +1,38 @@
+"""Unit tests for ops/relational kernels (SURVEY.md §2.4–2.6)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+
+def test_hash_sample_deterministic_and_exact(ray_session):
+    ids = [f"doc-{i:05d}" for i in range(2000)]
+    tbl = pa.table({"doc_id": ids, "v": list(range(2000))})
+    from crawlray.ops.relational import hash_sample
+
+    ds = ray.data.from_arrow(tbl)
+    got = sorted(r["doc_id"] for r in hash_sample(ds, "doc_id", 25).take_all())
+    want = sorted(
+        i for i in ids if hashlib.md5(i.encode()).hexdigest()[:2] < "19"
+    )
+    assert got == want
+    # rate is ~25/256 of rows (binomial; loose bounds)
+    assert 0.05 < len(want) / len(ids) < 0.15
+    # repartitioned input yields the SAME kept set (parallelism-invariant)
+    got2 = sorted(
+        r["doc_id"]
+        for r in hash_sample(ds.repartition(13), "doc_id", 25).take_all()
+    )
+    assert got2 == got
+
+
+def test_hash_sample_edge_rates(ray_session):
+    tbl = pa.table({"k": [str(i) for i in range(50)]})
+    from crawlray.ops.relational import hash_sample
+
+    ds = ray.data.from_arrow(tbl)
+    assert hash_sample(ds, "k", 0).count() == 0
+    assert hash_sample(ds, "k", 256).count() == 50
