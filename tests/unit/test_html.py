@@ -56,3 +56,27 @@ def test_self_link_kept():
     base = "http://h.example/p/1"
     _, links = parse_page('<a href="/p/1">self</a>', base)
     assert links == [base]
+
+
+def test_enrich_batch_matches_enrich_doc():
+    """enrich_batch is the vectorized form of enrich_doc — outputs must be
+    identical element-wise, including whitespace/empty edge cases."""
+    import random
+
+    from crawlray.stages import enrich_batch, enrich_doc
+
+    cases = [
+        "", " ", "one", "a b c", "the of and a to in is it",
+        "der die das und ist", "le la les et est", "el la los y es",
+        "x " * 500, "tab\tsep\nnewline  multi  space ",
+    ]
+    rng = random.Random(7)
+    words = ["alpha", "beta", "the", "of", "und", "der", "le", "la", "es"]
+    for _ in range(150):
+        cases.append(
+            " ".join(rng.choice(words) for _ in range(rng.randint(0, 300)))
+        )
+    want = [enrich_doc(t) for t in cases]
+    got = list(zip(*enrich_batch(cases)))
+    assert got == want
+    assert enrich_batch([]) == ([], [], [])
