@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "global_sort_topk",
     "hash_join",
     "join_agg",
+    "shuffle_join",
+    "hash_sample",
     "window_bucket",
     "json_props",
     "flatten_tokens",
@@ -190,8 +192,16 @@ def bench_crawl(num_cpus: int) -> dict:
 
 
 def bench_queries(sf_dir: str, num_cpus: int) -> dict:
-    _init_ray(num_cpus)
+    ray = _init_ray(num_cpus)
     import __ray_entry__ as entrymod
+
+    # warm the Ray Data executor + worker pool before timing: the first
+    # streaming execution of a session pays one-off worker spawn + import
+    # costs that belong to cluster bring-up, not to whichever query runs
+    # first (q1_agg was charged ~3 s of warmup in round 1)
+    import ray.data as _rd_mod
+
+    _rd_mod.range(num_cpus * 2).map_batches(lambda b: b).count()
 
     qs = entrymod.queries()
     out = {}
