@@ -139,8 +139,16 @@ def _block_pair_task(
     ids_j = tbl_j.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     m_i = _normalize(_batch_matrix(tbl_i, vec_col))
     m_j = _normalize(_batch_matrix(tbl_j, vec_col))
-    sims = m_i @ m_j.T
-    bi, bj = np.nonzero(sims >= threshold)
+    # the O(|i|·|j|) scan runs in float32 (this numpy's dgemm path is ~250x
+    # slower than sgemm), with a margin so no true pair can be lost; the
+    # small candidate set is then re-verified with exact float64 dot
+    # products, so the output is identical to an all-f64 scan
+    sims32 = m_i.astype(np.float32) @ m_j.astype(np.float32).T
+    bi, bj = np.nonzero(sims32 >= np.float32(threshold) - np.float32(1e-5))
+    if len(bi):
+        exact = np.einsum("ij,ij->i", m_i[bi], m_j[bj])
+        keep = exact >= threshold
+        bi, bj = bi[keep], bj[keep]
     a, b = ids_i[bi], ids_j[bj]
     if same:
         keep = a < b
@@ -171,8 +179,10 @@ def similar_pairs_cosine(
     P(P+1)/2 tasks, the inherent cost of the exact answer; use
     `ivf_search_knn` for the approximate sub-quadratic path.
     """
-    slim = ds.select_columns([id_col, vec_col])
-    n = slim.count()
+    # materialize the slim projection ONCE: count() then repartition() on
+    # the lazy dataset would execute the upstream read twice
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    n = slim.count()  # metadata on a materialized dataset — no re-execution
     nb = max(1, -(-n // rows_per_block))
     refs = list(slim.repartition(nb).to_arrow_refs())
     tasks = [
