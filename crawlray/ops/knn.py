@@ -38,35 +38,47 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
 
 
 def _local_topk_rows(
-    sims: np.ndarray,
+    q: np.ndarray,
+    m: np.ndarray,
     qids: np.ndarray,
     ids: np.ndarray,
     k: int,
     exclude_self: bool,
 ) -> tuple[list, list, list]:
-    """Per-query local top-k candidates from a (n_queries, n_rows) sim
-    matrix. Ties are broken by ascending neighbor id BEFORE truncation so
-    the local candidate set is a superset of the global deterministic
-    top-k (block-layout independent)."""
+    """Per-query local top-k candidates of corpus rows `m` for queries `q`
+    (both L2-normalized float64). Ties are broken by ascending neighbor id
+    BEFORE truncation so the local candidate set is a superset of the
+    global deterministic top-k (block-layout independent).
+
+    The O(nq·n·dim) similarity scan runs in float32 (this numpy's f64 gemm
+    is ~250x slower than f32) with a 2e-5 candidate margin — wider than the
+    worst-case f32 dot error for unit vectors — and the surviving
+    candidates are rescored with exact float64 dot products, so selection
+    and emitted sims are identical to an all-f64 scan."""
+    sims32 = q.astype(np.float32) @ m.astype(np.float32).T
+    margin = np.float32(2e-5)
     out_q, out_n, out_s = [], [], []
-    kk = min(k + (1 if exclude_self else 0), sims.shape[1])
-    for qi in range(sims.shape[0]):
-        row = sims[qi]
-        if kk < len(row):
-            # keep EVERY element ≥ the kk-th value (so all boundary ties are
-            # present), then order by (-sim, neighbor_id) and truncate: the
-            # local candidate set is a superset of the deterministic top-kk
-            thresh = np.partition(row, len(row) - kk)[len(row) - kk]
-            part = np.nonzero(row >= thresh)[0]
-            part = part[np.lexsort((ids[part], -row[part]))][:kk]
+    n_rows = sims32.shape[1]
+    kk = min(k + (1 if exclude_self else 0), n_rows)
+    for qi in range(sims32.shape[0]):
+        row32 = sims32[qi]
+        if kk < n_rows:
+            # keep EVERY element within the margin of the kk-th f32 value
+            # (all boundary ties + any f32-misranked true candidate stay in)
+            thresh = np.partition(row32, n_rows - kk)[n_rows - kk] - margin
+            cand = np.nonzero(row32 >= thresh)[0]
         else:
-            part = np.lexsort((ids, -row))
-        for j in part:
+            cand = np.arange(n_rows)
+        exact = m[cand] @ q[qi]  # f64 rescore, O(|cand|·dim)
+        order = np.lexsort((ids[cand], -exact))[:kk]
+        sel = cand[order]
+        vals = exact[order]
+        for j, v in zip(sel, vals):
             if exclude_self and ids[j] == qids[qi]:
                 continue
             out_q.append(qids[qi])
             out_n.append(ids[j])
-            out_s.append(row[j])
+            out_s.append(float(v))
     return out_q, out_n, out_s
 
 
@@ -109,7 +121,7 @@ def knn_cosine(
         qids = ray.get(qid_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        out_q, out_n, out_s = _local_topk_rows(q @ m.T, qids, ids, k, exclude_self)
+        out_q, out_n, out_s = _local_topk_rows(q, m, qids, ids, k, exclude_self)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -280,7 +292,7 @@ def ivf_search_knn(
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         m = _normalize(_batch_matrix(group, vec_col))
         out_q, out_n, out_s = _local_topk_rows(
-            q[sel] @ m.T, all_qids[sel], ids, k, exclude_self
+            q[sel], m, all_qids[sel], ids, k, exclude_self
         )
         return pa.table(
             {
