@@ -464,6 +464,24 @@ def _media_decode(sf_dir: str):
     return out.select_columns(["doc_id", "n_bytes", "width", "height"])
 
 
+def _media_resize(sf_dir: str):
+    """Multimodal: decode → actor-pool resize (integer fit-to-max_dim
+    contract; stub arithmetic stands in for a real resampler)."""
+    from crawlray.ops.media import resize_media
+
+    out = resize_media(_rd(sf_dir, "documents"), "doc_id", "text", max_dim=256)
+    return out.select_columns(["doc_id", "width", "height", "out_width", "out_height"])
+
+
+def _media_frames(sf_dir: str):
+    """Multimodal: decode → frame-sample explode (each doc's fake video
+    emits every 2nd frame as its own row, with the seek offset a real
+    demuxer would use)."""
+    from crawlray.ops.media import sample_frames
+
+    return sample_frames(_rd(sf_dir, "documents"), "doc_id", "text", stride=2)
+
+
 def _crawl_smoke(sf_dir: str):
     """End-to-end distributed crawl on a deterministic synthetic web sized
     from the documents table (rows-only; bit-for-bit oracle equality is
@@ -513,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_search": _ann_ivf_search,
         "approx_distinct": _approx_distinct,
         "media_decode": _media_decode,
+        "media_resize": _media_resize,
+        "media_frames": _media_frames,
         "crawl_smoke": _crawl_smoke,
     }
 
@@ -624,6 +644,37 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) % 640 AS width,
                    octet_length(encode(text)) % 480 AS height
             FROM documents
+        """,
+        "media_resize": """
+            WITH m AS (
+                SELECT doc_id,
+                       octet_length(encode(text)) % 640 AS width,
+                       octet_length(encode(text)) % 480 AS height
+                FROM documents
+            )
+            SELECT doc_id, width, height,
+                   CAST(CASE WHEN GREATEST(width, height, 1) > 256
+                        THEN width * 256 // GREATEST(width, height, 1)
+                        ELSE width END AS INTEGER) AS out_width,
+                   CAST(CASE WHEN GREATEST(width, height, 1) > 256
+                        THEN height * 256 // GREATEST(width, height, 1)
+                        ELSE height END AS INTEGER) AS out_height
+            FROM m
+        """,
+        "media_frames": """
+            WITH m AS (
+                SELECT doc_id,
+                       octet_length(encode(text)) AS n_bytes,
+                       octet_length(encode(text)) % 7 + 1 AS n_frames
+                FROM documents
+            )
+            SELECT m.doc_id,
+                   CAST(f.frame_idx AS INTEGER) AS frame_idx,
+                   CAST(f.frame_idx * (m.n_bytes // m.n_frames) AS BIGINT)
+                       AS frame_off
+            FROM m, LATERAL (
+                SELECT UNNEST(range(0, m.n_frames, 2)) AS frame_idx
+            ) f
         """,
         # rows-only (no SQL equivalent): lang_id, minhash_signatures,
         # minhash_lsh_dedup, simhash_docs, simhash_dedup, ann_ivf,

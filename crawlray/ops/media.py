@@ -95,3 +95,104 @@ def decode_media(
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+class MediaResizeStage:
+    """Actor-pool resize stage (stub kernel, real plumbing).
+
+    Contract (pure integer arithmetic so the stage is oracle-checkable):
+    images larger than `max_dim` on their longer side scale down to fit,
+    preserving aspect ratio with floor division —
+        scale applies iff max(width, height) > max_dim
+        out_w = width  * max_dim // max(width, height)
+        out_h = height * max_dim // max(width, height)
+    A real deployment swaps the arithmetic for PIL `Image.resize` and
+    re-encodes the payload; here the payload passes through untouched.
+    Vectorized over the batch (numpy) — no per-row Python loop."""
+
+    def __init__(self, max_dim: int = 256):
+        self.max_dim = max_dim  # real codec/resampler handle would load here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy().astype(np.int64)
+        h = batch.column("height").to_numpy().astype(np.int64)
+        longer = np.maximum(np.maximum(w, h), 1)
+        need = longer > self.max_dim
+        out_w = np.where(need, w * self.max_dim // longer, w)
+        out_h = np.where(need, h * self.max_dim // longer, h)
+        cols = {n: batch.column(n) for n in batch.column_names}
+        cols["out_width"] = pa.array(out_w.astype(np.int32), pa.int32())
+        cols["out_height"] = pa.array(out_h.astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+
+class MediaFrameSampleStage:
+    """Actor-pool frame-sampling stage for video-like payloads (stub).
+
+    Contract: a payload of n_bytes holds `n_frames = n_bytes % 7 + 1`
+    fake frames; every `stride`-th frame is emitted as its own ROW
+    (doc explodes into frames — the output layout a real frame sampler
+    produces), with `frame_off = frame_idx * (n_bytes // n_frames)` as the
+    byte offset a real demuxer would seek to. Pure integer arithmetic →
+    DuckDB-oracle-checkable; a real deployment swaps in ffmpeg seek+decode.
+    """
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride  # real demuxer handle would load here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_bytes = batch.column("n_bytes").to_numpy().astype(np.int64)
+        n_frames = n_bytes % 7 + 1
+        counts = -(-n_frames // self.stride)  # frames sampled per doc
+        rep_ids = np.repeat(ids, counts)
+        rep_nb = np.repeat(n_bytes, counts)
+        rep_nf = np.repeat(n_frames, counts)
+        # frame_idx = stride * (rank within doc): global arange minus each
+        # row's group start, vectorized
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        frame_idx = (np.arange(len(rep_ids)) - starts) * self.stride
+        frame_off = frame_idx * (rep_nb // rep_nf)
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame_off": pa.array(frame_off, pa.int64()),
+            }
+        )
+
+
+def resize_media(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    max_dim: int = 256,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """attach payload → decode → actor-pool resize (metadata contract)."""
+    return decode_media(ds, id_col, text_col, concurrency).map_batches(
+        MediaResizeStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=0.5,
+        fn_constructor_kwargs={"max_dim": max_dim},
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    stride: int = 2,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """attach payload → decode → explode into sampled frame rows."""
+    return decode_media(ds, id_col, text_col, concurrency).map_batches(
+        MediaFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=0.5,
+        fn_constructor_kwargs={"stride": stride},
+    )
