@@ -464,6 +464,17 @@ def _media_decode(sf_dir: str):
     return out.select_columns(["doc_id", "n_bytes", "width", "height"])
 
 
+def _ngram_jaccard(sf_dir: str):
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 — the brute-force counterpart
+    of minhash_lsh_dedup (string shingles: no hash-collision caveat, so the
+    DuckDB oracle reproduces it verbatim)."""
+    from crawlray.ops.neardup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.5
+    )
+
+
 def _media_resize(sf_dir: str):
     """Multimodal: decode → actor-pool resize (integer fit-to-max_dim
     contract; stub arithmetic stands in for a real resampler)."""
@@ -530,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _ann_ivf,
         "ann_ivf_search": _ann_ivf_search,
         "approx_distinct": _approx_distinct,
+        "ngram_jaccard": _ngram_jaccard,
         "media_decode": _media_decode,
         "media_resize": _media_resize,
         "media_frames": _media_frames,
@@ -644,6 +656,33 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) % 640 AS width,
                    octet_length(encode(text)) % 480 AS height
             FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS l
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+                FROM toks,
+                     LATERAL (SELECT UNNEST(range(1, len(l) - 1)) AS i) r
+                WHERE len(l) >= 3
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 6) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = id_a
+            JOIN counts cb ON cb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
         """,
         "media_resize": """
             WITH m AS (

@@ -455,3 +455,158 @@ def simhash_dup_pairs(
             "hamming": pa.array([r["hamming"] for r in rows], pa.int32()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard pairs — the brute-force baseline (LSH is the scale
+# path above; this is its exact counterpart, as knn's brute-force cosine is
+# to IVF)
+# --------------------------------------------------------------------------
+
+
+def _shingle_strings(text: str, n: int = 3) -> list[str]:
+    """Distinct n-gram token shingles as STRINGS (docs shorter than n tokens
+    yield none). String shingles — not crc32 hashes — so exact Jaccard has
+    no collision caveat and the DuckDB oracle can reproduce it verbatim."""
+    toks = text.split()
+    if len(toks) < n:
+        return []
+    return sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+@ray.remote
+def _jaccard_block_pair_task(
+    tbl_i: pa.Table, tbl_j: pa.Table, same: bool, threshold: float
+) -> pa.Table:
+    """All (id_a < id_b) pairs between two shingled blocks with Jaccard ≥
+    threshold. Intersection counts come from ONE Arrow (Acero) hash join on
+    the shingle value + a C++ group_by — no Python per-pair loop."""
+    def _explode(t: pa.Table, side: str) -> pa.Table:
+        lists = t.column("sh").combine_chunks()
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        counts = np.asarray(lists.value_lengths())
+        return pa.table(
+            {
+                f"id_{side}": pa.array(np.repeat(ids, counts), pa.int64()),
+                "s": lists.flatten(),
+            }
+        )
+
+    ea = _explode(tbl_i, "a")
+    eb = _explode(tbl_j, "b")
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if ea.num_rows == 0 or eb.num_rows == 0:
+        return empty
+    inter = (
+        ea.join(eb, keys=["s"], join_type="inner")
+        .group_by(["id_a", "id_b"])
+        .aggregate([("s", "count")])
+    )
+    if same:
+        inter = inter.filter(
+            pa.compute.less(inter.column("id_a"), inter.column("id_b"))
+        )
+    if inter.num_rows == 0:
+        return empty
+    counts_i = {
+        int(i): int(c)
+        for i, c in zip(
+            tbl_i.column("id").to_pylist(),
+            np.asarray(tbl_i.column("sh").combine_chunks().value_lengths()),
+        )
+    }
+    counts_j = {
+        int(i): int(c)
+        for i, c in zip(
+            tbl_j.column("id").to_pylist(),
+            np.asarray(tbl_j.column("sh").combine_chunks().value_lengths()),
+        )
+    }
+    ia = inter.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = inter.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    ic = inter.column("s_count").to_numpy(zero_copy_only=False).astype(np.float64)
+    ca = np.array([counts_i[int(x)] for x in ia], np.float64)
+    cb = np.array([counts_j[int(x)] for x in ib], np.float64)
+    jac = ic / (ca + cb - ic)
+    keep = jac >= threshold
+    ia, ib, jac = ia[keep], ib[keep], jac[keep]
+    if not same:
+        # ids are not ordered ACROSS blocks; emit (min, max). A duplicate id
+        # appearing in both blocks would self-pair — drop those.
+        neq = ia != ib
+        ia, ib, jac = ia[neq], ib[neq], jac[neq]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        ia, ib = lo, hi
+    return pa.table(
+        {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "jaccard": pa.array(np.round(jac, 6), pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    rows_per_block: int = 4096,
+) -> pa.Table:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold (id_a < id_b, sorted).
+
+    Block-pair design (same shape as ops/knn.similar_pairs_cosine): docs are
+    shingled once into bounded object-store blocks; each (i ≤ j) block pair
+    is one Ray task doing a C++ hash join on shingle values. The driver
+    holds block refs and the final pair set only. O(n²) block pairs are the
+    inherent cost of the exact answer — `minhash_lsh_pairs` is the
+    sub-quadratic approximation for corpus scale.
+    """
+
+    def _sh(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array(
+                    batch.column(id_col).to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "sh": pa.array(
+                    [
+                        _shingle_strings(t or "", n)
+                        for t in batch.column(text_col).to_pylist()
+                    ],
+                    pa.list_(pa.string()),
+                ),
+            }
+        )
+
+    shingled = ds.map_batches(_sh, batch_format="pyarrow").materialize()
+    nrows = shingled.count()
+    nb = max(1, -(-nrows // rows_per_block))
+    refs = list(shingled.repartition(nb).to_arrow_refs())
+    tasks = [
+        _jaccard_block_pair_task.remote(refs[i], refs[j], i == j, threshold)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    parts = [t for t in ray.get(tasks) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    import pyarrow.compute as pc
+
+    tbl = pa.concat_tables(parts)
+    return tbl.take(
+        pc.sort_indices(tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
+    )

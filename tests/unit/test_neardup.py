@@ -85,3 +85,45 @@ def test_simhash_dups(ray_session):
     assert (100, 102) in got
     # unrelated random docs must not collide at hamming<=3
     assert all(a >= 100 for a, b in got), got
+
+
+def test_ngram_jaccard_pairs_exact_multiblock(ray_session):
+    """Block-pair exact Jaccard must equal the all-in-memory answer even
+    when docs scatter across many blocks (cross-block min/max path)."""
+    import itertools
+
+    import ray.data
+
+    from crawlray.ops.neardup import _shingle_strings, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {}
+    for i in range(40):
+        words = base.split()
+        if i % 4 == 0:
+            words[i % len(words)] = f"alt{i}"  # near-dup of base
+        else:
+            words = [f"w{i}_{k}" for k in range(12)]  # unrelated
+        texts[i] = " ".join(words)
+    tbl = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+
+    # brute force reference
+    want = []
+    sh = {i: set(_shingle_strings(t)) for i, t in texts.items()}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        u = sh[a] | sh[b]
+        j = len(sh[a] & sh[b]) / len(u) if u else 0.0
+        if j >= 0.3:
+            want.append((a, b, round(j, 6)))
+
+    got_tbl = ngram_jaccard_pairs(
+        ray.data.from_arrow(tbl).repartition(7), threshold=0.3, rows_per_block=8
+    )
+    got = list(
+        zip(
+            got_tbl.column("id_a").to_pylist(),
+            got_tbl.column("id_b").to_pylist(),
+            got_tbl.column("jaccard").to_pylist(),
+        )
+    )
+    assert got == sorted(want)
