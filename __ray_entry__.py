@@ -421,6 +421,24 @@ def _ann_ivf(sf_dir: str):
     return out.select_columns(["vec_id", "bucket"])
 
 
+def _ivf_pairs(sf_dir: str):
+    """Sub-quadratic embedding near-dup (rows-only): IVF-bucketed
+    same-bucket cosine pairs — the approximate scale path whose recall vs
+    the exact `embedding_dedup` is asserted in tests/unit/test_knn_ivf.py."""
+    import pyarrow.parquet as pq
+
+    from crawlray.ops.knn import ivf_pairs_cosine
+
+    q = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cent = np.array(
+        q.filter(pc.less(q.column("vec_id"), 8)).column("embedding").to_pylist(),
+        dtype=np.float64,
+    )
+    return ivf_pairs_cosine(_rd(sf_dir, "embeddings"), cent, threshold=0.45)
+
+
 def _approx_distinct(sf_dir: str):
     """O-32 HLL approx-distinct of events.user_id (rows-only: an estimate by
     construction; ±2% accuracy vs exact asserted in tests/unit/test_sketch.py).
@@ -540,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _simhash_dedup,
         "ann_ivf": _ann_ivf,
         "ann_ivf_search": _ann_ivf_search,
+        "ivf_pairs": _ivf_pairs,
         "approx_distinct": _approx_distinct,
         "ngram_jaccard": _ngram_jaccard,
         "media_decode": _media_decode,

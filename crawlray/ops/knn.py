@@ -304,3 +304,61 @@ def ivf_search_knn(
 
     cand = assigned.groupby("bucket").map_groups(_probe, batch_format="pyarrow")
     return _merge_topk(cand.take_all(), k)
+
+
+def ivf_pairs_cosine(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """APPROXIMATE cosine near-dup pairs — the sub-quadratic scale path.
+
+    Vectors are IVF-bucketed by nearest centroid (one groupby shuffle);
+    only SAME-BUCKET pairs are compared, each bucket locally with the
+    f32-scan / f64-rescore block kernel. Cost is Σ|bucket|² instead of n²:
+    with B balanced buckets that is n²/B flops and no cross-bucket network
+    at all. Recall is bounded by bucketing quality — a near-dup pair split
+    across buckets is missed (tested ≥0.8 on clustered corpora vs the
+    exact `similar_pairs_cosine`); raise it by using more/better centroids
+    or fall back to the exact op for final passes.
+    """
+    assigned = ivf_bucket_assign(ds, centroids, id_col, vec_col)
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        sub = group.select([id_col, vec_col])
+        return _block_pair_inline(sub, threshold, id_col, vec_col)
+
+    out = (
+        assigned.groupby("bucket")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .take_all()
+    )
+    out.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.Table.from_pylist(
+        out, schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    )
+
+
+def _block_pair_inline(
+    tbl: pa.Table, threshold: float, id_col: str, vec_col: str
+) -> pa.Table:
+    """Same-block qualifying pairs (the _block_pair_task kernel, callable
+    inside a map_groups task rather than as its own Ray task)."""
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(_batch_matrix(tbl, vec_col))
+    sims32 = m.astype(np.float32) @ m.astype(np.float32).T
+    bi, bj = np.nonzero(sims32 >= np.float32(threshold) - np.float32(1e-5))
+    if len(bi):
+        exact = np.einsum("ij,ij->i", m[bi], m[bj])
+        keep = exact >= threshold
+        bi, bj = bi[keep], bj[keep]
+    a, b = ids[bi], ids[bj]
+    keep = a < b
+    return pa.table(
+        {
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+        }
+    )

@@ -93,3 +93,38 @@ def test_ivf_search_recall(ray_session):
     # determinism
     approx2 = ivf_search_knn(ds, centers, q, qids, k=5, nprobe=3)
     assert approx.equals(approx2)
+
+
+def test_ivf_pairs_recall_vs_exact(ray_session):
+    """IVF-bucketed near-dup pairs: precision must be 1.0 (every emitted
+    pair verified in f64) and recall ≥ 0.8 of the exact block-pair answer
+    on a clustered corpus (pairs inside a cluster share a bucket)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from crawlray.ops.knn import ivf_pairs_cosine, similar_pairs_cosine
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 32)
+    vecs, ids = [], []
+    for i in range(300):
+        c = centers[i % 6]
+        vecs.append(c + 0.05 * rng.randn(32))
+        ids.append(i)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    exact = similar_pairs_cosine(ds, threshold=0.9, rows_per_block=64)
+    approx = ivf_pairs_cosine(ds, centers, threshold=0.9)
+    ep = set(zip(exact.column("id_a").to_pylist(), exact.column("id_b").to_pylist()))
+    ap = set(zip(approx.column("id_a").to_pylist(), approx.column("id_b").to_pylist()))
+    assert ap <= ep  # precision 1.0: same-bucket pairs are exactly verified
+    assert len(ep) > 100
+    assert len(ap) / len(ep) >= 0.8
