@@ -222,6 +222,17 @@ def _anti_join(sf_dir: str):
     )
 
 
+def _session_windows(sf_dir: str):
+    """Streaming windowed aggregate (sessionization): per-user gap-based
+    sessions over events, 30-minute gap."""
+    from crawlray.ops.relational import session_windows
+
+    return session_windows(
+        _rd(sf_dir, "events", columns=["user_id", "ts"]),
+        key="user_id", ts_col="ts", gap_seconds=1800,
+    )
+
+
 def _hash_sample(sf_dir: str):
     """O-36, deterministic variant: content-keyed ~9.8% sample (25 of 256
     md5-prefix buckets) — reproducible across runs/parallelism/engines,
@@ -540,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join": _shuffle_join,
         "anti_join": _anti_join,
         "hash_sample": _hash_sample,
+        "session_windows": _session_windows,
         "distinct_types": _distinct_types,
         "union_all": _union_all,
         "window_bucket": _window_bucket,
@@ -619,6 +631,25 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, source FROM documents
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+        """,
+        "session_windows": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+            FROM s GROUP BY user_id, session_id
         """,
         "distinct_types": "SELECT DISTINCT event_type FROM events",
         "union_all": """

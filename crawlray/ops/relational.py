@@ -152,6 +152,65 @@ def hash_sample(
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+def session_windows(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+) -> ray.data.Dataset:
+    """Gap-based session windows per key — the streaming windowed-aggregate
+    shape (sessionization) as a batch operator.
+
+    Events for one key more than `gap_seconds` apart start a new session.
+    ONE groupby(key) shuffle co-locates each key's events; per-group work is
+    a vectorized sort + diff + bincount (no per-event Python). Session ids
+    are 0-based in time order, so output is a pure function of the data —
+    deterministic under any parallelism (equal timestamps share a session
+    regardless of sort-tie order). Output:
+    (key, session_id, n_events, t_start, t_end).
+    """
+    import numpy as np
+
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def _sess(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        n = len(ts_s)
+        if n == 0:
+            return pa.table(
+                {
+                    key: group.column(key).slice(0, 0),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "t_start": pa.array(ts_s),
+                    "t_end": pa.array(ts_s),
+                }
+            )
+        gaps = np.diff(ts_s).astype("timedelta64[us]").astype(np.int64)
+        new = np.concatenate([[True], gaps > gap_us])
+        sess = np.cumsum(new) - 1
+        counts = np.bincount(sess)
+        start_idx = np.nonzero(new)[0]
+        end_idx = np.nonzero(np.concatenate([new[1:], [True]]))[0]
+        return pa.table(
+            {
+                key: group.column(key).take(
+                    pa.array(np.zeros(len(counts), np.int64))
+                ),
+                "session_id": pa.array(
+                    np.arange(len(counts), dtype=np.int64), pa.int64()
+                ),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "t_start": pa.array(ts_s[start_idx]),
+                "t_end": pa.array(ts_s[end_idx]),
+            }
+        )
+
+    return ds.groupby(key).map_groups(_sess, batch_format="pyarrow")
+
+
 def single_row_agg(ds: ray.data.Dataset, aggs) -> pa.Table:
     """Global (non-grouped) aggregate → a one-row Arrow table.
 

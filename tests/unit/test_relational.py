@@ -36,3 +36,35 @@ def test_hash_sample_edge_rates(ray_session):
     ds = ray.data.from_arrow(tbl)
     assert hash_sample(ds, "k", 0).count() == 0
     assert hash_sample(ds, "k", 256).count() == 50
+
+
+def test_session_windows_gap_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from crawlray.ops.relational import session_windows
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    # user 1: gaps 5s, exactly 10s (same session: > is strict), 11s (new)
+    rows = [
+        (1, t0), (1, t0 + 5 * sec), (1, t0 + 15 * sec), (1, t0 + 26 * sec),
+        (2, t0),  # single event → one session
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    out = (
+        session_windows(ray.data.from_arrow(tbl).repartition(3),
+                        "user_id", "ts", gap_seconds=10)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out.user_id, out.session_id, out.n_events))
+    assert got == [(1, 0, 3), (1, 1, 1), (2, 0, 1)]
+    assert out.t_end[0] == t0 + 15 * sec
