@@ -692,9 +692,25 @@ def resume_crawl(
         robots = web.robots_table()
         web = None
     want_fp = cfg.get("webgraph_fingerprint")
-    if want_fp is not None and webgraph is not None:
-        got_fp = _webgraph_fingerprint(webgraph)
-        if got_fp != want_fp:
+    if want_fp is not None:
+        got_fp = None
+        if webgraph is not None:
+            got_fp = _webgraph_fingerprint(webgraph)
+        elif webgraph_path is not None:
+            # same sampling run_crawl uses for the path form: first + last
+            # parquet files only — O(1) regardless of webgraph size
+            files = sorted(
+                os.path.join(webgraph_path, f)
+                for f in os.listdir(webgraph_path)
+                if f.endswith(".parquet")
+            )
+            if files:
+                got_fp = _webgraph_fingerprint(
+                    pa.concat_tables(
+                        [_pq.read_table(files[0]), _pq.read_table(files[-1])]
+                    )
+                )
+        if got_fp is not None and got_fp != want_fp:
             raise ValueError(
                 f"resume webgraph mismatch: checkpoint was written against web "
                 f"fingerprint {want_fp}, caller supplied {got_fp} — resuming "

@@ -81,3 +81,54 @@ def test_resume_cleans_uncommitted(ray_session, tmp_path):
         assert 2 in waves
     finally:
         r2.shutdown()
+
+
+def test_resume_rejects_different_webgraph_path(ray_session, tmp_path):
+    """Path-form resume must validate the webgraph fingerprint too: resuming
+    against a directory holding a DIFFERENT web errors instead of silently
+    continuing the crawl on the wrong graph."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from crawlray.job import resume_crawl, run_crawl
+    from crawlray.synthgraph import SynthWeb
+
+    web_a = SynthWeb(seed=42, shape="zipf_hosts", n_urls=80, n_hosts=4)
+    web_b = SynthWeb(seed=43, shape="zipf_hosts", n_urls=90, n_hosts=4)
+    dir_a = str(tmp_path / "wga")
+    dir_b = str(tmp_path / "wgb")
+    for d, w in ((dir_a, web_a), (dir_b, web_b)):
+        os.makedirs(os.path.join(d, "webgraph"))
+        pq.write_table(
+            w.webgraph_table(), os.path.join(d, "webgraph", "part-0.parquet")
+        )
+        pq.write_table(w.robots_table(), os.path.join(d, "robots.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    r = run_crawl(
+        web_a.default_seeds(),
+        webgraph_path=os.path.join(dir_a, "webgraph"),
+        robots_path=os.path.join(dir_a, "robots.parquet"),
+        budget_per_host=2,
+        out_dir=ckpt,
+        stop_after_wave=1,
+        fetch_concurrency=2,
+    )
+    r.shutdown()
+    with pytest.raises(ValueError, match="webgraph mismatch"):
+        resume_crawl(
+            ckpt,
+            webgraph_path=os.path.join(dir_b, "webgraph"),
+            robots_path=os.path.join(dir_b, "robots.parquet"),
+            fetch_concurrency=2,
+        )
+    # the matching path resumes fine
+    r2 = resume_crawl(
+        ckpt,
+        webgraph_path=os.path.join(dir_a, "webgraph"),
+        robots_path=os.path.join(dir_a, "robots.parquet"),
+        fetch_concurrency=2,
+    )
+    assert r2.fetched_total > 0
+    r2.shutdown()
