@@ -344,16 +344,14 @@ def simhash_table(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
     """Per-doc 64-bit simhash over 3-gram token shingles (same kernel the
-    crawl fetcher's enrichment uses)."""
-    from crawlray.stages import enrich_doc
+    crawl fetcher's enrichment uses, batch-vectorized form)."""
+    from crawlray.stages import enrich_batch
 
     def _sh(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column(text_col).to_pylist():
-            _, _, sim = enrich_doc(t or "")
-            out.append(sim)
+        texts = [t or "" for t in batch.column(text_col).to_pylist()]
+        _, _, sims = enrich_batch(texts)
         return pa.table(
-            {id_col: batch.column(id_col), "simhash": pa.array(out, pa.uint64())}
+            {id_col: batch.column(id_col), "simhash": pa.array(sims, pa.uint64())}
         )
 
     return ds.map_batches(_sh, batch_format="pyarrow")
