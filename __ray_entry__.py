@@ -222,6 +222,18 @@ def _anti_join(sf_dir: str):
     )
 
 
+def _grouped_topk(sf_dir: str):
+    """Window-rank top-k per group: 5 highest-value orders per status
+    (deterministic tie-break by o_orderkey)."""
+    from crawlray.ops.relational import grouped_topk
+
+    return grouped_topk(
+        _rd(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]),
+        group_cols=["o_orderstatus"], order_col="o_totalprice", k=5,
+        descending=True, tiebreak_col="o_orderkey",
+    )
+
+
 def _session_windows(sf_dir: str):
     """Streaming windowed aggregate (sessionization): per-user gap-based
     sessions over events, 30-minute gap."""
@@ -551,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join": _shuffle_join,
         "anti_join": _anti_join,
         "hash_sample": _hash_sample,
+        "grouped_topk": _grouped_topk,
         "session_windows": _session_windows,
         "distinct_types": _distinct_types,
         "union_all": _union_all,
@@ -631,6 +644,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, source FROM documents
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+        """,
+        "grouped_topk": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+            ) <= 5
         """,
         "session_windows": """
             WITH o AS (

@@ -152,6 +152,35 @@ def hash_sample(
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+def grouped_topk(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows per group (SQL: QUALIFY ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY order_col [DESC]) <= k).
+
+    One groupby shuffle co-locates each group; the per-group kernel is a
+    vectorized argsort + head-k — group sizes bound the memory, never the
+    dataset. Pass `tiebreak_col` (unique within groups) for a deterministic
+    winner when order_col has ties.
+    """
+    import numpy as np
+
+    def _topk(group: pa.Table) -> pa.Table:
+        v = group.column(order_col).to_numpy(zero_copy_only=False)
+        keys = [v if not descending else -v]
+        if tiebreak_col is not None:
+            keys = [group.column(tiebreak_col).to_numpy(zero_copy_only=False)] + keys
+        order = np.lexsort(tuple(keys))
+        return group.take(pa.array(order[:k]))
+
+    return ds.groupby(group_cols).map_groups(_topk, batch_format="pyarrow")
+
+
 def session_windows(
     ds: ray.data.Dataset,
     key: str,

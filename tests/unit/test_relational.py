@@ -68,3 +68,27 @@ def test_session_windows_gap_semantics(ray_session):
     got = list(zip(out.user_id, out.session_id, out.n_events))
     assert got == [(1, 0, 3), (1, 1, 1), (2, 0, 1)]
     assert out.t_end[0] == t0 + 15 * sec
+
+
+def test_grouped_topk_deterministic(ray_session):
+    import ray.data
+
+    from crawlray.ops.relational import grouped_topk
+
+    tbl = pa.table(
+        {
+            "g": ["a"] * 5 + ["b"] * 3,
+            "v": pa.array([3.0, 1.0, 3.0, 2.0, 5.0, 7.0, 7.0, 7.0]),
+            "id": pa.array(list(range(8)), pa.int64()),
+        }
+    )
+    out = (
+        grouped_topk(ray.data.from_arrow(tbl).repartition(4), ["g"], "v", 2,
+                     descending=True, tiebreak_col="id")
+        .to_pandas().sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out.g, out.v, out.id))
+    # group a: 5.0(id4), then tie 3.0 → smaller id wins (id0)
+    # group b: all 7.0 → ids 5, 6
+    assert got == [("a", 5.0, 4), ("a", 3.0, 0), ("b", 7.0, 5), ("b", 7.0, 6)]
