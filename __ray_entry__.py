@@ -222,6 +222,27 @@ def _anti_join(sf_dir: str):
     )
 
 
+def _quantiles(sf_dir: str):
+    """Exact distributed quantiles (percentile_cont semantics) of
+    lineitem.l_extendedprice — sort + O(#blocks) metadata walk, no driver
+    rows."""
+    from crawlray.ops.seqassign import exact_quantiles
+
+    p25, p50, p75, p95 = exact_quantiles(
+        _rd(sf_dir, "lineitem", columns=["l_extendedprice"]),
+        "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+    return pa.table(
+        {
+            "p25": pa.array([round(p25, 4)]),
+            "p50": pa.array([round(p50, 4)]),
+            "p75": pa.array([round(p75, 4)]),
+            "p95": pa.array([round(p95, 4)]),
+        }
+    )
+
+
 def _grouped_topk(sf_dir: str):
     """Window-rank top-k per group: 5 highest-value orders per status
     (deterministic tie-break by o_orderkey)."""
@@ -563,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join": _shuffle_join,
         "anti_join": _anti_join,
         "hash_sample": _hash_sample,
+        "quantiles": _quantiles,
         "grouped_topk": _grouped_topk,
         "session_windows": _session_windows,
         "distinct_types": _distinct_types,
@@ -644,6 +666,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, source FROM documents
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+        """,
+        "quantiles": """
+            SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+            FROM lineitem
         """,
         "grouped_topk": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

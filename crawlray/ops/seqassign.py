@@ -46,6 +46,61 @@ def rank_cut_seq(log_ds: ray.data.Dataset, r: int) -> int:
     raise ValueError(f"rank_cut_seq: fewer than r={r} fetched rows ({acc})")
 
 
+def rank_values(ds: ray.data.Dataset, col: str, ranks: list[int]) -> dict[int, float]:
+    """Values at the given 0-based global ranks of ds[col] ascending.
+
+    Same no-driver-rows shape as rank_cut_seq: distributed sort, then an
+    O(#blocks) metadata walk fetching ONLY the blocks that contain a
+    requested rank."""
+    mat = ds.select_columns([col]).sort(col).materialize()
+    want = sorted(set(int(r) for r in ranks))
+    out: dict[int, float] = {}
+    acc = 0
+    idx = 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            n = meta.num_rows
+            if n and idx < len(want) and want[idx] < acc + n:
+                block = ray.get(block_ref)
+                while idx < len(want) and want[idx] < acc + n:
+                    out[want[idx]] = block.column(col)[want[idx] - acc].as_py()
+                    idx += 1
+            acc += n
+    missing = [r for r in want if r not in out]
+    if missing:
+        raise ValueError(f"ranks {missing} out of range (n={acc})")
+    return out
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset, col: str, qs: list[float]
+) -> list[float]:
+    """EXACT quantiles with linear interpolation (the percentile_cont /
+    quantile_cont definition: position q·(n−1), interpolate between the
+    flanking order statistics). One distributed sort; the driver touches
+    O(#blocks) metadata plus the ≤2·len(qs) blocks holding the flanking
+    ranks — never the dataset. For sketch-based streaming quantiles at
+    extreme scale, pre-aggregate per block and trade exactness; this is
+    the exact path."""
+    mat = ds.select_columns([col]).sort(col).materialize()
+    n = mat.count()
+    if n == 0:
+        raise ValueError("exact_quantiles on empty dataset")
+    ranks: set[int] = set()
+    pos = []
+    for q in qs:
+        p = q * (n - 1)
+        lo, hi = int(np.floor(p)), int(np.ceil(p))
+        ranks.update((lo, hi))
+        pos.append((p, lo, hi))
+    vals = rank_values(mat, col, sorted(ranks))
+    out = []
+    for p, lo, hi in pos:
+        vlo, vhi = float(vals[lo]), float(vals[hi])
+        out.append(vlo if lo == hi else vlo + (p - lo) * (vhi - vlo))
+    return out
+
+
 def sort_and_zip_index(
     ds: ray.data.Dataset, key: str, base: int = 0, out_col: str = "seq"
 ) -> ray.data.Dataset:

@@ -92,3 +92,20 @@ def test_grouped_topk_deterministic(ray_session):
     # group a: 5.0(id4), then tie 3.0 → smaller id wins (id0)
     # group b: all 7.0 → ids 5, 6
     assert got == [("a", 5.0, 4), ("a", 3.0, 0), ("b", 7.0, 5), ("b", 7.0, 6)]
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.seqassign import exact_quantiles, rank_values
+
+    rng = np.random.RandomState(3)
+    vals = rng.rand(5000) * 100
+    tbl = pa.table({"v": vals})
+    ds = ray.data.from_arrow(tbl).repartition(11)
+    got = exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0])
+    want = np.quantile(vals, [0.0, 0.25, 0.5, 0.9, 1.0])  # linear interp
+    assert np.allclose(got, want, rtol=0, atol=1e-9)
+    rv = rank_values(ds, "v", [0, 4999])
+    assert rv[0] == vals.min() and rv[4999] == vals.max()
