@@ -1,0 +1,93 @@
+"""HttpBackend end-to-end over a loopback HTTP server (the sandbox has no
+external network, but 127.0.0.1 sockets work — so the real-web path gets a
+real test: fetch, robots, error handling, and a full oracle crawl over
+HTTP, including hostile hrefs that must not crash canonicalize)."""
+
+from __future__ import annotations
+
+import http.server
+import socketserver
+import threading
+
+import pytest
+
+
+PAGES = {
+    "/": (
+        '<html><p>root</p><a href="/a">a</a> <a href="/blocked/x">b</a>'
+        # hostile hrefs: malformed port, bad scheme — must be skipped, not crash
+        '<a href="http://h:8o8o/">bad-port</a><a href="mailto:x@y">mail</a>'
+        "</html>"
+    ),
+    "/a": '<html><p>page a</p><a href="/b">b</a></html>',
+    "/b": "<html><p>page b</p></html>",
+    "/blocked/x": "<html><p>secret</p></html>",
+}
+ROBOTS = "User-agent: *\nDisallow: /blocked\n"
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):
+        if self.path == "/robots.txt":
+            body = ROBOTS.encode()
+        elif self.path in PAGES:
+            body = PAGES[self.path].encode()
+        else:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def http_host():
+    srv = socketserver.TCPServer(("127.0.0.1", 0), _Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def test_http_backend_fetch_and_robots(http_host):
+    from crawlray.backend import HttpBackend
+
+    b = HttpBackend(timeout=5)
+    assert "page a" in b.fetch(f"http://{http_host}/a")
+    assert b.fetch(f"http://{http_host}/missing") is None
+    assert "Disallow: /blocked" in b.robots(http_host)
+
+
+def test_oracle_crawl_over_http(http_host):
+    """Full BFS crawl through the real HTTP path: link discovery, robots
+    blocking, hostile-href resilience."""
+    from crawlray.backend import HttpBackend
+    from oracle.bfs_crawler import CrawlConfig, crawl
+
+    res = crawl(
+        [f"http://{http_host}/"],
+        HttpBackend(timeout=5),
+        CrawlConfig(budget_per_host=10),
+    )
+    log = {r["url"]: r["status"] for r in res.crawl_log.to_pylist()}
+    assert log[f"http://{http_host}/"] == "fetched"
+    assert log[f"http://{http_host}/a"] == "fetched"
+    assert log[f"http://{http_host}/b"] == "fetched"
+    assert log[f"http://{http_host}/blocked/x"] == "robots_denied"
+    # hostile hrefs were skipped at canonicalize, not crawled and not fatal
+    assert not any("8o8o" in u or u.startswith("mailto") for u in log)
+    texts = {
+        s["text"]
+        for d in res.documents.to_pylist()
+        for s in d["spans"]
+        if s["kind"] == "text"
+    }
+    assert {"root", "page a", "page b"} <= texts
+    assert "secret" not in texts
