@@ -33,6 +33,7 @@ class RobotsCacheActor:
         num_shards: int,
         robots_ref=None,
         user_agent: str = "*",
+        backend_factory=None,
     ):
         self.shard_id = shard_id
         self.user_agent = user_agent
@@ -40,6 +41,11 @@ class RobotsCacheActor:
         self._parsed: dict[str, urllib.robotparser.RobotFileParser] = {}
         self._verdicts: dict[str, int] = {}  # 1=always-allow, -1=always-deny, 0=per-url
         self._bodies: dict[str, str] = {}
+        # live-fetch path (RBC-6 "fetched before a host's first fetch"):
+        # on a body-cache miss the shard fetches robots.txt through the
+        # backend ONCE and caches it forever — each host lives on exactly
+        # one shard, so there is exactly one fetch per host per crawl
+        self._backend = backend_factory() if backend_factory is not None else None
         if robots_ref is not None:
             # ObjectRefs passed as top-level actor args arrive pre-resolved;
             # nested refs (e.g. inside kwargs dicts) need the explicit get.
@@ -53,8 +59,11 @@ class RobotsCacheActor:
     def _rules(self, host: str) -> urllib.robotparser.RobotFileParser:
         rp = self._parsed.get(host)
         if rp is None:
-            rp = urllib.robotparser.RobotFileParser()
             body = self._bodies.get(host)
+            if body is None and self._backend is not None:
+                body = self._backend.robots(host)  # None on miss = allow-all
+                self._bodies[host] = body
+            rp = urllib.robotparser.RobotFileParser()
             rp.parse([] if body is None else body.splitlines())
             self._parsed[host] = rp
         return rp

@@ -20,6 +20,13 @@ class FetchBackend:
         """Return page HTML, or None on fetch error."""
         raise NotImplementedError
 
+    def fetch_many(self, urls: list[str]) -> list[str | None]:
+        """Batch fetch; backends override when they have a faster bulk path
+        (SyntheticBackend: vectorized index lookup). Default: per-URL loop —
+        for network backends the engine's parallelism already comes from
+        the fetcher actor pool, each actor working its own chunk."""
+        return [self.fetch(u) for u in urls]
+
     def robots(self, host: str) -> str | None:
         """Return robots.txt body for host, or None if unavailable."""
         raise NotImplementedError

@@ -201,6 +201,8 @@ def run_crawl(
     frontier_steps=None,
     doc_steps=None,
     scratch_dir: str | None = None,
+    backend_factory=None,
+    seen_capacity: int | None = None,
     _resume_state: dict | None = None,
 ) -> CrawlResult:
     """Run a full crawl. Caller owns the Ray session (never inits here).
@@ -237,7 +239,16 @@ def run_crawl(
         robots = web.robots_table()
 
     # ---- webgraph into the object store (parallel read for the path form)
-    if webgraph_path is not None:
+    if backend_factory is not None:
+        # backend-agnostic crawl (O-46): pages come from the factory-built
+        # backend (e.g. HttpBackend) — no webgraph tables exist. Seen-set
+        # sizing must be told explicitly (or defaults to 1M per shard).
+        webgraph_refs = None
+        n_pages = seen_capacity if seen_capacity is not None else (1 << 20)
+        web_fp = "backend:" + getattr(
+            backend_factory, "__name__", type(backend_factory).__name__
+        )
+    elif webgraph_path is not None:
         files = sorted(
             os.path.join(webgraph_path, f)
             for f in os.listdir(webgraph_path)
@@ -277,7 +288,9 @@ def run_crawl(
         for i in range(num_seen_shards)
     ]
     robots_actors = [
-        RobotsCacheActor.remote(i, num_robots_shards, robots_ref, user_agent)
+        RobotsCacheActor.remote(
+            i, num_robots_shards, robots_ref, user_agent, backend_factory
+        )
         for i in range(num_robots_shards)
     ]
     polite_actors = [
@@ -361,7 +374,11 @@ def run_crawl(
     # index is sorted ONCE by a task and shared zero-copy by every actor.
     from crawlray.stages import build_web_index_task
 
-    urls_idx_ref, perm_idx_ref = build_web_index_task.remote(*webgraph_refs)
+    if webgraph_refs is not None:
+        urls_idx_ref, perm_idx_ref = build_web_index_task.remote(*webgraph_refs)
+        web_index = (urls_idx_ref, perm_idx_ref, webgraph_refs)
+    else:
+        web_index = None  # backend_factory path: no synthetic index
     if fetch_concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         n_fetchers = max(2, int(cpus * 0.75))
@@ -373,9 +390,10 @@ def run_crawl(
         FetcherActor.remote(
             None, enrich, seen_actors, num_seen_shards, max_depth,
             doc_root, i, max_pages is not None,
-            (urls_idx_ref, perm_idx_ref, webgraph_refs),
+            web_index,
             doc_steps or None,
             metrics_actor,
+            backend_factory,
         )
         for i in range(n_fetchers)
     ]
@@ -669,6 +687,8 @@ def resume_crawl(
     priority_policy=None,
     frontier_steps=None,
     doc_steps=None,
+    backend_factory=None,
+    seen_capacity: int | None = None,
 ) -> CrawlResult:
     """Resume a checkpointed crawl from its newest committed wave (O-6, §3.3).
 
@@ -775,6 +795,8 @@ def resume_crawl(
         priority_policy=priority_policy,
         frontier_steps=frontier_steps,
         doc_steps=doc_steps,
+        backend_factory=backend_factory,
+        seen_capacity=seen_capacity,
         _resume_state={
             "frontier_tbl": frontier_tbl,
             "wave0": last + 1,

@@ -422,8 +422,14 @@ class FetchParseStage:
         web_index_refs: tuple | None = None,
         doc_steps=None,
         metrics_actor=None,
+        backend_factory=None,
     ):
-        if web_index_refs is not None:
+        if backend_factory is not None:
+            # backend-agnostic path (O-46): the factory runs ONCE per actor
+            # in __init__ — e.g. HttpBackend opens its session here — and
+            # the synthetic web index machinery is skipped entirely
+            self.backend = backend_factory()
+        elif web_index_refs is not None:
             # scale path: pre-sorted shared url index (built ONCE by
             # build_web_index_task) + the original webgraph blocks — actor
             # init is zero-copy gets, not a per-actor Python dict build,

@@ -91,3 +91,41 @@ def test_oracle_crawl_over_http(http_host):
     }
     assert {"root", "page a", "page b"} <= texts
     assert "secret" not in texts
+
+
+def test_engine_crawl_over_http_matches_oracle(http_host, ray_session):
+    """The DISTRIBUTED engine crawling over real HTTP (backend_factory
+    path: no webgraph tables anywhere — fetchers build HttpBackend in
+    __init__, robots shards live-fetch robots.txt on miss) must equal the
+    single-process oracle over the same server bit-for-bit."""
+    from crawlray.backend import HttpBackend
+    from crawlray.job import run_crawl
+    from oracle.bfs_crawler import CrawlConfig, crawl
+
+    seeds = [f"http://{http_host}/"]
+    o = crawl(seeds, HttpBackend(timeout=5), CrawlConfig(budget_per_host=10))
+
+    def factory():
+        return HttpBackend(timeout=5)
+
+    r = run_crawl(
+        seeds,
+        backend_factory=factory,
+        budget_per_host=10,
+        num_seen_shards=2,
+        num_robots_shards=2,
+        num_host_shards=2,
+        fetch_concurrency=2,
+        seen_capacity=1 << 14,
+    )
+    rt = r.crawl_log_table()
+    assert rt.select(o.crawl_log.column_names).equals(o.crawl_log)
+    assert r.seen_urls() == o.seen
+    docs = {d["doc_id"]: d["spans"] for d in r.documents.take_all()}
+    odocs = {d["doc_id"]: d["spans"] for d in o.documents.to_pylist()}
+    assert set(docs) == set(odocs)
+    for k in docs:
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in docs[k]]
+        want = [(s["kind"], s["text"], s["media_ref"]) for s in odocs[k]]
+        assert got == want, k
+    r.shutdown()
