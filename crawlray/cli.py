@@ -18,15 +18,30 @@ import json
 import sys
 
 
-def _init_ray(num_cpus: int | None):
-    import ray
+class _RaySession:
+    """Owns ray.init/shutdown ONLY if this process didn't already have a
+    session (e.g. called in-process from tests or another driver)."""
 
-    if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, ignore_reinit_error=True)
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
-    return ray
+    def __init__(self, num_cpus: int | None):
+        import ray
+
+        self._ray = ray
+        self.owns = not ray.is_initialized()
+        if self.owns:
+            kwargs = dict(
+                address="local", include_dashboard=False, ignore_reinit_error=True
+            )
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+            ray.init(**kwargs)
+
+    def shutdown(self) -> None:
+        if self.owns:
+            self._ray.shutdown()
+
+
+def _init_ray(num_cpus: int | None) -> _RaySession:
+    return _RaySession(num_cpus)
 
 
 def _web(args):
@@ -41,15 +56,34 @@ def cmd_run(args) -> int:
     ray = _init_ray(args.num_cpus)
     from crawlray.job import run_crawl
 
-    web = _web(args)
-    res = run_crawl(
-        web.default_seeds(args.n_seeds),
-        web=web,
-        budget_per_host=args.budget,
-        max_depth=args.max_depth,
-        max_pages=args.max_pages,
-        out_dir=args.out,
-    )
+    if getattr(args, "backend", "synthetic") == "http":
+        # real-web crawl: --seeds-file supplies start URLs, pages come from
+        # HttpBackend built once per fetcher actor, robots fetched live
+        if not args.seeds_file:
+            print("--backend http requires --seeds-file", file=sys.stderr)
+            return 2
+        with open(args.seeds_file) as f:
+            seeds = [ln.strip() for ln in f if ln.strip()]
+        from crawlray.backend import HttpBackend
+
+        res = run_crawl(
+            seeds,
+            backend_factory=HttpBackend,
+            budget_per_host=args.budget,
+            max_depth=args.max_depth,
+            max_pages=args.max_pages,
+            out_dir=args.out,
+        )
+    else:
+        web = _web(args)
+        res = run_crawl(
+            web.default_seeds(args.n_seeds),
+            web=web,
+            budget_per_host=args.budget,
+            max_depth=args.max_depth,
+            max_pages=args.max_pages,
+            out_dir=args.out,
+        )
     print(
         json.dumps(
             {"waves": res.waves, "fetched": res.fetched_total, "out": args.out}
@@ -179,6 +213,14 @@ def main(argv=None) -> int:
         p.add_argument("--max-pages", type=int, default=None)
         p.add_argument("--num-cpus", type=int, default=None)
         p.add_argument("--out", default=None)
+        if name == "run":
+            p.add_argument(
+                "--backend", choices=("synthetic", "http"), default="synthetic"
+            )
+            p.add_argument(
+                "--seeds-file", default=None,
+                help="one start URL per line (http backend)",
+            )
         if name == "submit":
             p.add_argument("--address", default=None, help="Ray dashboard URL")
             p.add_argument("--dry-run", action="store_true")

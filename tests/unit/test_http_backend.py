@@ -129,3 +129,17 @@ def test_engine_crawl_over_http_matches_oracle(http_host, ray_session):
         want = [(s["kind"], s["text"], s["media_ref"]) for s in odocs[k]]
         assert got == want, k
     r.shutdown()
+
+
+def test_cli_run_http_backend(http_host, ray_session, tmp_path):
+    """`crawlray run --backend http --seeds-file ...` drives a real HTTP
+    crawl end-to-end from the CLI (in-process: the CLI owns no ray.init
+    when one is already active)."""
+    from crawlray import cli
+
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text(f"http://{http_host}/\n")
+    rc = cli.main(
+        ["run", "--backend", "http", "--seeds-file", str(seeds), "--budget", "10"]
+    )
+    assert rc == 0
