@@ -143,3 +143,34 @@ def test_cli_run_http_backend(http_host, ray_session, tmp_path):
         ["run", "--backend", "http", "--seeds-file", str(seeds), "--budget", "10"]
     )
     assert rc == 0
+
+
+def test_engine_http_checkpoint_resume(http_host, ray_session, tmp_path):
+    """Checkpoint/resume over the HTTP backend: run(0..end) equals
+    run(0..wave0) + resume(wave1..end) bit-for-bit, with the backend
+    factory re-supplied at resume (backends are not serialized into
+    checkpoints)."""
+    from crawlray.backend import HttpBackend
+    from crawlray.job import resume_crawl, run_crawl
+
+    seeds = [f"http://{http_host}/"]
+    full = run_crawl(
+        seeds, backend_factory=HttpBackend, budget_per_host=10,
+        num_seen_shards=2, fetch_concurrency=2, seen_capacity=1 << 14,
+        out_dir=str(tmp_path / "full"),
+    )
+    full_log = full.crawl_log_table()
+    full.shutdown()
+
+    part = run_crawl(
+        seeds, backend_factory=HttpBackend, budget_per_host=10,
+        num_seen_shards=2, fetch_concurrency=2, seen_capacity=1 << 14,
+        out_dir=str(tmp_path / "part"), stop_after_wave=0,
+    )
+    part.shutdown()
+    resumed = resume_crawl(
+        str(tmp_path / "part"), backend_factory=HttpBackend,
+        fetch_concurrency=2, seen_capacity=1 << 14,
+    )
+    assert resumed.crawl_log_table().equals(full_log)
+    resumed.shutdown()
