@@ -109,3 +109,32 @@ def test_exact_quantiles_vs_numpy(ray_session):
     assert np.allclose(got, want, rtol=0, atol=1e-9)
     rv = rank_values(ds, "v", [0, 4999])
     assert rv[0] == vals.min() and rv[4999] == vals.max()
+
+
+def test_lang_id_vectorized_matches_scalar(ray_session):
+    """Vectorized lang_id must equal the scalar reference semantics:
+    set(text.lower().split()[:200]) intersected with each stopword list."""
+    import ray.data
+
+    from crawlray.ops.textqa import _STOPWORDS, lang_id
+
+    cases = [
+        "", "  ", "The OF and A to in", "der und das ist ein",
+        "le la les et est", "x " * 500 + "the of and a to in is it that for",
+        "mixed the der le el y es und of", None,
+        "tab\tthe\nof  and",
+    ]
+    tbl = pa.table({"doc_id": list(range(len(cases))), "text": cases})
+    out = (
+        lang_id(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, t in enumerate(cases):
+        words = set((t or "").lower().split()[:200])
+        best, best_n = "und", 0
+        for lang, sw in _STOPWORDS.items():
+            k = len(words & sw)
+            if k > best_n:
+                best, best_n = lang, k
+        assert out.lang_pred[i] == best, (i, t)
+        assert out.lang_score[i] == best_n, (i, t)
