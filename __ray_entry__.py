@@ -243,6 +243,17 @@ def _quantiles(sf_dir: str):
     )
 
 
+def _grouped_quantiles(sf_dir: str):
+    """Per-group exact quantiles: order-value p50/p90 per order status."""
+    from crawlray.ops.seqassign import grouped_quantiles
+
+    out = grouped_quantiles(
+        _rd(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"]),
+        group_cols=["o_orderstatus"], col="o_totalprice", qs=[0.5, 0.9],
+    )
+    return _round_cols(out, {"q50": 4, "q90": 4})
+
+
 def _grouped_topk(sf_dir: str):
     """Window-rank top-k per group: 5 highest-value orders per status
     (deterministic tie-break by o_orderkey)."""
@@ -585,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _anti_join,
         "hash_sample": _hash_sample,
         "quantiles": _quantiles,
+        "grouped_quantiles": _grouped_quantiles,
         "grouped_topk": _grouped_topk,
         "session_windows": _session_windows,
         "distinct_types": _distinct_types,
@@ -673,6 +685,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                    ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
             FROM lineitem
+        """,
+        "grouped_quantiles": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS q90
+            FROM orders GROUP BY o_orderstatus
         """,
         "grouped_topk": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

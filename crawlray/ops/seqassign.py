@@ -101,6 +101,32 @@ def exact_quantiles(
     return out
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Per-group exact quantiles (quantile_cont linear interpolation).
+
+    One groupby shuffle co-locates each group; per-group work is one numpy
+    quantile over the group's values. Group sizes bound memory — use the
+    global `exact_quantiles` (sort + rank-select) when a single group is
+    itself too large for one task. Output: group cols + one `q<NN>` column
+    per requested quantile.
+    """
+
+    def _q(group: pa.Table) -> pa.Table:
+        v = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        out = {c: group.column(c).slice(0, 1) for c in group_cols}
+        vals = np.quantile(v, qs)  # linear interpolation == quantile_cont
+        for q, val in zip(qs, vals):
+            out[f"q{int(round(q * 100)):02d}"] = pa.array([float(val)])
+        return pa.table(out)
+
+    return ds.groupby(group_cols).map_groups(_q, batch_format="pyarrow")
+
+
 def sort_and_zip_index(
     ds: ray.data.Dataset, key: str, base: int = 0, out_col: str = "seq"
 ) -> ray.data.Dataset:
