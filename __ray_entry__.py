@@ -548,6 +548,16 @@ def _ngram_jaccard(sf_dir: str):
     )
 
 
+def _cdc_chunks(sf_dir: str):
+    """Rolling-hash content-defined chunk fingerprints (rows-only: chunk
+    boundaries are a rolling-hash function, not SQL-expressible; the
+    vectorized kernel is parity-tested against a byte-at-a-time reference
+    in tests/unit/test_cdc.py)."""
+    from crawlray.ops.textqa import cdc_chunks
+
+    return cdc_chunks(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _media_resize(sf_dir: str):
     """Multimodal: decode → actor-pool resize (integer fit-to-max_dim
     contract; stub arithmetic stands in for a real resampler)."""
@@ -620,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pairs": _ivf_pairs,
         "approx_distinct": _approx_distinct,
         "ngram_jaccard": _ngram_jaccard,
+        "cdc_chunks": _cdc_chunks,
         "media_decode": _media_decode,
         "media_resize": _media_resize,
         "media_frames": _media_frames,

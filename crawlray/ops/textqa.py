@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import json
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -160,3 +161,108 @@ def parse_json_field(
         return pa.table(cols)
 
     return ds.map_batches(_jx, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (task brief: rolling-hash document fingerprints)
+# --------------------------------------------------------------------------
+
+_CDC_P = np.uint64(0x100000001B3)  # odd → invertible mod 2^64
+_CDC_PINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _cdc_boundaries(
+    data: bytes, window: int, mask: int, min_len: int, max_len: int
+) -> list[int]:
+    """Content-defined chunk end offsets (exclusive) for one document.
+
+    Rolling window hash, fully VECTORIZED: with S[j] = Σ_{t<j} b[t]·p^t
+    (uint64, wrap-around), the window hash at i is
+    (S[i+1] − S[i+1−w]) · p^{−(i+1−w)} — cumulative sums plus a modular
+    inverse power, all numpy. A position is a CUT CANDIDATE when
+    (hash & mask) == 0; min/max chunk lengths are then enforced in a tiny
+    loop over candidates only (a handful per KB), never per byte.
+    """
+    n = len(data)
+    if n == 0:
+        return []
+    if n <= min_len:
+        return [n]
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    pw = np.empty(n + 1, np.uint64)
+    pw[0] = 1
+    np.cumprod(np.full(n, _CDC_P, np.uint64), out=pw[1:])
+    ipw = np.empty(n + 1, np.uint64)
+    ipw[0] = 1
+    np.cumprod(np.full(n, _CDC_PINV, np.uint64), out=ipw[1:])
+    s = np.zeros(n + 1, np.uint64)
+    np.cumsum(b * pw[:n], out=s[1:])
+    w = min(window, n)
+    # hash of window ending at i (inclusive), i >= w-1
+    hw = (s[w:] - s[:-w]) * ipw[: n - w + 1]
+    cand = np.nonzero((hw & np.uint64(mask)) == 0)[0] + w  # cut AFTER byte i
+    cuts: list[int] = []
+    start = 0
+    ci = 0
+    while start < n:
+        hi = min(start + max_len, n)
+        lo = start + min_len
+        cut = hi
+        while ci < len(cand) and cand[ci] <= start + min_len:
+            ci += 1  # candidates inside the min-length zone never cut
+        if ci < len(cand) and lo < cand[ci] <= hi:
+            cut = int(cand[ci])
+        cuts.append(cut)
+        start = cut
+    return cuts
+
+
+def cdc_chunks(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask: int = 0x3F,  # avg chunk ≈ 64 bytes past the window
+    min_len: int = 32,
+    max_len: int = 1024,
+) -> ray.data.Dataset:
+    """Rolling-hash content-defined chunk fingerprints per document.
+
+    Output rows (doc_id, chunk_idx, chunk_off, chunk_len, chunk_fp) — the
+    partial-duplicate primitive: because boundaries depend only on local
+    content, an insertion or edit changes O(1) chunks and every other
+    fingerprint survives, so shared-chunk joins find near-identical docs
+    that whole-document hashing misses. Fingerprints are md5-low-64 of the
+    chunk bytes.
+    """
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids_out, idxs, offs, lens, fps = [], [], [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for did, t in zip(ids, batch.column(text_col).to_pylist()):
+            data = (t or "").encode("utf-8")
+            start = 0
+            for k, cut in enumerate(
+                _cdc_boundaries(data, window, mask, min_len, max_len)
+            ):
+                ids_out.append(did)
+                idxs.append(k)
+                offs.append(start)
+                lens.append(cut - start)
+                fps.append(
+                    int.from_bytes(
+                        hashlib.md5(data[start:cut]).digest()[:8], "little"
+                    )
+                )
+                start = cut
+        return pa.table(
+            {
+                id_col: pa.array(ids_out),
+                "chunk_idx": pa.array(idxs, pa.int32()),
+                "chunk_off": pa.array(offs, pa.int64()),
+                "chunk_len": pa.array(lens, pa.int64()),
+                "chunk_fp": pa.array(np.array(fps, dtype=np.uint64), pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")
