@@ -558,6 +558,16 @@ def _cdc_chunks(sf_dir: str):
     return cdc_chunks(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _cdc_dup_pairs(sf_dir: str):
+    """Partial-dup pairs via shared CDC chunk fingerprints (rows-only;
+    planted-overlap parity in tests/unit/test_cdc.py)."""
+    from crawlray.ops.neardup import cdc_dup_pairs
+
+    return cdc_dup_pairs(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]), min_shared=3
+    )
+
+
 def _media_resize(sf_dir: str):
     """Multimodal: decode → actor-pool resize (integer fit-to-max_dim
     contract; stub arithmetic stands in for a real resampler)."""
@@ -631,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _approx_distinct,
         "ngram_jaccard": _ngram_jaccard,
         "cdc_chunks": _cdc_chunks,
+        "cdc_dup_pairs": _cdc_dup_pairs,
         "media_decode": _media_decode,
         "media_resize": _media_resize,
         "media_frames": _media_frames,

@@ -608,3 +608,66 @@ def ngram_jaccard_pairs(
     return tbl.take(
         pc.sort_indices(tbl, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])
     )
+
+
+def cdc_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 3,
+    max_bucket: int = 8192,
+    **cdc_kwargs,
+) -> pa.Table:
+    """Partial-duplicate pairs via shared CDC chunk fingerprints.
+
+    Docs sharing ≥ min_shared rolling-hash chunk fingerprints are emitted as
+    (id_a, id_b, shared_chunks). Same distributed shape as the LSH pipeline:
+    chunk rows → groupby(chunk_fp) co-locates each fingerprint's holders →
+    vectorized within-bucket pairs (size-capped, drops surfaced) → a pair
+    groupby counts DISTINCT shared fingerprints. Catches partially
+    overlapping docs (shared boilerplate, quoted passages, edited copies)
+    that whole-document and shingle-set methods under-score.
+    """
+    from crawlray.ops.textqa import cdc_chunks
+
+    chunks = cdc_chunks(ds, id_col, text_col, **cdc_kwargs)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(
+            group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return _pairs_table(*_pairs_in_group(ids, max_bucket))
+
+    cand = chunks.groupby("chunk_fp").map_groups(_pairs, batch_format="pyarrow")
+    drop_rows = cand.filter(expr=f"id_a == {_DROP_SENTINEL}")
+    n_dropped = sum(r["id_b"] for r in drop_rows.take_all())  # tiny
+    if n_dropped:
+        print(
+            f"# cdc_dup_pairs: {n_dropped} ids dropped from oversize "
+            f"fingerprint buckets (max_bucket={max_bucket})"
+        )
+
+    def _count(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": group.column("id_a").slice(0, 1),
+                "id_b": group.column("id_b").slice(0, 1),
+                "shared_chunks": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    counted = (
+        cand.filter(expr=f"id_a != {_DROP_SENTINEL}")
+        .groupby(["id_a", "id_b"])
+        .map_groups(_count, batch_format="pyarrow")
+        .filter(expr=f"shared_chunks >= {int(min_shared)}")
+    )
+    rows = counted.take_all()  # final result set only
+    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.table(
+        {
+            "id_a": pa.array([r["id_a"] for r in rows], pa.int64()),
+            "id_b": pa.array([r["id_b"] for r in rows], pa.int64()),
+            "shared_chunks": pa.array([r["shared_chunks"] for r in rows], pa.int64()),
+        }
+    )

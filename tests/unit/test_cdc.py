@@ -74,3 +74,30 @@ def test_cdc_edit_locality(ray_session):
     fps2 = set(out[out.doc_id == 2].chunk_fp)
     shared = len(fps1 & fps2) / max(len(fps1), 1)
     assert shared >= 0.75, shared
+
+
+def test_cdc_dup_pairs_finds_partial_overlap(ray_session):
+    """Docs sharing a long common passage pair up; unrelated docs don't."""
+    import ray.data
+
+    from crawlray.ops.neardup import cdc_dup_pairs
+
+    rs = np.random.RandomState(21)
+
+    def rand_text(n):
+        return bytes(rs.randint(97, 123, n, dtype=np.uint8)).decode()
+
+    passage = rand_text(3000)
+    docs = {
+        1: rand_text(1000) + passage,           # shares passage with 2
+        2: passage + rand_text(800),
+        3: rand_text(4000),                     # unrelated
+        4: rand_text(3500),                     # unrelated
+    }
+    tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    out = cdc_dup_pairs(
+        ray.data.from_arrow(tbl).repartition(2), min_shared=3
+    )
+    pairs = set(zip(out.column("id_a").to_pylist(), out.column("id_b").to_pylist()))
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs), pairs
