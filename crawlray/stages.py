@@ -40,7 +40,7 @@ import ray
 from crawlray.actors.politeness import NO_ADMIT, host_shard_of
 from crawlray.actors.robots import robots_shard_of
 from crawlray.backend import SyntheticBackend
-from crawlray.kernels.html import parse_page, spans_to_dicts
+from crawlray.kernels.html import parse_page
 from crawlray.kernels.url import url_host
 from crawlray.murmur3 import hash_urls_128, murmur3_x64_128_batch
 from crawlray.schema import LINK_STRIDE, SPAN_STRUCT, pack_disc_depth, unpack_disc_depth
