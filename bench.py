@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "join_agg",
     "shuffle_join",
     "hash_sample",
+    "session_windows",
+    "grouped_topk",
+    "quantiles",
     "window_bucket",
     "json_props",
     "flatten_tokens",
