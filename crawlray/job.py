@@ -61,6 +61,7 @@ from crawlray.schema import DOCUMENTS, LINK_STRIDE
 from crawlray.stages import (
     FRONTIER_COLS,
     LOG_SCHEMA,
+    SEEN_ROUTING_VERSION,
     FetcherActor,
     concat_blocks_task,
     derive_block_task,
@@ -423,6 +424,7 @@ def run_crawl(
             "user_agent": user_agent,
             "webgraph_fingerprint": web_fp,
             "priority_policy": policy_name or "bfs",
+            "seen_routing": SEEN_ROUTING_VERSION,
         }
         checkpointer = Checkpointer(out_dir, cfg)
 
@@ -736,6 +738,17 @@ def resume_crawl(
                 f"fingerprint {want_fp}, caller supplied {got_fp} — resuming "
                 f"would continue against a different web"
             )
+    # seen-shard routing layout must match: deltas written under a different
+    # routing hash would be ingested into the wrong shards, and offers would
+    # miss the membership probe — silent re-crawls, not an error (ADVICE r2)
+    want_routing = cfg.get("seen_routing", SEEN_ROUTING_VERSION)
+    if want_routing != SEEN_ROUTING_VERSION:
+        raise ValueError(
+            f"resume seen-routing mismatch: checkpoint was written with shard "
+            f"routing {want_routing!r} but this build uses "
+            f"{SEEN_ROUTING_VERSION!r} — seen deltas would load into the "
+            f"wrong shards; re-run the crawl from scratch"
+        )
     want_pol = cfg.get("priority_policy", "bfs")
     got_pol = getattr(priority_policy, "name", None if priority_policy is None else "custom")
     if (got_pol or "bfs") != want_pol:

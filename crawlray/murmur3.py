@@ -129,12 +129,15 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
 
 
 def _hash_urls_128_scalar(urls) -> tuple[np.ndarray, np.ndarray]:
+    """Nulls hash as the empty string — this is the fallback the batch path
+    routes null-containing arrays to (e.g. approx_distinct over a nullable
+    column), so it must not crash on None (ADVICE r2)."""
     n = len(urls)
     lo = np.empty(n, dtype=np.uint64)
     hi = np.empty(n, dtype=np.uint64)
     f = murmur3_x64_128
     for i, u in enumerate(urls):
-        a, b = f(u.encode("utf-8", "surrogatepass"))
+        a, b = f((u or "").encode("utf-8", "surrogatepass"))
         lo[i] = a
         hi[i] = b
     return lo, hi

@@ -30,6 +30,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _f32_margin(dim: int) -> np.float32:
+    """Candidate margin for the f32-scan / f64-rescore pattern.
+
+    Worst-case f32 dot-product error for unit vectors grows ~dim·2^-24
+    (rounding per fma plus input-quantization of each factor), so a fixed
+    constant silently under-covers high-dimensional embeddings (ADVICE r2).
+    dim·2^-23 doubles the accumulation bound; the 2e-5 floor covers the
+    low-dim regime where quantization noise dominates. With this margin the
+    surviving candidate set provably contains every pair an all-f64 scan
+    would keep, so the f64 rescore restores exactness."""
+    return np.float32(max(2e-5, dim * 2.0**-23))
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     lists = batch.column(col).combine_chunks()
     flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -51,12 +64,13 @@ def _local_topk_rows(
     global deterministic top-k (block-layout independent).
 
     The O(nq·n·dim) similarity scan runs in float32 (this numpy's f64 gemm
-    is ~250x slower than f32) with a 2e-5 candidate margin — wider than the
-    worst-case f32 dot error for unit vectors — and the surviving
-    candidates are rescored with exact float64 dot products, so selection
-    and emitted sims are identical to an all-f64 scan."""
+    is ~250x slower than f32) with a dimension-scaled candidate margin
+    (`_f32_margin`) — wider than the worst-case f32 dot error for unit
+    vectors at any dim — and the surviving candidates are rescored with
+    exact float64 dot products, so selection and emitted sims are identical
+    to an all-f64 scan."""
     sims32 = q.astype(np.float32) @ m.astype(np.float32).T
-    margin = np.float32(2e-5)
+    margin = _f32_margin(m.shape[1])
     out_q, out_n, out_s = [], [], []
     n_rows = sims32.shape[1]
     kk = min(k + (1 if exclude_self else 0), n_rows)
@@ -152,11 +166,12 @@ def _block_pair_task(
     m_i = _normalize(_batch_matrix(tbl_i, vec_col))
     m_j = _normalize(_batch_matrix(tbl_j, vec_col))
     # the O(|i|·|j|) scan runs in float32 (this numpy's dgemm path is ~250x
-    # slower than sgemm), with a margin so no true pair can be lost; the
-    # small candidate set is then re-verified with exact float64 dot
-    # products, so the output is identical to an all-f64 scan
+    # slower than sgemm), with a dimension-scaled margin (_f32_margin) so no
+    # true pair can be lost at any embedding dim; the small candidate set is
+    # then re-verified with exact float64 dot products, so the output is
+    # identical to an all-f64 scan
     sims32 = m_i.astype(np.float32) @ m_j.astype(np.float32).T
-    bi, bj = np.nonzero(sims32 >= np.float32(threshold) - np.float32(1e-5))
+    bi, bj = np.nonzero(sims32 >= np.float32(threshold) - _f32_margin(m_i.shape[1]))
     if len(bi):
         exact = np.einsum("ij,ij->i", m_i[bi], m_j[bj])
         keep = exact >= threshold
@@ -349,7 +364,7 @@ def _block_pair_inline(
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     m = _normalize(_batch_matrix(tbl, vec_col))
     sims32 = m.astype(np.float32) @ m.astype(np.float32).T
-    bi, bj = np.nonzero(sims32 >= np.float32(threshold) - np.float32(1e-5))
+    bi, bj = np.nonzero(sims32 >= np.float32(threshold) - _f32_margin(m.shape[1]))
     if len(bi):
         exact = np.einsum("ij,ij->i", m[bi], m[bj])
         keep = exact >= threshold

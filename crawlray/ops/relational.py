@@ -195,8 +195,10 @@ def session_windows(
     a vectorized sort + diff + bincount (no per-event Python). Session ids
     are 0-based in time order, so output is a pure function of the data —
     deterministic under any parallelism (equal timestamps share a session
-    regardless of sort-tie order). Output:
-    (key, session_id, n_events, t_start, t_end).
+    regardless of sort-tie order). `ts_col` may be a timestamp column (gaps
+    measured in real time) or a plain numeric column interpreted as SECONDS
+    — numeric deltas are NOT reinterpreted as timedelta64[us] (ADVICE r2).
+    Output: (key, session_id, n_events, t_start, t_end).
     """
     import numpy as np
 
@@ -217,8 +219,17 @@ def session_windows(
                     "t_end": pa.array(ts_s),
                 }
             )
-        gaps = np.diff(ts_s).astype("timedelta64[us]").astype(np.int64)
-        new = np.concatenate([[True], gaps > gap_us])
+        if ts_s.dtype.kind == "M":  # datetime64 → compare in microseconds
+            gaps = np.diff(ts_s).astype("timedelta64[us]").astype(np.int64)
+            new = np.concatenate([[True], gaps > gap_us])
+        elif ts_s.dtype.kind in "iuf":  # numeric → values are seconds
+            gaps = np.diff(ts_s.astype(np.float64))
+            new = np.concatenate([[True], gaps > float(gap_seconds)])
+        else:
+            raise TypeError(
+                f"session_windows: ts_col {ts_col!r} has unsupported dtype "
+                f"{ts_s.dtype} (need timestamp or numeric seconds)"
+            )
         sess = np.cumsum(new) - 1
         counts = np.bincount(sess)
         start_idx = np.nonzero(new)[0]

@@ -71,6 +71,14 @@ DOC_FILE_SCHEMA = pa.schema(
 )
 
 
+# Version tag of the URL→seen-shard routing function. Stored in the
+# checkpoint config and validated on resume: a checkpoint written under a
+# different routing layout would ingest seen deltas into the wrong shards,
+# silently missing membership probes and re-crawling seen URLs (ADVICE r2).
+# Bump whenever seen_shard_of's hash or modulus scheme changes.
+SEEN_ROUTING_VERSION = "murmur3_lo_v2"
+
+
 def seen_shard_of(url: str, num_shards: int) -> int:
     """Seen-shard routing: murmur3_128 lo % num_shards — the SAME hash the
     shard uses for membership (schema.py documents the frontier `shard`

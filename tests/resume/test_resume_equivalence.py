@@ -132,3 +132,33 @@ def test_resume_rejects_different_webgraph_path(ray_session, tmp_path):
     )
     assert r2.fetched_total > 0
     r2.shutdown()
+
+
+def test_resume_rejects_seen_routing_mismatch(ray_session, tmp_path):
+    """A checkpoint written under a different URL→shard routing layout must
+    refuse to resume (its seen deltas would load into the wrong shards and
+    offers would silently miss the membership probe — ADVICE r2)."""
+    import json
+    import os
+
+    import pytest
+
+    from crawlray.job import resume_crawl, run_crawl
+
+    web = SynthWeb(seed=12, shape="chain", n_urls=20, n_hosts=2)
+    out = str(tmp_path / "ckpt_route")
+    r = run_crawl(web.default_seeds(), web=web, out_dir=out, stop_after_wave=1,
+                  budget_per_host=2, max_depth=8, fetch_concurrency=2,
+                  fetch_batch_size=16)
+    r.shutdown()
+
+    cfg_path = os.path.join(out, "config.json")
+    with open(cfg_path) as f:
+        blob = json.load(f)
+    assert blob["config"]["seen_routing"]  # written by run_crawl
+    blob["config"]["seen_routing"] = "crc32_v1"  # simulate an old layout
+    with open(cfg_path, "w") as f:
+        json.dump(blob, f)
+
+    with pytest.raises(ValueError, match="seen-routing mismatch"):
+        resume_crawl(out, web=web, fetch_concurrency=2, fetch_batch_size=16)

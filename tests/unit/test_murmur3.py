@@ -53,3 +53,17 @@ def test_hash_urls_128_batch():
     assert (lo[0], hi[0]) == murmur3_x64_128(b"http://a.example/")
     assert lo[0] == lo[2] and hi[0] == hi[2]
     assert lo[0] != lo[1]
+
+
+def test_hash_urls_128_null_and_empty():
+    # null-containing arrays route to the scalar fallback, which must hash
+    # None as "" rather than crash (ADVICE r2; reachable via approx_distinct
+    # on any nullable string column)
+    import pyarrow as pa
+
+    lo, hi = hash_urls_128(pa.array(["a", None, ""], pa.string()))
+    assert (lo[1], hi[1]) == murmur3_x64_128(b"")
+    assert (lo[2], hi[2]) == murmur3_x64_128(b"")
+    assert (lo[0], hi[0]) == murmur3_x64_128(b"a")
+    lo2, hi2 = hash_urls_128(["a", None, ""])
+    assert list(lo) == list(lo2) and list(hi) == list(hi2)

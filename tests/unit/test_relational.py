@@ -138,3 +138,29 @@ def test_lang_id_vectorized_matches_scalar(ray_session):
                 best, best_n = lang, k
         assert out.lang_pred[i] == best, (i, t)
         assert out.lang_score[i] == best_n, (i, t)
+
+
+def test_session_windows_numeric_seconds(ray_session):
+    """Numeric ts columns are seconds — not reinterpreted as µs (ADVICE r2)."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawlray.ops.relational import session_windows
+
+    # gaps of 10s within sessions; 100s gap splits at t=300
+    tbl = pa.table(
+        {
+            "uid": ["u"] * 6,
+            "ts": pa.array([0.0, 10.0, 20.0, 300.0, 310.0, 320.0], pa.float64()),
+        }
+    )
+    out = session_windows(ray.data.from_arrow(tbl), "uid", "ts", gap_seconds=30.0)
+    rows = sorted(out.take_all(), key=lambda r: r["session_id"])
+    assert len(rows) == 2
+    assert rows[0]["n_events"] == 3 and rows[0]["t_start"] == 0.0
+    assert rows[1]["n_events"] == 3 and rows[1]["t_start"] == 300.0
+
+    # integer-typed timestamps behave the same
+    tbl_i = pa.table({"uid": ["u"] * 4, "ts": pa.array([0, 10, 100, 105], pa.int64())})
+    out_i = session_windows(ray.data.from_arrow(tbl_i), "uid", "ts", gap_seconds=30.0)
+    assert sorted(r["n_events"] for r in out_i.take_all()) == [2, 2]
