@@ -177,7 +177,7 @@ def _doc_files(doc_root: str, waves: list[int]) -> list[str]:
     return out
 
 
-def run_crawl(
+def _run_crawl_attempt(
     seeds: list[str],
     web=None,
     webgraph: pa.Table | None = None,
@@ -205,8 +205,18 @@ def run_crawl(
     backend_factory=None,
     seen_capacity: int | None = None,
     _resume_state: dict | None = None,
+    _fault_hook=None,
+    _actor_holder: dict | None = None,
 ) -> CrawlResult:
-    """Run a full crawl. Caller owns the Ray session (never inits here).
+    """One crawl attempt (no recovery) — call `run_crawl`, which wraps this
+    with mid-crawl actor-failure recovery. Caller owns the Ray session
+    (never inits here).
+
+    `_fault_hook(wave, actors)`: test-only fault injector called at the top
+    of every wave iteration with the live actor handles (keys: seen, robots,
+    polite, fetchers); hooks must self-disarm or the recovered run re-dies.
+    `_actor_holder`: out-param dict run_crawl uses to kill this attempt's
+    actors if the attempt aborts mid-wave.
 
     `web`: a SynthWeb (tables generated driver-side) — or pass `webgraph` /
     `robots` Arrow tables, or `webgraph_path` (directory of parquet files,
@@ -398,6 +408,11 @@ def run_crawl(
         )
         for i in range(n_fetchers)
     ]
+    if _actor_holder is not None:
+        _actor_holder["actors"] = (
+            seen_actors + robots_actors + polite_actors
+            + fetcher_actors + [metrics_actor]
+        )
     # shipped once; each mark task reads them zero-copy from the store
     fsteps_ref = ray.put(frontier_steps) if frontier_steps else None
     policy_ref = ray.put(priority_policy) if priority_policy is not None else None
@@ -454,6 +469,16 @@ def run_crawl(
         if max_pages is not None and fetched_total >= max_pages:
             break
         _t = time.time()
+        if _fault_hook is not None:
+            _fault_hook(
+                wave,
+                {
+                    "seen": seen_actors,
+                    "robots": robots_actors,
+                    "polite": polite_actors,
+                    "fetchers": fetcher_actors,
+                },
+            )
         # leftover uncommitted wave dir (crashed run / rerun into same root):
         # clean BEFORE fetchers write into it
         wdir = os.path.join(doc_root, f"wave={wave:05d}")
@@ -676,6 +701,89 @@ def run_crawl(
     )
 
 
+def _is_actor_death(err: BaseException) -> bool:
+    """True if `err` is (or was caused by) the loss of a Ray actor.
+
+    Actor death surfaces three ways in the wave loop: a direct
+    `RayActorError` from a `ray.get` on a dead actor's method call, a
+    `RayTaskError` whose cause chain ends in one (a wave task's internal
+    RPC hit the dead actor), or an `ActorUnavailableError`/`ActorDiedError`
+    subclass. Anything else (user code bugs, bad config) must propagate."""
+    e: BaseException | None = err
+    for _ in range(8):  # bounded cause-chain walk
+        if e is None:
+            return False
+        if isinstance(e, ray.exceptions.RayActorError):
+            return True
+        e = getattr(e, "cause", None) or e.__cause__
+    return False
+
+
+def run_crawl(seeds: list[str], **kwargs) -> CrawlResult:
+    """Run a full crawl with mid-crawl actor-failure recovery (SURVEY §4.3).
+
+    Same parameters as the attempt function (`_run_crawl_attempt`), plus
+    `max_actor_recoveries` (default 2). Actors are deliberately created
+    with max_restarts=0: a Ray-restarted actor would come back EMPTY
+    (seen-set shards, token buckets), which silently corrupts dedup and
+    politeness. Instead, when any per-wave `ray.get` observes an actor
+    death, the whole wave aborts, every actor of the attempt is killed, and
+    the crawl is rebuilt from the last `_SUCCESS`-committed checkpoint via
+    `resume_crawl` (re-ingesting seen deltas + host state) — waves are
+    idempotent transactions (§4.4), so the continuation is bit-identical to
+    an uninterrupted run (tested: tests/resume/test_fault_tolerance.py
+    kills a seen shard and a fetcher mid-crawl). Requires `out_dir`
+    (checkpointing) — without it there is no committed state to rebuild
+    from, and the error propagates.
+    """
+    recoveries = int(kwargs.pop("max_actor_recoveries", 2))
+    out_dir = kwargs.get("out_dir")
+    holder: dict = {}
+    while True:
+        try:
+            return _run_crawl_attempt(seeds, _actor_holder=holder, **kwargs)
+        except Exception as err:  # noqa: BLE001 — filtered just below
+            if not _is_actor_death(err) or recoveries <= 0 or out_dir is None:
+                raise
+            recoveries -= 1
+            print(
+                f"# run_crawl: actor death mid-crawl ({type(err).__name__}); "
+                f"aborting wave, rebuilding from last committed checkpoint "
+                f"({recoveries} recoveries left)",
+                file=sys.stderr,
+                flush=True,
+            )
+        # kill the aborted attempt's surviving actors so no zombie fetcher
+        # writes into the wave dir the recovery is about to re-run
+        for a in holder.pop("actors", []):
+            try:
+                ray.kill(a, no_restart=True)
+            except Exception:
+                pass
+        from crawlray.checkpoint import Checkpointer
+
+        if Checkpointer.committed_waves(out_dir):
+            return resume_crawl(
+                out_dir,
+                web=kwargs.get("web"),
+                webgraph=kwargs.get("webgraph"),
+                robots=kwargs.get("robots"),
+                webgraph_path=kwargs.get("webgraph_path"),
+                robots_path=kwargs.get("robots_path"),
+                fetch_concurrency=kwargs.get("fetch_concurrency"),
+                fetch_batch_size=kwargs.get("fetch_batch_size", 512),
+                stop_after_wave=kwargs.get("stop_after_wave"),
+                priority_policy=kwargs.get("priority_policy"),
+                frontier_steps=kwargs.get("frontier_steps"),
+                doc_steps=kwargs.get("doc_steps"),
+                backend_factory=kwargs.get("backend_factory"),
+                seen_capacity=kwargs.get("seen_capacity"),
+                max_actor_recoveries=recoveries,
+            )
+        # death before the first commit: nothing to resume — retry from
+        # scratch (the wave loop cleans the uncommitted wave-0 dir itself)
+
+
 def resume_crawl(
     out_dir: str,
     web=None,
@@ -691,6 +799,7 @@ def resume_crawl(
     doc_steps=None,
     backend_factory=None,
     seen_capacity: int | None = None,
+    max_actor_recoveries: int = 2,
 ) -> CrawlResult:
     """Resume a checkpointed crawl from its newest committed wave (O-6, §3.3).
 
@@ -810,6 +919,7 @@ def resume_crawl(
         doc_steps=doc_steps,
         backend_factory=backend_factory,
         seen_capacity=seen_capacity,
+        max_actor_recoveries=max_actor_recoveries,
         _resume_state={
             "frontier_tbl": frontier_tbl,
             "wave0": last + 1,
