@@ -495,14 +495,38 @@ def _ivf_pairs(sf_dir: str):
 
 
 def _approx_distinct(sf_dir: str):
-    """O-32 HLL approx-distinct of events.user_id (rows-only: an estimate by
-    construction; ±2% accuracy vs exact asserted in tests/unit/test_sketch.py).
-    The same sketch rides along in the crawl's seen shards for frontier
-    cardinality metrics at 10^10-URL scale."""
+    """O-32 HLL approx-distinct of events.user_id, ORACLED as an
+    error-bound check (VERDICT r2 item 6): the row carries the exact
+    distinct count (computed by the engine's own distinct shuffle) plus a
+    boolean asserting the HLL estimate landed within ±2% of it. DuckDB
+    reproduces the exact count and the bound claim (`TRUE`), so a hash
+    match proves BOTH the engine's exact distinct AND the sketch's
+    accuracy contract. (±2% is also unit-asserted in tests/unit/
+    test_sketch.py across cardinalities.)"""
+    from crawlray.ops.relational import distinct
     from crawlray.ops.sketch import approx_distinct
 
-    est = approx_distinct(_rd(sf_dir, "events"), "user_id")
-    return pa.table({"estimate": pa.array([int(est)], pa.int64())})
+    ds = _rd(sf_dir, "events")
+    est = approx_distinct(ds, "user_id")
+    n_exact = distinct(ds, ["user_id"]).count()
+    ok = abs(int(est) - n_exact) <= 0.02 * n_exact
+    return pa.table(
+        {
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "hll_within_2pct": pa.array([bool(ok)]),
+        }
+    )
+
+
+def _ann_ivf_trained(sf_dir: str):
+    """IVF bucket assignment with TRAINED centroids (rows-only: k-means
+    output has no SQL equivalent; recall-vs-naive-seed asserted in
+    tests/unit/test_knn_ivf.py). Exercises the distributed sampled
+    k-means++ + Lloyd training path end-to-end."""
+    from crawlray.ops.knn import ivf_bucket_assign
+
+    out = ivf_bucket_assign(_rd(sf_dir, "embeddings"), "train", n_centroids=8)
+    return out.select_columns(["vec_id", "bucket"])
 
 
 def _ann_ivf_search(sf_dir: str):
@@ -637,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _simhash_dedup,
         "ann_ivf": _ann_ivf,
         "ann_ivf_search": _ann_ivf_search,
+        "ann_ivf_trained": _ann_ivf_trained,
         "ivf_pairs": _ivf_pairs,
         "approx_distinct": _approx_distinct,
         "ngram_jaccard": _ngram_jaccard,
@@ -854,7 +879,92 @@ def oracle_sql() -> dict[str, str]:
                 SELECT UNNEST(range(0, m.n_frames, 2)) AS frame_idx
             ) f
         """,
+        # nearest-centroid assignment over the 8 fixed centroid vectors:
+        # DuckDB computes the same cosine argmax (ties → lowest bucket,
+        # matching np.argmax's first-max-wins); embeddings cast to DOUBLE[]
+        # so both engines accumulate in f64
+        "ann_ivf": """
+            WITH cent AS (
+                SELECT vec_id AS bucket,
+                       CAST(embedding AS DOUBLE[]) AS cvec
+                FROM embeddings WHERE vec_id < 8
+            ),
+            sims AS (
+                SELECT e.vec_id, c.bucket,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+                FROM embeddings e CROSS JOIN cent c
+            )
+            SELECT vec_id, CAST(bucket AS INTEGER) AS bucket
+            FROM (
+                SELECT vec_id, bucket,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, bucket ASC) AS rn
+                FROM sims
+            ) WHERE rn = 1
+        """,
+        # IVF ANN end-to-end: DuckDB reproduces bucket assignment, the
+        # per-query 3 probed buckets (ties → lowest bucket, matching the
+        # engine's stable argsort), and the top-5-per-query ranking with
+        # the engine's deterministic tie-break (sim DESC, neighbor_id ASC,
+        # self excluded) — all in DOUBLE precision
+        "ann_ivf_search": """
+            WITH cent AS (
+                SELECT vec_id AS bucket, CAST(embedding AS DOUBLE[]) AS cvec
+                FROM embeddings WHERE vec_id < 8
+            ),
+            emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            assign AS (
+                SELECT vec_id, bucket FROM (
+                    SELECT e.vec_id, c.bucket,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.v, c.cvec)
+                                   DESC, c.bucket ASC) AS rn
+                    FROM emb e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+            probes AS (
+                SELECT query_id, bucket FROM (
+                    SELECT q.query_id, c.bucket,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qv, c.cvec)
+                                   DESC, c.bucket ASC) AS rn
+                    FROM q CROSS JOIN cent c
+                ) WHERE rn <= 3
+            ),
+            cand AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.v) AS sim
+                FROM q
+                JOIN probes p ON q.query_id = p.query_id
+                JOIN assign a ON a.bucket = p.bucket
+                JOIN emb e ON e.vec_id = a.vec_id
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rn
+                FROM cand
+            ) WHERE rn <= 5
+        """,
+        # error-bound oracle for the HLL sketch: SQL reproduces the exact
+        # distinct count and the bound claim; a hash match proves the
+        # engine's exact distinct AND that its estimate was within ±2%
+        "approx_distinct": """
+            SELECT COUNT(DISTINCT user_id) AS n_exact,
+                   TRUE AS hll_within_2pct
+            FROM events
+        """,
         # rows-only (no SQL equivalent): lang_id, minhash_signatures,
-        # minhash_lsh_dedup, simhash_docs, simhash_dedup, ann_ivf,
-        # ann_ivf_search, crawl_smoke (parity proven in tests instead)
+        # minhash_lsh_dedup, simhash_docs, simhash_dedup, ann_ivf_trained,
+        # ivf_pairs, approx chunkers (cdc_*), crawl_smoke (parity proven
+        # in tests instead)
     }

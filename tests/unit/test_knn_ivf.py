@@ -128,3 +128,43 @@ def test_ivf_pairs_recall_vs_exact(ray_session):
     assert ap <= ep  # precision 1.0: same-bucket pairs are exactly verified
     assert len(ep) > 100
     assert len(ap) / len(ep) >= 0.8
+
+
+def test_trained_centroids_beat_naive_seed(ray_session):
+    """k-means training (centroids='train') must improve ivf_search_knn
+    recall over the naive first-k-vectors centroid choice on clustered data
+    (VERDICT r2 item 4), and must be deterministic."""
+    import ray.data
+
+    from crawlray.ops.knn import train_ivf_centroids
+
+    m, _ = _vecs(n=500, n_clusters=8, seed=9)
+    ds, tbl = _ds(m)
+    q = m[:25]
+    qids = np.arange(25, dtype=np.int64)
+    exact = knn_cosine(ds, q, qids, k=5)
+    exact_set = set(
+        zip(exact.column("query_id").to_pylist(), exact.column("neighbor_id").to_pylist())
+    )
+
+    def recall(approx):
+        s = set(
+            zip(
+                approx.column("query_id").to_pylist(),
+                approx.column("neighbor_id").to_pylist(),
+            )
+        )
+        return len(exact_set & s) / len(exact_set)
+
+    naive = m[:8]  # the round-2 default: first 8 vectors as centroids
+    r_naive = recall(ivf_search_knn(ds, naive, q, qids, k=5, nprobe=2))
+    r_train = recall(
+        ivf_search_knn(ds, "train", q, qids, k=5, nprobe=2, n_centroids=8)
+    )
+    assert r_train >= r_naive, (r_train, r_naive)
+    assert r_train >= 0.8, r_train
+
+    # determinism: same data → identical centroids at any block layout
+    c1 = train_ivf_centroids(ds, k=8)
+    c2 = train_ivf_centroids(ray.data.from_arrow(tbl).repartition(7), k=8)
+    assert np.allclose(c1, c2, atol=1e-9)
