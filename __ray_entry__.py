@@ -289,6 +289,52 @@ def _hash_sample(sf_dir: str):
     )
 
 
+def _salted_grouped_topk(sf_dir: str):
+    """Skew-salted window-rank top-k (SURVEY §4.3 salted-key splitting):
+    top-5 events by value per event_type. Every event_type holds ~20% of
+    rows, so `sample_hot_keys` marks ALL keys hot and the full two-phase
+    salt path (top-k per (key, salt) → merge survivors) runs; output is
+    identical to the unsalted operator / SQL window rank."""
+    from crawlray.ops.relational import salted_grouped_topk
+
+    return salted_grouped_topk(
+        _rd(sf_dir, "events", columns=["event_id", "event_type", "value"]),
+        group_cols=["event_type"], order_col="value", k=5,
+        descending=True, tiebreak_col="event_id", num_salts=8,
+    )
+
+
+def _salted_shuffle_join(sf_dir: str):
+    """Skew-salted shuffle join: events ⋈ per-type counts on event_type
+    (5 keys, each ~20% of rows — maximal skew). Hot-key left rows cycle
+    over 8 salts, the right side replicates per salt; result is the exact
+    unsalted inner join."""
+    from crawlray.ops.relational import salted_shuffle_join
+
+    ev = _rd(sf_dir, "events", columns=["event_id", "event_type"])
+    dim = (
+        _rd(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="type_n"))
+    )
+    out = salted_shuffle_join(ev, dim, on="event_type", num_salts=8)
+    return out.select_columns(["event_id", "event_type", "type_n"])
+
+
+def _salted_session_windows(sf_dir: str):
+    """Skew-salted sessionization: gap-based sessions per event_type
+    (every key hot). Hot keys split into 1-hour time buckets, sessionize
+    per (key, bucket) in parallel, then merge ONLY the per-bucket session
+    summaries — output equals the unsalted operator / SQL oracle."""
+    from crawlray.ops.relational import salted_session_windows
+
+    return salted_session_windows(
+        _rd(sf_dir, "events", columns=["event_type", "ts"]),
+        key="event_type", ts_col="ts", gap_seconds=600,
+        bucket_seconds=3600.0,
+    )
+
+
 def _distinct_types(sf_dir: str):
     """O-31: distinct values via groupby shuffle."""
     from crawlray.ops.relational import distinct
@@ -643,6 +689,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _grouped_quantiles,
         "grouped_topk": _grouped_topk,
         "session_windows": _session_windows,
+        "salted_grouped_topk": _salted_grouped_topk,
+        "salted_shuffle_join": _salted_shuffle_join,
+        "salted_session_windows": _salted_session_windows,
         "distinct_types": _distinct_types,
         "union_all": _union_all,
         "window_bucket": _window_bucket,
@@ -764,6 +813,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
             FROM s GROUP BY user_id, session_id
+        """,
+        "salted_grouped_topk": """
+            SELECT event_id, event_type, value FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY event_type
+                ORDER BY value DESC, event_id ASC
+            ) <= 5
+        """,
+        "salted_shuffle_join": """
+            SELECT e.event_id, e.event_type, t.type_n
+            FROM events e
+            JOIN (SELECT event_type, COUNT(*) AS type_n
+                  FROM events GROUP BY event_type) t
+            USING (event_type)
+        """,
+        "salted_session_windows": """
+            WITH o AS (
+                SELECT event_type, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 600 SECOND
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ),
+            s AS (
+                SELECT event_type, ts,
+                       SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM o
+            )
+            SELECT event_type, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+            FROM s GROUP BY event_type, session_id
         """,
         "distinct_types": "SELECT DISTINCT event_type FROM events",
         "union_all": """

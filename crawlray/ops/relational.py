@@ -181,6 +181,70 @@ def grouped_topk(
     return ds.groupby(group_cols).map_groups(_topk, batch_format="pyarrow")
 
 
+def _session_windows_grouped(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+) -> ray.data.Dataset:
+    """Sessionization kernel grouped on an arbitrary key-column list.
+
+    `session_windows` passes [key]; `salted_session_windows` passes
+    [key, "_tb"] so a hot key's time buckets sessionize in parallel.
+    Output: (*group_cols, session_id, n_events, t_start, t_end).
+    """
+    import numpy as np
+
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def _sess(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).to_numpy()
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        n = len(ts_s)
+        if n == 0:
+            out = {c: group.column(c).slice(0, 0) for c in group_cols}
+            out.update(
+                {
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "t_start": pa.array(ts_s),
+                    "t_end": pa.array(ts_s),
+                }
+            )
+            return pa.table(out)
+        if ts_s.dtype.kind == "M":  # datetime64 → compare in microseconds
+            gaps = np.diff(ts_s).astype("timedelta64[us]").astype(np.int64)
+            new = np.concatenate([[True], gaps > gap_us])
+        elif ts_s.dtype.kind in "iuf":  # numeric → values are seconds
+            gaps = np.diff(ts_s.astype(np.float64))
+            new = np.concatenate([[True], gaps > float(gap_seconds)])
+        else:
+            raise TypeError(
+                f"session_windows: ts_col {ts_col!r} has unsupported dtype "
+                f"{ts_s.dtype} (need timestamp or numeric seconds)"
+            )
+        sess = np.cumsum(new) - 1
+        counts = np.bincount(sess)
+        start_idx = np.nonzero(new)[0]
+        end_idx = np.nonzero(np.concatenate([new[1:], [True]]))[0]
+        zeros = pa.array(np.zeros(len(counts), np.int64))
+        out = {c: group.column(c).take(zeros) for c in group_cols}
+        out.update(
+            {
+                "session_id": pa.array(
+                    np.arange(len(counts), dtype=np.int64), pa.int64()
+                ),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "t_start": pa.array(ts_s[start_idx]),
+                "t_end": pa.array(ts_s[end_idx]),
+            }
+        )
+        return pa.table(out)
+
+    return ds.groupby(group_cols).map_groups(_sess, batch_format="pyarrow")
+
+
 def session_windows(
     ds: ray.data.Dataset,
     key: str,
@@ -200,55 +264,252 @@ def session_windows(
     — numeric deltas are NOT reinterpreted as timedelta64[us] (ADVICE r2).
     Output: (key, session_id, n_events, t_start, t_end).
     """
-    import numpy as np
+    return _session_windows_grouped(ds, [key], ts_col, gap_seconds)
 
-    gap_us = int(gap_seconds * 1_000_000)
 
-    def _sess(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).to_numpy()
-        order = np.argsort(ts, kind="stable")
-        ts_s = ts[order]
-        n = len(ts_s)
-        if n == 0:
-            return pa.table(
-                {
-                    key: group.column(key).slice(0, 0),
-                    "session_id": pa.array([], pa.int64()),
-                    "n_events": pa.array([], pa.int64()),
-                    "t_start": pa.array(ts_s),
-                    "t_end": pa.array(ts_s),
-                }
-            )
-        if ts_s.dtype.kind == "M":  # datetime64 → compare in microseconds
-            gaps = np.diff(ts_s).astype("timedelta64[us]").astype(np.int64)
-            new = np.concatenate([[True], gaps > gap_us])
-        elif ts_s.dtype.kind in "iuf":  # numeric → values are seconds
-            gaps = np.diff(ts_s.astype(np.float64))
-            new = np.concatenate([[True], gaps > float(gap_seconds)])
-        else:
-            raise TypeError(
-                f"session_windows: ts_col {ts_col!r} has unsupported dtype "
-                f"{ts_s.dtype} (need timestamp or numeric seconds)"
-            )
-        sess = np.cumsum(new) - 1
-        counts = np.bincount(sess)
-        start_idx = np.nonzero(new)[0]
-        end_idx = np.nonzero(np.concatenate([new[1:], [True]]))[0]
+# --------------------------------------------------------------------------
+# skew salting (SURVEY §4.3 "salted-key splitting"; VERDICT r2 item 5).
+# A hot key funnels its whole group through one groupby partition; these
+# helpers spread a hot key over S sub-tasks and merge partials, keeping
+# per-task memory bounded at ~|hot key| / S while producing results
+# identical to the unsalted operator.
+# --------------------------------------------------------------------------
+
+
+def sample_hot_keys(
+    ds: ray.data.Dataset,
+    key: str,
+    min_share: float = 0.05,
+    total_rows: int | None = None,
+) -> list:
+    """Detect hot key values with ONE narrow scan and no shuffle.
+
+    Each batch emits its Arrow `value_counts` entries holding at least
+    min_share/4 of the batch (cheap union of local heavy hitters — a key
+    with global share ≥ min_share must exceed min_share/4 in at least one
+    batch worth 1/4 of its mass, so true hot keys always surface); the
+    driver sums the surfaced counts and keeps values whose lower-bound
+    share is ≥ min_share. Pass `total_rows` if known to skip the count()
+    pass (free on a materialized dataset's metadata anyway).
+    """
+    if total_rows is None:
+        total_rows = ds.count()
+    if not total_rows:
+        return []
+
+    def _vc(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(key).combine_chunks())
+        cnts = vc.field("counts")
+        floor = max(1, int(min_share / 4 * batch.num_rows))
+        keep = pc.greater_equal(cnts, floor)
         return pa.table(
             {
-                key: group.column(key).take(
-                    pa.array(np.zeros(len(counts), np.int64))
-                ),
-                "session_id": pa.array(
-                    np.arange(len(counts), dtype=np.int64), pa.int64()
-                ),
-                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
-                "t_start": pa.array(ts_s[start_idx]),
-                "t_end": pa.array(ts_s[end_idx]),
+                "v": vc.field("values").filter(keep),
+                "c": cnts.filter(keep),
             }
         )
 
-    return ds.groupby(key).map_groups(_sess, batch_format="pyarrow")
+    agg: dict = {}
+    for r in ds.select_columns([key]).map_batches(
+        _vc, batch_format="pyarrow"
+    ).take_all():
+        agg[r["v"]] = agg.get(r["v"], 0) + r["c"]
+    return sorted(v for v, c in agg.items() if c >= min_share * total_rows)
+
+
+def _salt_batch_fn(key: str, hot_ref, num_salts: int):
+    """Batch fn adding `_salt`: rows of hot keys cycle over num_salts
+    sub-groups, everything else gets salt 0. Any salt assignment yields
+    identical final results for merge-decomposable kernels — the cycle is
+    just the cheapest balanced spread."""
+    import numpy as np
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        salt = np.zeros(batch.num_rows, dtype=np.int32)
+        if len(hot):
+            mask = pc.is_in(batch.column(key), value_set=hot).to_numpy(
+                zero_copy_only=False
+            )
+            n_hot = int(mask.sum())
+            salt[mask] = np.arange(n_hot, dtype=np.int32) % num_salts
+        return batch.append_column("_salt", pa.array(salt, pa.int32()))
+
+    return _salt
+
+
+def salted_grouped_topk(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+    hot_keys=None,
+    num_salts: int = 16,
+) -> ray.data.Dataset:
+    """`grouped_topk` with salted splitting for skewed groups.
+
+    Top-k is merge-decomposable: phase 1 computes top-k per
+    (group, _salt) — a hot group's rows spread over `num_salts` tasks, so
+    per-task group size is ~|hot| / num_salts — and phase 2 merges the
+    ≤ num_salts·k survivors per group with the SAME kernel, so results
+    (including tie-breaks) are identical to the unsalted operator.
+    `hot_keys`: iterable of hot values of group_cols[0]; None → detect via
+    `sample_hot_keys`. Cold keys keep salt 0 and skip the second shuffle's
+    fan-out entirely.
+    """
+    if hot_keys is None:
+        hot_keys = sample_hot_keys(ds, group_cols[0])
+    hot_ref = ray.put(pa.array(list(hot_keys)))
+    salted = ds.map_batches(
+        _salt_batch_fn(group_cols[0], hot_ref, num_salts), batch_format="pyarrow"
+    )
+    partial = grouped_topk(
+        salted, group_cols + ["_salt"], order_col, k, descending, tiebreak_col
+    ).drop_columns(["_salt"])
+    return grouped_topk(partial, group_cols, order_col, k, descending, tiebreak_col)
+
+
+def salted_shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    hot_keys=None,
+    num_salts: int = 16,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Inner `shuffle_join` with the standard skew-salt treatment: hot-key
+    LEFT rows get a cycling salt in [0, num_salts); the (small-per-key)
+    RIGHT side REPLICATES its hot-key rows once per salt value, so every
+    left row still meets each matching right row exactly once and the hot
+    key's join work spreads over num_salts partitions. Results are
+    identical to the unsalted inner join (row multiset equality).
+    """
+    if hot_keys is None:
+        hot_keys = sample_hot_keys(left, on)
+    hot_ref = ray.put(pa.array(list(hot_keys)))
+    lsalted = left.map_batches(
+        _salt_batch_fn(on, hot_ref, num_salts), batch_format="pyarrow"
+    )
+
+    def _replicate(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hot = ray.get(hot_ref)
+        mask = pc.is_in(batch.column(on), value_set=hot).to_numpy(
+            zero_copy_only=False
+        )
+        cold = batch.filter(pa.array(~mask)).append_column(
+            "_salt", pa.array(np.zeros(int((~mask).sum()), np.int32), pa.int32())
+        )
+        hot_rows = batch.filter(pa.array(mask))
+        reps = [
+            hot_rows.append_column(
+                "_salt",
+                pa.array(np.full(hot_rows.num_rows, s, np.int32), pa.int32()),
+            )
+            for s in range(num_salts)
+        ]
+        return pa.concat_tables([cold] + reps)
+
+    rsalted = right.map_batches(_replicate, batch_format="pyarrow")
+    joined = shuffle_join(
+        lsalted, rsalted, on=[on, "_salt"], join_type="inner",
+        num_partitions=num_partitions,
+    )
+    return joined.drop_columns(["_salt"])
+
+
+def salted_session_windows(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    hot_keys=None,
+    bucket_seconds: float | None = None,
+) -> ray.data.Dataset:
+    """`session_windows` with TIME-BUCKETED splitting for hot keys.
+
+    Sessions need a key's events in time order, so an arbitrary salt would
+    break them; instead a hot key's events split by time bucket
+    (floor(ts / bucket_seconds) — equal timestamps always share a bucket),
+    sessionize locally per (key, bucket) with the vectorized kernel, and
+    ONLY the per-bucket session summaries (t_start, t_end, n_events) —
+    O(#sessions), not O(#events) — merge per key by re-running the same
+    gap rule over interval endpoints. Bucket boundaries can only ADD cut
+    points between consecutive events, and the merge re-joins exactly the
+    cuts whose inter-event gap ≤ gap_seconds, so output equals the
+    unsalted operator's. Per-task memory is bounded by the hot key's
+    densest time bucket instead of its whole history.
+    """
+    import numpy as np
+
+    if bucket_seconds is None:
+        bucket_seconds = gap_seconds * 1024.0
+    if hot_keys is None:
+        hot_keys = sample_hot_keys(ds, key)
+    hot_ref = ray.put(pa.array(list(hot_keys)))
+
+    def _to_seconds(ts: np.ndarray) -> np.ndarray:
+        if ts.dtype.kind == "M":
+            return ts.astype("datetime64[us]").astype(np.int64) / 1e6
+        return ts.astype(np.float64)
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        b = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(hot):
+            mask = pc.is_in(batch.column(key), value_set=hot).to_numpy(
+                zero_copy_only=False
+            )
+            secs = _to_seconds(batch.column(ts_col).to_numpy())
+            b[mask] = np.floor(secs[mask] / bucket_seconds).astype(np.int64)
+        return batch.append_column("_tb", pa.array(b, pa.int64()))
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow")
+    local = _session_windows_grouped(bucketed, [key, "_tb"], ts_col, gap_seconds)
+
+    def _merge(group: pa.Table) -> pa.Table:
+        ts0 = group.column("t_start").to_numpy()
+        ts1 = group.column("t_end").to_numpy()
+        n = group.column("n_events").to_numpy(zero_copy_only=False)
+        if ts0.dtype.kind == "M":
+            # compare in integer microseconds — bit-identical to the
+            # unsalted kernel's boundary behavior (gap == gap_seconds
+            # does NOT start a new session)
+            ts0c = ts0.astype("datetime64[us]").astype(np.int64)
+            ts1c = ts1.astype("datetime64[us]").astype(np.int64)
+            gap = int(gap_seconds * 1_000_000)
+        else:
+            ts0c = ts0.astype(np.float64)
+            ts1c = ts1.astype(np.float64)
+            gap = float(gap_seconds)
+        order = np.lexsort((ts1c, ts0c))
+        ts0c, ts1c, n = ts0c[order], ts1c[order], n[order]
+        new = np.concatenate([[True], (ts0c[1:] - ts1c[:-1]) > gap])
+        seg = np.nonzero(new)[0]
+        counts = np.add.reduceat(n, seg)
+        t_start_col = group.column("t_start").take(pa.array(order[seg]))
+        end_idx = np.concatenate([seg[1:] - 1, [len(ts1c) - 1]])
+        t_end_col = group.column("t_end").take(pa.array(order[end_idx]))
+        return pa.table(
+            {
+                key: group.column(key).take(
+                    pa.array(np.zeros(len(seg), np.int64))
+                ),
+                "session_id": pa.array(
+                    np.arange(len(seg), dtype=np.int64), pa.int64()
+                ),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "t_start": t_start_col,
+                "t_end": t_end_col,
+            }
+        )
+
+    return local.drop_columns(["_tb"]).groupby(key).map_groups(
+        _merge, batch_format="pyarrow"
+    )
 
 
 def single_row_agg(ds: ray.data.Dataset, aggs) -> pa.Table:
