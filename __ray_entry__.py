@@ -598,9 +598,11 @@ def _ann_ivf_search(sf_dir: str):
 
 
 def _media_decode(sf_dir: str):
-    """Multimodal plumbing: binary payload column → actor-pool decode stub
-    producing typed metadata. The decode itself is a deterministic fake
-    (real codecs unavailable here), so it IS SQL-expressible and checked."""
+    """Multimodal plumbing: binary payload column → actor-pool decode
+    producing typed metadata. Real PNG/GIF/JPEG header decode when magic
+    bytes match (tested on real bytes in tests/unit/test_media.py); these
+    text-derived payloads carry no image signature, so they take the
+    deterministic stub path, which IS SQL-expressible and checked."""
     from crawlray.ops.media import decode_media
 
     out = decode_media(_rd(sf_dir, "documents"), "doc_id", "text")

@@ -2,13 +2,16 @@
 binary columns with typed metadata; decode / feature-extract as actor-pool
 map_batches stages).
 
-The image/audio codec libraries are not in this container, so the DECODE
-KERNEL is a clearly-marked deterministic stub (`_decode_stub`) — but the
-Ray-side plumbing is real and exercised end-to-end: a `binary` payload
-column flows through the object store, a stateful actor-pool stage
-("codec loaded once per actor" in __init__) decodes per batch, and typed
-metadata columns come out. Swapping `_decode_stub` for PIL/ffmpeg is a
-one-function change.
+The decode stage does REAL header decoding for PNG / GIF / JPEG payloads
+(`parse_image_header` — pure stdlib, dimensions read from fixed header
+fields, tested end-to-end on real bytes through the actor pool). Payloads
+with no recognised image signature fall back to a clearly-marked
+deterministic stub (`_decode_stub`) — full pixel decode needs codec
+libraries this container lacks. The Ray-side plumbing is real throughout:
+a `binary` payload column flows through the object store, a stateful
+actor-pool stage ("codec loaded once per actor" in __init__) decodes per
+batch, and typed metadata columns come out. Swapping the fallback for
+PIL/ffmpeg is a one-function change.
 """
 
 from __future__ import annotations
@@ -42,13 +45,59 @@ def attach_binary_payload(
     return ds.map_batches(_bin, batch_format="pyarrow")
 
 
+def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL pure-stdlib image-header decode for PNG / GIF / JPEG.
+
+    Returns (width, height, format) when the payload carries a recognised
+    image signature, None otherwise (caller falls back to the stub). No
+    codec library needed — dimensions live in fixed header fields:
+      * PNG:  8-byte signature, then the IHDR chunk's big-endian
+        width/height at byte offsets 16/20 (PNG spec §11.2.2);
+      * GIF:  'GIF87a'/'GIF89a', then the logical-screen descriptor's
+        little-endian uint16 width/height at offsets 6/8;
+      * JPEG: FFD8 SOI, then a marker walk to the first SOF segment
+        (FFC0..FFCF except C4/C8/CC) holding big-endian height/width.
+    PNG (0x89) and JPEG (0xFF) first bytes are invalid UTF-8 lead bytes, so
+    text-derived payloads can never false-positive; GIF's ASCII magic is a
+    full 6-byte match (verified absent from every testdata corpus).
+    """
+    import struct
+
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack_from(">II", payload, 16)
+        return w, h, "png"
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        return w, h, "gif"
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None  # corrupt marker stream
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack_from(">HH", payload, i + 5)
+                    return w, h, "jpeg"
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int]:
     """STUB decode — deterministic fake (width, height, checksum).
 
-    A real deployment replaces this with e.g. PIL.Image.open(BytesIO(...));
-    the libraries are unavailable in this environment (no network installs),
-    so the stub keeps the stage's contract testable: output is a pure
-    function of the payload bytes.
+    Fallback for payloads with no recognised image signature (e.g. the
+    text-derived stand-in payloads): output is a pure function of the
+    payload bytes so the stage's contract stays testable. Recognised
+    PNG/GIF/JPEG bytes never reach this — `parse_image_header` handles
+    them with REAL dimensions.
     """
     n = len(payload)
     return n % 640, n % 480, zlib.crc32(payload)
@@ -61,16 +110,27 @@ class MediaDecodeStage:
     small batches for large payloads (SURVEY.md memory-aware note)."""
 
     def __init__(self):
-        self.codec = _decode_stub  # real codec handle would load here
+        # real header parser (PNG/GIF/JPEG) + stub fallback, both bound
+        # once per actor; a heavyweight codec handle would load here too
+        self.parse_header = parse_image_header
+        self.fallback = _decode_stub
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, checksums, sizes = [], [], [], []
+        widths, heights, checksums, formats, sizes = [], [], [], [], []
         for payload in batch.column("media_bytes").to_pylist():
-            w, h, c = self.codec(payload or b"")
+            payload = payload or b""
+            parsed = self.parse_header(payload)
+            if parsed is not None:
+                w, h, fmt = parsed
+                c = zlib.crc32(payload)
+            else:
+                w, h, c = self.fallback(payload)
+                fmt = "raw"
             widths.append(w)
             heights.append(h)
             checksums.append(c)
-            sizes.append(len(payload or b""))
+            formats.append(fmt)
+            sizes.append(len(payload))
         cols = {n: batch.column(n) for n in batch.column_names if n != "media_bytes"}
         cols.update(
             {
@@ -78,6 +138,7 @@ class MediaDecodeStage:
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
                 "checksum": pa.array(np.array(checksums, np.uint32), pa.uint32()),
+                "format": pa.array(formats, pa.string()),
             }
         )
         return pa.table(cols)

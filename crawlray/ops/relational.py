@@ -152,6 +152,46 @@ def hash_sample(
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+def hash_sample_fast(
+    ds: ray.data.Dataset,
+    key: str,
+    rate: float,
+    total_buckets: int = 1 << 16,
+) -> ray.data.Dataset:
+    """Engine-native deterministic content-keyed sample (O-36 hot path).
+
+    Same semantics as `hash_sample` — kept rows are a pure function of the
+    key, stable across runs / parallelism / block layout, consistent
+    between tables sampled on a shared key — but hashed with the repo's
+    VECTORIZED murmur3_x64_128 batch kernel (numpy, no per-row Python)
+    instead of per-row md5. Keeps rows whose bucket
+    (hash_lo mod total_buckets) < rate * total_buckets. Use `hash_sample`
+    only where md5 parity with an external SQL oracle is required; this is
+    the variant for production-volume sampling.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    threshold = int(rate * total_buckets)
+    if threshold >= total_buckets:
+        return ds
+
+    from crawlray.murmur3 import murmur3_x64_128_batch
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        col = batch.column(key)
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        lo, _ = murmur3_x64_128_batch(col.combine_chunks())
+        keep = (lo % np.uint64(total_buckets)) < np.uint64(threshold)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")
+
+
 def grouped_topk(
     ds: ray.data.Dataset,
     group_cols: list[str],

@@ -38,6 +38,44 @@ def test_hash_sample_edge_rates(ray_session):
     assert hash_sample(ds, "k", 256).count() == 50
 
 
+def test_hash_sample_fast_invariant_and_consistent(ray_session):
+    """Engine-native murmur3 variant: parallelism-invariant kept set,
+    ~rate fraction kept, and consistent across tables sharing the key."""
+    from crawlray.ops.relational import hash_sample_fast
+
+    ids = [f"doc-{i:05d}" for i in range(4000)]
+    a = pa.table({"doc_id": ids, "v": list(range(4000))})
+    ds = ray.data.from_arrow(a)
+    kept = sorted(
+        r["doc_id"] for r in hash_sample_fast(ds, "doc_id", 0.1).take_all()
+    )
+    # rate ≈ 10% (binomial, loose bounds)
+    assert 0.07 < len(kept) / len(ids) < 0.13
+    # parallelism-invariant: same kept set under a different block layout
+    kept2 = sorted(
+        r["doc_id"]
+        for r in hash_sample_fast(ds.repartition(17), "doc_id", 0.1).take_all()
+    )
+    assert kept2 == kept
+    # cross-table consistency: another table sampled on the same key keeps
+    # exactly the matching rows
+    b = pa.table({"doc_id": ids, "w": [i * 2 for i in range(4000)]})
+    kept_b = sorted(
+        r["doc_id"]
+        for r in hash_sample_fast(
+            ray.data.from_arrow(b).repartition(5), "doc_id", 0.1
+        ).take_all()
+    )
+    assert kept_b == kept
+    # edge rates
+    assert hash_sample_fast(ds, "doc_id", 0.0).count() == 0
+    assert hash_sample_fast(ds, "doc_id", 1.0).count() == 4000
+    # non-string key columns are cast, not crashed on
+    c = pa.table({"k": list(range(1000))})
+    n = hash_sample_fast(ray.data.from_arrow(c), "k", 0.5).count()
+    assert 400 < n < 600
+
+
 def test_session_windows_gap_semantics(ray_session):
     import datetime as dt
 
