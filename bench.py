@@ -40,6 +40,10 @@ BENCH_QUERIES = [
     "hash_sample",
     "session_windows",
     "grouped_topk",
+    "salted_grouped_topk",
+    "salted_shuffle_join",
+    "salted_session_windows",
+    "media_decode",
     "quantiles",
     "window_bucket",
     "json_props",
