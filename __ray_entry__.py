@@ -467,6 +467,24 @@ def _embedding_dedup(sf_dir: str):
     return similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
 
 
+def _embedding_srp_dedup(sf_dir: str):
+    """Embedding near-dup pairs via signed-random-projection LSH — the
+    sub-quadratic scale path (O(n·bits·dim) + candidate volume, vs the
+    exact op's O(n²·dim)). Emitted pairs are EXACTLY verified (f64
+    cosine), so precision is always 1.0; recall depends on (n_bits,
+    bands). At this gate corpus + threshold + fixed seed the candidate
+    stage is deterministic and covers every true pair (verified:
+    recall 1.0), so the same SQL oracle as `embedding_dedup` applies;
+    on other corpora the op is approximate by design (recall tests in
+    tests/unit/test_knn_ivf.py)."""
+    from crawlray.ops.knn import srp_pairs_cosine
+
+    out = srp_pairs_cosine(
+        _rd(sf_dir, "embeddings"), threshold=0.45, n_bits=64, bands=16, seed=7
+    )
+    return out.select(["id_a", "id_b"])
+
+
 def _lang_id(sf_dir: str):
     """Language-ID heuristic (rows-only: not SQL-expressible)."""
     from crawlray.ops.textqa import lang_id
@@ -705,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "knn_cosine": _knn_cosine,
         "embedding_dedup": _embedding_dedup,
+        "embedding_srp_dedup": _embedding_srp_dedup,
         "lang_id": _lang_id,
         "minhash_signatures": _minhash_signatures,
         "minhash_lsh_dedup": _minhash_lsh_dedup,
@@ -894,6 +913,11 @@ def oracle_sql() -> dict[str, str]:
                          e.vec_id ASC) <= 5
         """,
         "embedding_dedup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "embedding_srp_dedup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45

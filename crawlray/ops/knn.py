@@ -14,6 +14,11 @@ Patterns:
   `ivf_bucket_assign` + `ivf_search_knn`.
 - `ivf_search_knn`: nearest-centroid bucketing (one groupby shuffle), then
   per-bucket local top-k for the queries probing that bucket.
+- `srp_pairs_cosine`: signed-random-projection LSH (Charikar 2002) — the
+  second sub-quadratic near-dup path: sign-bit signatures under broadcast
+  Gaussian hyperplanes, banded bucket groupby, exact f64 verification of
+  candidates via two hash joins (vectors ride the join as fixed-size
+  binary). Precision exact, recall tunable via (n_bits, bands).
 """
 
 from __future__ import annotations
@@ -530,4 +535,164 @@ def _block_pair_inline(
             "id_a": pa.array(a[keep], pa.int64()),
             "id_b": pa.array(b[keep], pa.int64()),
         }
+    )
+
+
+def srp_pairs_cosine(
+    ds: ray.data.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+    max_bucket: int = 4096,
+) -> pa.Table:
+    """Embedding near-dup pairs via signed-random-projection (SRP) LSH —
+    the sub-quadratic scale path alongside `ivf_pairs_cosine`.
+
+    Sketch (Charikar 2002 SimHash for cosine): each vector's sign pattern
+    under `n_bits` fixed Gaussian hyperplanes, split into `bands` bands of
+    r = n_bits/bands bits; two vectors collide in a band iff all r sign
+    bits agree, which happens w.p. (1 - θ/π)^r for angle θ — so close
+    pairs almost surely share ≥1 band while far pairs rarely do. Candidate
+    pairs from shared (band, bucket) groups (size-capped, drops surfaced)
+    are verified with EXACT float64 cosine, so precision is exact and only
+    recall depends on (n_bits, bands).
+
+    Scale shape: one signature scan (f32 matmul per batch against a
+    broadcast hyperplane matrix), one groupby over (band, bucket), pair
+    dedup via Arrow-native aggregate, then TWO hash joins that attach each
+    candidate pair's vectors and one vectorized einsum per batch — no
+    per-pair Python, no driver-side corpus. Work is O(n·n_bits·dim) +
+    O(candidate volume), vs O(n²·dim) for `similar_pairs_cosine`.
+    """
+    if n_bits % bands != 0:
+        raise ValueError("n_bits must be divisible by bands")
+    r = n_bits // bands
+    if r > 63:
+        raise ValueError("bits per band must fit an int64 bucket key")
+    from crawlray.ops.neardup import _dedup_pairs, _pairs_in_group, _pairs_table
+
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    first = slim.take(1)
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+    if not first:
+        return empty
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    hyper_ref = ray.put(hyper)
+    weights = (np.uint64(1) << np.arange(r, dtype=np.uint64)).astype(np.int64)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        planes = ray.get(hyper_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_matrix(batch, vec_col).astype(np.float32)
+        bits = (x @ planes) >= 0  # sign bits are scale-invariant: cos geometry
+        n = batch.num_rows
+        keys = np.empty((n, bands), dtype=np.int64)
+        for bnd in range(bands):
+            keys[:, bnd] = bits[:, bnd * r : (bnd + 1) * r].astype(np.int64) @ weights
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(keys.reshape(-1)),
+            }
+        )
+
+    buckets = slim.map_batches(_bucketize, batch_format="pyarrow")
+
+    def _pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return _pairs_table(*_pairs_in_group(ids, max_bucket))
+
+    cand = buckets.groupby(["band", "bucket"]).map_groups(
+        _pairs_in_bucket, batch_format="pyarrow"
+    )
+    pairs, n_dropped = _dedup_pairs(cand)
+    if n_dropped:
+        print(
+            f"# srp_pairs_cosine: {n_dropped} ids dropped from oversize SRP "
+            f"buckets (max_bucket={max_bucket}) — recall is bounded, not exact"
+        )
+    if pairs.count() == 0:
+        return empty
+
+    # exact-verify: attach vec_a / vec_b with two hash joins over candidate
+    # volume, then one vectorized f64 einsum per batch. Acero hash joins
+    # reject list<> payload columns, so vectors ride the join as
+    # fixed-size-binary rows (zero-copy f64 encode/decode both ways).
+    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    bin_type = pa.binary(dim * 8)
+
+    def _to_bin(batch: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(_batch_matrix(batch, vec_col))
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            bin_type, batch.num_rows, [None, pa.py_buffer(m.tobytes())]
+        )
+        return pa.table({"jid": batch.column(id_col), "vecbin": arr})
+
+    def _bin_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = np.frombuffer(col.buffers()[1], dtype=np.float64)
+        start = col.offset * dim
+        return flat[start : start + len(col) * dim].reshape(len(col), dim)
+
+    slimbin = slim.map_batches(_to_bin, batch_format="pyarrow")
+
+    def _keep(cols):
+        def _k(batch: pa.Table) -> pa.Table:
+            return batch.select(list(cols))
+        return _k
+
+    va = (
+        pairs.join(
+            slimbin, join_type="inner", num_partitions=nparts,
+            on=("id_a",), right_on=("jid",),
+        )
+        .map_batches(_keep(["id_a", "id_b", "vecbin"]), batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.rename_columns(["id_a", "id_b", "vec_a"]),
+            batch_format="pyarrow",
+        )
+    )
+    vb = (
+        va.join(
+            slimbin, join_type="inner", num_partitions=nparts,
+            on=("id_b",), right_on=("jid",),
+        )
+        .map_batches(
+            _keep(["id_a", "id_b", "vec_a", "vecbin"]), batch_format="pyarrow"
+        )
+    )
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        ma = _normalize(_bin_matrix(batch.column("vec_a")))
+        mb = _normalize(_bin_matrix(batch.column("vecbin")))
+        sim = np.einsum("ij,ij->i", ma, mb)
+        keep = np.nonzero(sim >= threshold)[0]
+        kp = pa.array(keep)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").take(kp),
+                "id_b": batch.column("id_b").take(kp),
+                "sim": pa.array(np.round(sim[keep], 6), pa.float64()),
+            }
+        )
+
+    out = vb.map_batches(_exact, batch_format="pyarrow").take_all()
+    out.sort(key=lambda rrow: (rrow["id_a"], rrow["id_b"]))
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
+        ),
     )

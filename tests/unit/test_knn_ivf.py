@@ -168,3 +168,56 @@ def test_trained_centroids_beat_naive_seed(ray_session):
     c1 = train_ivf_centroids(ds, k=8)
     c2 = train_ivf_centroids(ray.data.from_arrow(tbl).repartition(7), k=8)
     assert np.allclose(c1, c2, atol=1e-9)
+
+
+def test_srp_pairs_precision_exact_and_recall_high(ray_session):
+    """SRP-LSH near-dup: every emitted pair must be a TRUE pair with its
+    exact f64 cosine (precision exact by construction); recall over
+    planted near-dups (cos ≥ 0.95) must be high."""
+    from crawlray.ops.knn import srp_pairs_cosine
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(150, 32)
+    # plant 30 near-dups: tiny perturbations of the first 30 rows
+    dups = base[:30] + 0.01 * rng.randn(30, 32)
+    m = np.vstack([base, dups])
+    ds, _ = _ds(m)
+    thr = 0.9
+    got = srp_pairs_cosine(ds, thr, n_bits=64, bands=8, seed=7)
+    got_pairs = {
+        (a, b): s
+        for a, b, s in zip(
+            got.column("id_a").to_pylist(),
+            got.column("id_b").to_pylist(),
+            got.column("sim").to_pylist(),
+        )
+    }
+    want = _brute_pairs(m, thr)
+    # precision: every emitted pair is a true pair (exact verification)
+    assert set(got_pairs) <= want
+    # exact sims: recompute and compare
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for (a, b), s in got_pairs.items():
+        assert abs(s - float(norm[a] @ norm[b])) < 1e-5
+    # recall over the planted very-close dups (cos ≈ 0.999)
+    planted = {(i, 150 + i) for i in range(30) if (i, 150 + i) in want}
+    found_planted = planted & set(got_pairs)
+    assert len(found_planted) >= 0.95 * len(planted)
+    # overall recall at this threshold should be high too
+    assert len(set(got_pairs)) >= 0.8 * len(want)
+
+
+def test_srp_pairs_deterministic_across_layouts(ray_session):
+    """Same seed + input ⇒ identical pair set at any parallelism."""
+    from crawlray.ops.knn import srp_pairs_cosine
+
+    rng = np.random.RandomState(5)
+    m = rng.randn(120, 16)
+    m = np.vstack([m, m[:20] + 0.005 * rng.randn(20, 16)])
+    ds1, tbl = _ds(m)
+    import ray.data
+
+    ds2 = ray.data.from_arrow(tbl).repartition(9)
+    a = srp_pairs_cosine(ds1, 0.9).to_pylist()
+    b = srp_pairs_cosine(ds2, 0.9).to_pylist()
+    assert a == b
