@@ -453,7 +453,15 @@ def salted_shuffle_join(
         ]
         return pa.concat_tables([cold] + reps)
 
-    rsalted = right.map_batches(_replicate, batch_format="pyarrow")
+    # repartition the (small, replicated) right side before the join:
+    # groupby-aggregate upstreams emit zero-row blocks with a BARE schema
+    # that map_batches passes through untouched and Dataset.join's
+    # aggregator rejects ("no match for FieldRef" on the key); repartition
+    # merges them away. The left side streams unrepartitioned — parquet
+    # reads never produce bare-schema blocks.
+    rsalted = right.map_batches(_replicate, batch_format="pyarrow").repartition(
+        max(2, num_salts)
+    )
     joined = shuffle_join(
         lsalted, rsalted, on=[on, "_salt"], join_type="inner",
         num_partitions=num_partitions,

@@ -37,12 +37,14 @@ def _copy_worker(seconds: float, out_q) -> None:
     src = np.ones(256 * 1024 * 1024 // 8, dtype=np.float64)  # 256 MiB
     dst = np.empty_like(src)
     n_bytes = src.nbytes
+    np.copyto(dst, src)  # warmup: fault in dst pages outside the window
     t_end = time.time() + seconds
     moved = 0
+    t0 = time.time()
     while time.time() < t_end:
         np.copyto(dst, src)
         moved += 2 * n_bytes  # one read + one write stream
-    out_q.put(moved / seconds)
+    out_q.put(moved / max(1e-9, time.time() - t0))
 
 
 def bench_bandwidth(seconds: float = 3.0) -> dict:
