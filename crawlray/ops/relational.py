@@ -325,35 +325,51 @@ def sample_hot_keys(
     """Detect hot key values with ONE narrow scan and no shuffle.
 
     Each batch emits its Arrow `value_counts` entries holding at least
-    min_share/4 of the batch (cheap union of local heavy hitters — a key
-    with global share ≥ min_share must exceed min_share/4 in at least one
-    batch worth 1/4 of its mass, so true hot keys always surface); the
-    driver sums the surfaced counts and keeps values whose lower-bound
-    share is ≥ min_share. Pass `total_rows` if known to skip the count()
-    pass (free on a materialized dataset's metadata anyway).
+    min_share/4 of the batch (cheap union of local heavy hitters — if a
+    key's share were < min_share/4 in EVERY batch its global share would
+    be < min_share/4, so true hot keys always surface somewhere) plus one
+    null-keyed row carrying the batch's row count, so the total arrives in
+    the SAME single scan — no separate count() pass. The driver sums the
+    surfaced counts and keeps values whose lower-bound share is
+    ≥ min_share. Pass `total_rows` if known (unused otherwise).
     """
-    if total_rows is None:
-        total_rows = ds.count()
-    if not total_rows:
-        return []
 
     def _vc(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch.column(key).combine_chunks())
+        col = batch.column(key).combine_chunks()
+        vc = pc.value_counts(col)
         cnts = vc.field("counts")
         floor = max(1, int(min_share / 4 * batch.num_rows))
-        keep = pc.greater_equal(cnts, floor)
+        # drop null data keys so they can't collide with the count marker
+        keep = pc.and_(pc.greater_equal(cnts, floor), pc.is_valid(vc.field("values")))
+        vals = vc.field("values").filter(keep)
         return pa.table(
             {
-                "v": vc.field("values").filter(keep),
-                "c": cnts.filter(keep),
+                # null key = "this batch's row count" marker
+                "v": pa.concat_arrays(
+                    [vals.cast(col.type), pa.array([None], col.type)]
+                ),
+                "c": pa.concat_arrays(
+                    [
+                        cnts.filter(keep).cast(pa.int64()),
+                        pa.array([batch.num_rows], pa.int64()),
+                    ]
+                ),
             }
         )
 
     agg: dict = {}
+    n_seen = 0
     for r in ds.select_columns([key]).map_batches(
         _vc, batch_format="pyarrow"
     ).take_all():
-        agg[r["v"]] = agg.get(r["v"], 0) + r["c"]
+        if r["v"] is None:
+            n_seen += r["c"]
+        else:
+            agg[r["v"]] = agg.get(r["v"], 0) + r["c"]
+    if total_rows is None:
+        total_rows = n_seen
+    if not total_rows:
+        return []
     return sorted(v for v, c in agg.items() if c >= min_share * total_rows)
 
 
