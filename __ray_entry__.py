@@ -370,6 +370,18 @@ def _window_bucket(sf_dir: str):
     return _round_cols(out, {"total_value": 3})
 
 
+def _hopping_window(sf_dir: str):
+    """O-42/§2.9 adjacency: hopping (overlapping) window aggregate —
+    events per 1-hour window hopping every 15 minutes (4 windows/event)."""
+    from crawlray.ops.relational import hopping_window_agg
+
+    out = hopping_window_agg(
+        _rd(sf_dir, "events", columns=["ts", "value"]),
+        ts_col="ts", value_col="value", window_seconds=3600, hop_seconds=900,
+    )
+    return _round_cols(out, {"total_value": 3})
+
+
 def _json_props(sf_dir: str):
     """O-44: JSON field extraction + aggregate."""
     from crawlray.ops.textqa import parse_json_field
@@ -715,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_types": _distinct_types,
         "union_all": _union_all,
         "window_bucket": _window_bucket,
+        "hopping_window": _hopping_window,
         "json_props": _json_props,
         "flatten_tokens": _flatten_tokens,
         "doc_stats": _doc_stats,
@@ -878,6 +891,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
                    ROUND(SUM(value), 3) AS total_value
             FROM events GROUP BY 1
+        """,
+        "hopping_window": """
+            WITH e AS (
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value
+                FROM events
+            ),
+            x AS (
+                SELECT es, value,
+                       UNNEST(range(CAST(FLOOR((es - 3600.0) / 900.0) AS BIGINT) + 1,
+                                    CAST(FLOOR(es / 900.0) AS BIGINT) + 1)) AS k
+                FROM e
+            )
+            SELECT k * 900 AS window_start, COUNT(*) AS n,
+                   ROUND(SUM(value), 3) AS total_value
+            FROM x GROUP BY 1
         """,
         "json_props": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "media_decode",
     "quantiles",
     "window_bucket",
+    "hopping_window",
     "json_props",
     "flatten_tokens",
     "doc_fingerprint",

@@ -576,6 +576,67 @@ def salted_session_windows(
     )
 
 
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    value_col: str,
+    window_seconds: float,
+    hop_seconds: float,
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate — the overlapping-window
+    streaming shape as a batch operator (tumbling = `window_bucket`;
+    gap-based = `session_windows`).
+
+    Each event belongs to every window [s, s+window) whose hop-aligned
+    start s = k·hop satisfies s ≤ t < s+window — i.e. window/hop
+    overlapping windows per event. One vectorized map_batches EXPLODES
+    each event into its window assignments (np.repeat + arange, no row
+    loop; fan-out factor window/hop is a constant chosen by the caller),
+    then ONE groupby(window_start) tree-aggregates count + sum. Timestamps
+    are truncated to whole epoch seconds before window math (matches the
+    DuckDB oracle's floor(epoch(ts))); numeric ts columns are taken as
+    seconds. Output: (window_start: int64 epoch-seconds, n, total_value).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    w = int(window_seconds)
+    h = int(hop_seconds)
+    if w <= 0 or h <= 0 or w % h:
+        raise ValueError("need window_seconds % hop_seconds == 0, both > 0")
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy()
+        if ts.dtype.kind == "M":
+            es = ts.astype("datetime64[us]").astype(np.int64) // 1_000_000
+        else:
+            es = np.floor(ts.astype(np.float64)).astype(np.int64)
+        k1 = np.floor_divide(es, h)
+        k0 = np.floor_divide(es - w, h) + 1
+        counts = (k1 - k0 + 1).astype(np.int64)
+        starts_rep = np.repeat(k0, counts)
+        # rank-within-row via global arange minus each row's group start
+        grp0 = np.repeat(np.cumsum(counts) - counts, counts)
+        ks = starts_rep + (np.arange(len(starts_rep)) - grp0)
+        vals = np.repeat(
+            batch.column(value_col).to_numpy(zero_copy_only=False), counts
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(ks * h, pa.int64()),
+                value_col: pa.array(vals),
+            }
+        )
+
+    return (
+        ds.select_columns([ts_col, value_col])
+        .map_batches(_explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="total_value"))
+    )
+
+
 def single_row_agg(ds: ray.data.Dataset, aggs) -> pa.Table:
     """Global (non-grouped) aggregate → a one-row Arrow table.
 

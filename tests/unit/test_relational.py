@@ -202,3 +202,50 @@ def test_session_windows_numeric_seconds(ray_session):
     tbl_i = pa.table({"uid": ["u"] * 4, "ts": pa.array([0, 10, 100, 105], pa.int64())})
     out_i = session_windows(ray.data.from_arrow(tbl_i), "uid", "ts", gap_seconds=30.0)
     assert sorted(r["n_events"] for r in out_i.take_all()) == [2, 2]
+
+
+def test_hopping_window_agg_vs_bruteforce(ray_session):
+    """Overlapping windows: every event lands in window/hop hop-aligned
+    windows; counts and sums must match a brute-force reference."""
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.relational import hopping_window_agg
+
+    rng = np.random.default_rng(9)
+    es = np.sort(rng.integers(10_000, 20_000, size=500)).astype(np.float64)
+    vals = rng.normal(size=500)
+    tbl = pa.table({"ts": es, "value": vals})
+    w, h = 400, 100
+    out = {
+        r["window_start"]: (r["n"], r["total_value"])
+        for r in hopping_window_agg(
+            ray.data.from_arrow(tbl).repartition(7), "ts", "value", w, h
+        ).take_all()
+    }
+    # brute force
+    want: dict = {}
+    for t, v in zip(es.astype(np.int64), vals):
+        k1 = t // h
+        k0 = (t - w) // h + 1
+        for k in range(k0, k1 + 1):
+            n, s = want.get(k * h, (0, 0.0))
+            want[k * h] = (n + 1, s + v)
+    assert set(out) == set(want)
+    for ws, (n, s) in want.items():
+        assert out[ws][0] == n
+        assert abs(out[ws][1] - s) < 1e-9
+    # every event appears in exactly w/h windows
+    assert sum(n for n, _ in out.values()) == 500 * (w // h)
+
+
+def test_hopping_window_agg_rejects_bad_params(ray_session):
+    import ray.data
+
+    from crawlray.ops.relational import hopping_window_agg
+
+    ds = ray.data.from_arrow(pa.table({"ts": [1.0], "value": [1.0]}))
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(ds, "ts", "value", 350, 100)  # w % h != 0
