@@ -479,6 +479,16 @@ def _embedding_dedup(sf_dir: str):
     return similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
 
 
+def _clean_corpus(sf_dir: str):
+    """Flagship LLM-training-data cleaning chain: quality filter (token /
+    char bounds) → exact dedup (md5 fingerprint, keep smallest doc_id) →
+    per-source corpus stats. Every stage is SQL-expressible, so the whole
+    CHAIN is oracled end-to-end."""
+    from crawlray.ops.textqa import clean_corpus_stats
+
+    return clean_corpus_stats(_rd(sf_dir, "documents"))
+
+
 def _embedding_srp_dedup(sf_dir: str):
     """Embedding near-dup pairs via signed-random-projection LSH — the
     sub-quadratic scale path (O(n·bits·dim) + candidate volume, vs the
@@ -737,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _knn_cosine,
         "embedding_dedup": _embedding_dedup,
         "embedding_srp_dedup": _embedding_srp_dedup,
+        "clean_corpus": _clean_corpus,
         "lang_id": _lang_id,
         "minhash_signatures": _minhash_signatures,
         "minhash_lsh_dedup": _minhash_lsh_dedup,
@@ -944,6 +955,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "clean_corpus": """
+            WITH q AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       length(text) AS n_chars,
+                       md5(text) AS fp
+                FROM documents
+            ),
+            d AS (
+                SELECT * FROM q
+                WHERE n_tokens >= 5 AND n_chars <= 20000
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   SUM(n_tokens) AS total_tokens
+            FROM d GROUP BY source
         """,
         "embedding_srp_dedup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

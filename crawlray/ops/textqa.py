@@ -266,3 +266,66 @@ def cdc_chunks(
         )
 
     return ds.map_batches(_chunks, batch_format="pyarrow")
+
+
+def clean_corpus_stats(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_tokens: int = 5,
+    max_chars: int = 20_000,
+) -> ray.data.Dataset:
+    """Flagship training-data cleaning pipeline, end to end:
+
+        quality filter → exact dedup → per-source corpus stats
+
+    1. QUALITY: one vectorized pass computes n_tokens (single-space split,
+       matching SQL string_split semantics) and n_chars; rows failing
+       min_tokens / max_chars are dropped at the scan — downstream stages
+       never see them.
+    2. EXACT DEDUP: md5(text) fingerprint, keep the smallest id per
+       fingerprint (`dedup_keep_first` — sort + per-block keep-first +
+       O(#blocks) boundary repair, never a per-group Python call).
+    3. STATS: groupby(source) tree aggregate — surviving docs and their
+       token volume per source.
+
+    Output: (source, n_docs, total_tokens), the corpus-card numbers a
+    training-data pipeline reports after cleaning. Every stage streams;
+    the only shuffles are the dedup sort and the final small groupby.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from crawlray.ops.dedup import dedup_keep_first
+
+    def _quality(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        n_tokens = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, pattern=" ")),
+            pa.int64(),
+        )
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(n_tokens, min_tokens),
+            pc.less_equal(n_chars, max_chars),
+        )
+        fps = pa.array(
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in text.to_pylist()
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                source_col: batch.column(source_col),
+                "fp": fps,
+                "n_tokens": n_tokens,
+            }
+        ).filter(keep)
+
+    slim = ds.select_columns([id_col, source_col, text_col]).map_batches(
+        _quality, batch_format="pyarrow"
+    )
+    deduped = dedup_keep_first(slim, key="fp", order=id_col)
+    return deduped.groupby(source_col).aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )
