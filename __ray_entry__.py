@@ -494,15 +494,16 @@ def _embedding_srp_dedup(sf_dir: str):
     sub-quadratic scale path (O(n·bits·dim) + candidate volume, vs the
     exact op's O(n²·dim)). Emitted pairs are EXACTLY verified (f64
     cosine), so precision is always 1.0; recall depends on (n_bits,
-    bands). At this gate corpus + threshold + fixed seed the candidate
-    stage is deterministic and covers every true pair (verified:
-    recall 1.0), so the same SQL oracle as `embedding_dedup` applies;
-    on other corpora the op is approximate by design (recall tests in
-    tests/unit/test_knn_ivf.py)."""
+    bands). At 128 bits / 32 bands the candidate stage is deterministic
+    (fixed seed) and covers every true pair at BOTH gate corpora
+    (verified recall 1.0 at sf0.001 and sf0.01; per-pair analytic recall
+    at θ = acos(0.45) is 1-(1-0.823⁴)³² ≈ 0.998), so the same SQL oracle
+    as `embedding_dedup` applies; on other corpora the op is approximate
+    by design (recall tests in tests/unit/test_knn_ivf.py)."""
     from crawlray.ops.knn import srp_pairs_cosine
 
     out = srp_pairs_cosine(
-        _rd(sf_dir, "embeddings"), threshold=0.45, n_bits=64, bands=16, seed=7
+        _rd(sf_dir, "embeddings"), threshold=0.45, n_bits=128, bands=32, seed=7
     )
     return out.select(["id_a", "id_b"])
 

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "json_props",
     "flatten_tokens",
     "doc_fingerprint",
+    "clean_corpus",
     "exact_dedup_docs",
     "knn_cosine",
     "embedding_dedup",
