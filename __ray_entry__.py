@@ -479,6 +479,26 @@ def _embedding_dedup(sf_dir: str):
     return similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
 
 
+def _ann_sq8(sf_dir: str):
+    """SQ8-quantized brute-force kNN (rows-only: approximate by
+    quantization error, recall ≥0.9 tested vs exact in
+    tests/unit/test_knn_ivf.py). The quantized corpus moves 8x less data
+    through plasma/storage per batch — the exact resource the ceiling
+    probe shows saturating on this box."""
+    import pyarrow.parquet as pq
+
+    from crawlray.ops.knn import sq8_knn, sq8_quantize
+
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).slice(0, 10)
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
+    qds = sq8_quantize(_rd(sf_dir, "embeddings"))
+    return sq8_knn(qds, queries, qids, k=5).select(["query_id", "neighbor_id"])
+
+
 def _clean_corpus(sf_dir: str):
     """Flagship LLM-training-data cleaning chain: quality filter (token /
     char bounds) → exact dedup (md5 fingerprint, keep smallest doc_id) →
@@ -749,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _embedding_dedup,
         "embedding_srp_dedup": _embedding_srp_dedup,
         "clean_corpus": _clean_corpus,
+        "ann_sq8": _ann_sq8,
         "lang_id": _lang_id,
         "minhash_signatures": _minhash_signatures,
         "minhash_lsh_dedup": _minhash_lsh_dedup,

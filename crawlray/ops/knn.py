@@ -696,3 +696,88 @@ def srp_pairs_cosine(
             [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
         ),
     )
+
+
+def sq8_quantize(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Scalar (SQ8) quantization of an embedding column for ANN at scale.
+
+    Each vector is L2-normalized then symmetrically quantized per row:
+    q_i = round(127 · x_i / max|x|), stored as dim int8 bytes
+    (fixed_size_binary) + one f32 scale — 8x smaller than the f64 list
+    and 4x smaller than f32. At 100 TB the embedding corpus' footprint
+    through storage, plasma and the memory bus shrinks by that factor,
+    which is exactly the resource this box's ceiling probe shows
+    saturating (BENCH/BASELINE.md). Quantization error per component is
+    ≤ scale/2, so dequantized cosines deviate O(1/127) — recall of the
+    downstream search is tested against the exact operator.
+    Output: (id_col, q: fixed_size_binary(dim), scale: float32, dim kept
+    implicit in the binary width).
+    """
+
+    def _q(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        amax = np.abs(m).max(axis=1, keepdims=True)
+        amax[amax == 0] = 1.0
+        scale = (amax / 127.0).astype(np.float32)
+        q = np.clip(np.rint(m / (scale.astype(np.float64))), -127, 127).astype(
+            np.int8
+        )
+        dim = m.shape[1]
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim), batch.num_rows, [None, pa.py_buffer(q.tobytes())]
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "q": arr,
+                "scale": pa.array(scale.reshape(-1), pa.float32()),
+            }
+        )
+
+    return ds.map_batches(_q, batch_format="pyarrow")
+
+
+def sq8_knn(
+    qds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Brute-force cosine top-k over an SQ8-quantized corpus
+    (`sq8_quantize` output): 8x less data moves through the object store
+    per batch; the scan dequantizes int8 → f32 in one vectorized step and
+    reuses the broadcast-queries / local-top-k / driver-merge machinery.
+    Approximate by the quantization error only (same deterministic
+    tie-break as `knn_cosine`); recall vs the exact operator is tested.
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+    qid_ref = ray.put(np.asarray(query_ids))
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        qids = ray.get(qid_ref)
+        col = batch.column("q").combine_chunks()
+        dim = col.type.byte_width
+        raw = np.frombuffer(col.buffers()[1], dtype=np.int8)
+        start = col.offset * dim
+        m8 = raw[start : start + len(col) * dim].reshape(len(col), dim)
+        scale = batch.column("scale").to_numpy(zero_copy_only=False)
+        m = m8.astype(np.float64) * scale[:, None]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_n, out_s = _local_topk_rows(q, m, qids, ids, k, True)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = qds.map_batches(_scan, batch_format="pyarrow")
+    return _merge_topk(cand, k)

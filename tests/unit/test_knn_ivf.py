@@ -221,3 +221,32 @@ def test_srp_pairs_deterministic_across_layouts(ray_session):
     a = srp_pairs_cosine(ds1, 0.9).to_pylist()
     b = srp_pairs_cosine(ds2, 0.9).to_pylist()
     assert a == b
+
+
+def test_sq8_quantized_knn_recall_and_compression(ray_session):
+    """SQ8 search: ≥0.9 recall@5 vs the exact operator, 8x smaller
+    payload (dim int8 bytes vs dim f64 list)."""
+    import ray.data
+
+    from crawlray.ops.knn import knn_cosine, sq8_knn, sq8_quantize
+
+    m, _ = _vecs(n=300, dim=32, seed=13)
+    ds, _tbl = _ds(m)
+    queries = m[:10]
+    qids = np.arange(10, dtype=np.int64)
+    exact = knn_cosine(ds, queries, qids, k=5)
+    qds = sq8_quantize(ds)
+    approx = sq8_knn(qds.repartition(6), queries, qids, k=5)
+    e = set(zip(exact.column("query_id").to_pylist(),
+                exact.column("neighbor_id").to_pylist()))
+    a = set(zip(approx.column("query_id").to_pylist(),
+                approx.column("neighbor_id").to_pylist()))
+    assert len(a & e) / len(e) >= 0.9
+    # compression: q column is exactly dim bytes per row
+    one = qds.take(1)[0]
+    assert len(one["q"]) == 32  # int8 per dim; f64 list would be 256 bytes
+    # quantized sims are within the analytic error of true cosines
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for r in approx.to_pylist():
+        true = float(norm[r["query_id"]] @ norm[r["neighbor_id"]])
+        assert abs(r["sim"] - true) < 32 * (1 / 127.0)  # loose bound
