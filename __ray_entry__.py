@@ -479,6 +479,18 @@ def _embedding_dedup(sf_dir: str):
     return similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
 
 
+def _stratified_sample(sf_dir: str):
+    """Balanced per-source document sample: 10 docs per source, chosen
+    deterministically as the smallest md5(doc_id) per group — the
+    training-data 'equal representation per source' sampler."""
+    from crawlray.ops.relational import stratified_sample
+
+    return stratified_sample(
+        _rd(sf_dir, "documents", columns=["doc_id", "source"]),
+        group_col="source", key_col="doc_id", n_per_group=10,
+    )
+
+
 def _ann_sq8(sf_dir: str):
     """SQ8-quantized brute-force kNN (rows-only: approximate by
     quantization error, recall ≥0.9 tested vs exact in
@@ -748,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join": _shuffle_join,
         "anti_join": _anti_join,
         "hash_sample": _hash_sample,
+        "stratified_sample": _stratified_sample,
         "quantiles": _quantiles,
         "grouped_quantiles": _grouped_quantiles,
         "grouped_topk": _grouped_topk,
@@ -841,6 +854,13 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": """
             SELECT doc_id, source FROM documents
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 10
         """,
         "quantiles": """
             SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

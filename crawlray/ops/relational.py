@@ -206,6 +206,41 @@ def hash_sample_fast(
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: n rows per group, chosen as the
+    n smallest md5(key) — a balanced per-source/per-language training-data
+    sample that is a pure function of the data (stable across runs,
+    parallelism and engines; DuckDB expresses it as ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY md5(key), key) <= n). One groupby shuffle;
+    the per-group kernel is the vectorized `grouped_topk` argsort. The md5
+    order is uniform-random-like per key, so each group's sample is
+    unbiased; `key_col` doubles as the tie-break for identical digests.
+    """
+    import hashlib
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        digs = pa.array(
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            for v in batch.column(key_col).to_pylist()
+        )
+        return batch.append_column("_dig", digs)
+
+    withdig = ds.map_batches(_digest, batch_format="pyarrow")
+
+    def _take_n(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("_dig", "ascending"), (key_col, "ascending")]
+        )
+        return group.take(order.slice(0, n_per_group)).drop_columns(["_dig"])
+
+    return withdig.groupby(group_col).map_groups(_take_n, batch_format="pyarrow")
+
+
 def grouped_topk(
     ds: ray.data.Dataset,
     group_cols: list[str],
