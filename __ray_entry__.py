@@ -670,6 +670,25 @@ def _ann_ivf_search(sf_dir: str):
     return out.select(["query_id", "neighbor_id"])
 
 
+def _media_audio(sf_dir: str):
+    """Multimodal audio metadata: binary payload -> actor-pool audio
+    decode. Real WAV (RIFF) header parse when magic bytes match (tested
+    on stdlib-generated WAV bytes in tests/unit/test_media.py); the
+    text-derived payloads here carry no RIFF header, so they take the
+    deterministic stub path, which IS SQL-expressible and checked."""
+    from crawlray.ops.media import AudioDecodeStage, attach_binary_payload
+
+    withbin = attach_binary_payload(_rd(sf_dir, "documents"), "doc_id", "text")
+    out = withbin.map_batches(
+        AudioDecodeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2, num_cpus=0.5,
+    )
+    return _round_cols(
+        out.select_columns(["doc_id", "sample_rate", "channels", "n_frames", "duration_s"]),
+        {"duration_s": 6},
+    )
+
+
 def _media_decode(sf_dir: str):
     """Multimodal plumbing: binary payload column → actor-pool decode
     producing typed metadata. Real PNG/GIF/JPEG header decode when magic
@@ -797,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _cdc_chunks,
         "cdc_dup_pairs": _cdc_dup_pairs,
         "media_decode": _media_decode,
+        "media_audio": _media_audio,
         "media_resize": _media_resize,
         "media_frames": _media_frames,
         "crawl_smoke": _crawl_smoke,
@@ -1019,6 +1039,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "media_audio": """
+            WITH b AS (
+                SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+            )
+            SELECT doc_id,
+                   CAST(8000 + n % 8000 AS INTEGER) AS sample_rate,
+                   CAST(n % 2 + 1 AS INTEGER) AS channels,
+                   CAST(n AS BIGINT) AS n_frames,
+                   ROUND(CAST(n AS DOUBLE) / (8000 + n % 8000), 6) AS duration_s
+            FROM b
         """,
         "media_decode": """
             SELECT doc_id,

@@ -90,6 +90,37 @@ def parse_image_header(payload: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+def parse_audio_header(payload: bytes) -> tuple[int, int, int, str] | None:
+    """REAL pure-stdlib audio-header decode for WAV (RIFF) payloads.
+
+    Returns (sample_rate, channels, n_frames, 'wav') when the payload is a
+    RIFF/WAVE container, else None. Walks the chunk list for 'fmt '
+    (PCM layout at fixed offsets: channels u16 @+2, sample_rate u32 @+4,
+    block_align u16 @+12) and 'data' (n_frames = chunk size / block_align).
+    No codec library needed — these live in fixed header fields.
+    """
+    import struct
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = block_align = None
+    n_frames = None
+    while i + 8 <= n:
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        if tag == b"fmt " and i + 8 + 16 <= n:
+            channels, rate = struct.unpack_from("<HI", payload, i + 10)
+            (block_align,) = struct.unpack_from("<H", payload, i + 20)
+        elif tag == b"data" and block_align:
+            n_frames = size // max(1, block_align)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate and channels:
+        return rate, channels, int(n_frames or 0), "wav"
+    return None
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int]:
     """STUB decode — deterministic fake (width, height, checksum).
 
@@ -156,6 +187,44 @@ def decode_media(
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+class AudioDecodeStage:
+    """Actor-pool audio metadata decode: REAL WAV header parse
+    (`parse_audio_header`) with a deterministic stub for non-audio
+    payloads. Same plumbing contract as MediaDecodeStage: binary column
+    in, typed metadata out, parser bound once per actor."""
+
+    def __init__(self):
+        self.parse_header = parse_audio_header
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, chans, frames, durs, fmts = [], [], [], [], []
+        for payload in batch.column("media_bytes").to_pylist():
+            payload = payload or b""
+            parsed = self.parse_header(payload)
+            if parsed is not None:
+                rate, ch, nf, fmt = parsed
+            else:
+                # stub: deterministic fake metadata from the byte length
+                n = len(payload)
+                rate, ch, nf, fmt = 8000 + n % 8000, n % 2 + 1, n, "raw"
+            rates.append(rate)
+            chans.append(ch)
+            frames.append(nf)
+            durs.append(nf / rate if rate else 0.0)
+            fmts.append(fmt)
+        cols = {n: batch.column(n) for n in batch.column_names if n != "media_bytes"}
+        cols.update(
+            {
+                "sample_rate": pa.array(rates, pa.int32()),
+                "channels": pa.array(chans, pa.int32()),
+                "n_frames": pa.array(frames, pa.int64()),
+                "duration_s": pa.array(np.round(durs, 6), pa.float64()),
+                "format": pa.array(fmts, pa.string()),
+            }
+        )
+        return pa.table(cols)
 
 
 class MediaResizeStage:

@@ -133,3 +133,57 @@ def test_frame_sample_explode():
         (20, 0, 0),
         (30, 0, 0), (30, 2, 2), (30, 4, 4), (30, 6, 6),
     ]
+
+
+def _wav_bytes(rate: int, channels: int, n_frames: int) -> bytes:
+    """REAL WAV bytes via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * n_frames)
+    return buf.getvalue()
+
+
+def test_audio_decode_real_wav_through_actor_pool(ray_session):
+    """Real stdlib-generated WAV bytes through the actor-pool audio stage:
+    sample rate / channels / frame count / duration decoded for real;
+    non-audio payloads take the stub path."""
+    import ray.data
+
+    from crawlray.ops.media import AudioDecodeStage, parse_audio_header
+
+    wav = _wav_bytes(16000, 2, 8000)
+    assert parse_audio_header(wav) == (16000, 2, 8000, "wav")
+    assert parse_audio_header(b"definitely not audio") is None
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00JUNK") is None
+
+    tbl = pa.table(
+        {
+            "doc_id": ["wav1", "wav2", "raw1"],
+            "media_bytes": pa.array(
+                [wav, _wav_bytes(44100, 1, 441), b"plain text"], pa.binary()
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            AudioDecodeStage, batch_format="pyarrow",
+            batch_size=2, concurrency=2, num_cpus=0.5,
+        )
+        .take_all()
+    )
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["wav1"]["sample_rate"] == 16000
+    assert by_id["wav1"]["channels"] == 2
+    assert by_id["wav1"]["n_frames"] == 8000
+    assert abs(by_id["wav1"]["duration_s"] - 0.5) < 1e-9
+    assert by_id["wav1"]["format"] == "wav"
+    assert by_id["wav2"]["sample_rate"] == 44100
+    assert abs(by_id["wav2"]["duration_s"] - 0.01) < 1e-9
+    assert by_id["raw1"]["format"] == "raw"
