@@ -12,6 +12,7 @@ import datetime as dt
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 
@@ -166,6 +167,29 @@ def test_salted_session_windows_numeric_seconds(ray_session):
     got = _rows_sorted(
         salted_session_windows(
             ds, "k", "ts", 10.0, hot_keys=["hot"], bucket_seconds=200.0
+        ),
+        cols,
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,bucket", [(11, 37.0), (23, 61.0), (47, 500.0)])
+def test_salted_session_windows_randomized(ray_session, seed, bucket):
+    """Randomized corpora × awkward bucket sizes (buckets far smaller than
+    and comparable to typical session spans): salted == unsalted always."""
+    from crawlray.ops.relational import salted_session_windows, session_windows
+
+    rng = np.random.default_rng(seed)
+    n = 800
+    keys = rng.choice(["hot", "hot", "hot", "a", "b"], size=n).tolist()
+    ts = np.cumsum(rng.exponential(20.0, size=n))
+    tbl = pa.table({"k": keys, "ts": ts})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    cols = ["k", "session_id", "n_events", "t_start", "t_end"]
+    want = _rows_sorted(session_windows(ds, "k", "ts", 25.0), cols)
+    got = _rows_sorted(
+        salted_session_windows(
+            ds, "k", "ts", 25.0, hot_keys=["hot"], bucket_seconds=bucket
         ),
         cols,
     )
