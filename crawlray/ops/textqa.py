@@ -46,6 +46,39 @@ def explode_tokens(
     return ds.map_batches(_explode, batch_format="pyarrow")
 
 
+# GPT-2-style pretokenizer pattern, RE2-compatible (no lookahead — RE2
+# rejects GPT-2's `\s+(?!\S)` tail, so trailing-space handling differs
+# from tiktoken; counts are still a faithful BPE-ish proxy): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# then bare whitespace runs.
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """BPE-ish token counts (task brief: 'whitespace + a BPE-ish regex').
+
+    One vectorized `pc.count_substring_regex` per batch — Arrow's RE2
+    engine, the SAME engine DuckDB's regexp_extract_all uses, so the SQL
+    oracle reproduces the counts exactly. The regex is compiled once
+    inside Arrow; no Python row loop.
+    """
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            batch.column(text_col), pattern=BPE_TOKEN_PATTERN
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow")
+
+
 def doc_stats(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -249,3 +249,38 @@ def test_hopping_window_agg_rejects_bad_params(ray_session):
 
     with pytest.raises(ValueError):
         hopping_window_agg(ds, "ts", "value", 350, 100)  # w % h != 0
+
+
+def test_bpe_token_count_adversarial_vs_duckdb(ray_session):
+    """Exercise every branch of the BPE-ish pattern (contractions, digit
+    runs, punctuation runs, multi-space) and require exact agreement
+    between Arrow's RE2 count and DuckDB's regexp_extract_all."""
+    import duckdb
+    import ray.data
+
+    from crawlray.ops.textqa import BPE_TOKEN_PATTERN, bpe_token_count
+
+    cases = [
+        "it's we'll they've you're don't",
+        "abc 123 42x7",
+        "hello, world!!! (parens) [brackets]",
+        "  leading  and   multiple    spaces ",
+        "MiXeD CaSe And CamelCase",
+        "",
+        "...",
+        "a'b'c",
+    ]
+    tbl = pa.table({"doc_id": list(range(len(cases))), "text": cases})
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(ray.data.from_arrow(tbl).repartition(3)).take_all()
+    }
+    con = duckdb.connect()
+    sql_pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    for i, t in enumerate(cases):
+        (want,) = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{sql_pat}'))", [t]
+        ).fetchone()
+        assert got[i] == want, (i, t, got[i], want)
+    # sanity: contractions count as separate tokens
+    assert got[0] > 5
