@@ -208,6 +208,45 @@ def _shuffle_join(sf_dir: str):
     )
 
 
+def _left_outer_join(sf_dir: str):
+    """O-27 join-type coverage: LEFT OUTER shuffle join — every customer
+    row survives; customers with no completed ('F') orders get null order
+    columns (71 of them at sf0.01 — the anti_join population), coalesced
+    to sentinels identically on both engine and oracle so the value-hash
+    is null-stable."""
+    from crawlray.ops.relational import shuffle_join
+
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    f_orders = (
+        _rd(
+            sf_dir, "orders",
+            columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"],
+        )
+        .filter(expr="o_orderstatus == 'F'")
+        .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
+    )
+    out = shuffle_join(
+        cust, f_orders, on=["c_custkey"], right_on=["o_custkey"],
+        join_type="left_outer",
+    )
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "o_orderkey": pc.fill_null(
+                    pc.cast(batch.column("o_orderkey"), pa.int64()), -1
+                ),
+                "o_totalprice": pc.fill_null(
+                    pc.cast(batch.column("o_totalprice"), pa.float64()), -1.0
+                ),
+            }
+        )
+
+    return out.map_batches(_fill, batch_format="pyarrow")
+
+
 def _anti_join(sf_dir: str):
     """O-26 kernel: anti join — customers with no completed ('F') orders."""
     from crawlray.ops.relational import broadcast_semi_anti
@@ -787,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": _hash_join,
         "join_agg": _join_agg,
         "shuffle_join": _shuffle_join,
+        "left_outer_join": _left_outer_join,
         "anti_join": _anti_join,
         "hash_sample": _hash_sample,
         "stratified_sample": _stratified_sample,
@@ -876,6 +916,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.l_orderkey, l.l_quantity, l.l_extendedprice,
                    o.o_orderstatus, o.o_totalprice
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "left_outer_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o.o_totalprice, -1.0) AS o_totalprice
+            FROM customer c
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+              ON c.c_custkey = o.o_custkey
         """,
         "anti_join": """
             SELECT * FROM customer
