@@ -1,0 +1,87 @@
+"""PageRank parity vs a dense numpy reference (crawl-priority analytics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _numpy_pagerank(n, edge_list, n_iters, d):
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s, _ in edge_list:
+        outdeg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        dang = r[outdeg == 0].sum()
+        in_sum = np.zeros(n)
+        for s, t in edge_list:
+            in_sum[t] += r[s] / outdeg[s]
+        r = (1 - d) / n + d * (in_sum + dang / n)
+    return r
+
+
+def _random_graph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, size=m)
+    dst = rng.integers(0, n, size=m)
+    keep = src != dst
+    pairs = sorted(set(zip(src[keep].tolist(), dst[keep].tolist())))
+    return pairs
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    from crawlray.ops.graph import pagerank
+
+    n, d, iters = 120, 0.85, 8
+    edge_list = _random_graph(n, 600, seed=5)
+    # ensure some dangling nodes exist (strip all out-edges of nodes 0-4)
+    edge_list = [(s, t) for (s, t) in edge_list if s >= 5]
+    want = _numpy_pagerank(n, edge_list, iters, d)
+
+    edges = pa.table(
+        {
+            "src": pa.array([s for s, _ in edge_list], pa.int64()),
+            "dst": pa.array([t for _, t in edge_list], pa.int64()),
+        }
+    )
+    # the distributed node set only contains nodes that appear in SOME
+    # edge — mirror that in the reference comparison
+    present = sorted({x for e in edge_list for x in e})
+    out = pagerank(
+        ray.data.from_arrow(edges).repartition(5), n_iters=iters, damping=d
+    ).take_all()
+    got = {r["node"]: r["rank"] for r in out}
+    assert set(got) == set(present)
+
+    # re-run the dense reference restricted to the present node set
+    idx = {node: i for i, node in enumerate(present)}
+    el = [(idx[s], idx[t]) for s, t in edge_list]
+    want = _numpy_pagerank(len(present), el, iters, d)
+    for node in present:
+        assert abs(got[node] - want[idx[node]]) < 1e-9, node
+    # ranks are a probability distribution over the present nodes
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_parallelism_invariant(ray_session):
+    from crawlray.ops.graph import pagerank
+
+    edge_list = _random_graph(60, 240, seed=9)
+    edges = pa.table(
+        {
+            "src": pa.array([s for s, _ in edge_list], pa.int64()),
+            "dst": pa.array([t for _, t in edge_list], pa.int64()),
+        }
+    )
+    a = sorted(
+        (r["node"], round(r["rank"], 12))
+        for r in pagerank(ray.data.from_arrow(edges), n_iters=5).take_all()
+    )
+    b = sorted(
+        (r["node"], round(r["rank"], 12))
+        for r in pagerank(
+            ray.data.from_arrow(edges).repartition(11), n_iters=5
+        ).take_all()
+    )
+    assert a == b
