@@ -247,6 +247,30 @@ def _left_outer_join(sf_dir: str):
     return out.map_batches(_fill, batch_format="pyarrow")
 
 
+def _pagerank(sf_dir: str):
+    """Distributed PageRank (4 iterations, d=0.85) over a deterministic
+    graph derived from lineitem (src = l_partkey % 211, dst =
+    l_suppkey % 211, distinct, no self-loops). Every node's rank is
+    returned (no top-k boundary), rounded to 8 decimals on both sides —
+    the oracle unrolls the same iterations as chained CTEs."""
+    from crawlray.ops.graph import pagerank
+
+    li = _rd(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        src = pa.array(pk % 211, pa.int64())
+        dst = pa.array(sk % 211, pa.int64())
+        return pa.table({"src": src, "dst": dst}).filter(pc.not_equal(src, dst))
+
+    edges = li.map_batches(_edges, batch_format="pyarrow").groupby(
+        ["src", "dst"]
+    ).count().select_columns(["src", "dst"])
+    out = pagerank(edges, n_iters=4, damping=0.85)
+    return _round_cols(out, {"rank": 8})
+
+
 def _anti_join(sf_dir: str):
     """O-26 kernel: anti join — customers with no completed ('F') orders."""
     from crawlray.ops.relational import broadcast_semi_anti
@@ -827,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_agg": _join_agg,
         "shuffle_join": _shuffle_join,
         "left_outer_join": _left_outer_join,
+        "pagerank": _pagerank,
         "anti_join": _anti_join,
         "hash_sample": _hash_sample,
         "stratified_sample": _stratified_sample,
@@ -924,6 +949,78 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
               ON c.c_custkey = o.o_custkey
+        """,
+        "pagerank": """
+            WITH e AS (
+                SELECT DISTINCT l_partkey % 211 AS src, l_suppkey % 211 AS dst
+                FROM lineitem WHERE l_partkey % 211 <> l_suppkey % 211
+            ),
+            nodes AS (
+                SELECT DISTINCT node FROM
+                    (SELECT src AS node FROM e UNION SELECT dst FROM e)
+            ),
+            deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+            nd AS (
+                SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg
+                FROM nodes n LEFT JOIN deg d USING (node)
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            r0 AS (
+                SELECT node, outdeg, 1.0 / (SELECT n FROM nn) AS rank FROM nd
+            ),
+            r1 AS (
+                SELECT nd.node, nd.outdeg,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (COALESCE(s.in_sum, 0)
+                                 + (SELECT COALESCE(SUM(rank), 0) FROM r0
+                                    WHERE outdeg = 0) / (SELECT n FROM nn))
+                       AS rank
+                FROM nd
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.rank / p.outdeg) AS in_sum
+                    FROM e JOIN r0 p ON e.src = p.node GROUP BY e.dst
+                ) s USING (node)
+            ),
+            r2 AS (
+                SELECT nd.node, nd.outdeg,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (COALESCE(s.in_sum, 0)
+                                 + (SELECT COALESCE(SUM(rank), 0) FROM r1
+                                    WHERE outdeg = 0) / (SELECT n FROM nn))
+                       AS rank
+                FROM nd
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.rank / p.outdeg) AS in_sum
+                    FROM e JOIN r1 p ON e.src = p.node GROUP BY e.dst
+                ) s USING (node)
+            ),
+            r3 AS (
+                SELECT nd.node, nd.outdeg,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (COALESCE(s.in_sum, 0)
+                                 + (SELECT COALESCE(SUM(rank), 0) FROM r2
+                                    WHERE outdeg = 0) / (SELECT n FROM nn))
+                       AS rank
+                FROM nd
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.rank / p.outdeg) AS in_sum
+                    FROM e JOIN r2 p ON e.src = p.node GROUP BY e.dst
+                ) s USING (node)
+            ),
+            r4 AS (
+                SELECT nd.node, nd.outdeg,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (COALESCE(s.in_sum, 0)
+                                 + (SELECT COALESCE(SUM(rank), 0) FROM r3
+                                    WHERE outdeg = 0) / (SELECT n FROM nn))
+                       AS rank
+                FROM nd
+                LEFT JOIN (
+                    SELECT e.dst AS node, SUM(p.rank / p.outdeg) AS in_sum
+                    FROM e JOIN r3 p ON e.src = p.node GROUP BY e.dst
+                ) s USING (node)
+            )
+            SELECT node, ROUND(rank, 8) AS rank FROM r4
         """,
         "anti_join": """
             SELECT * FROM customer
