@@ -594,6 +594,21 @@ def _clean_corpus(sf_dir: str):
     return clean_corpus_stats(_rd(sf_dir, "documents"))
 
 
+def _dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS (the dedup finale): exact cosine pairs >= 0.45
+    over embeddings -> connected components via distributed min-label
+    propagation -> (node, component = smallest member id). Keeping
+    component representatives is the keep-one-per-cluster dedup step every
+    pair emitter feeds. Oracle: DuckDB recursive transitive closure."""
+    import ray.data as _rdm
+
+    from crawlray.ops.graph import connected_components
+    from crawlray.ops.knn import similar_pairs_cosine
+
+    pairs = similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
+    return connected_components(_rdm.from_arrow(pairs))
+
+
 def _embedding_srp_dedup(sf_dir: str):
     """Embedding near-dup pairs via signed-random-projection LSH — the
     sub-quadratic scale path (O(n·bits·dim) + candidate volume, vs the
@@ -875,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _knn_cosine,
         "embedding_dedup": _embedding_dedup,
         "embedding_srp_dedup": _embedding_srp_dedup,
+        "dedup_clusters": _dedup_clusters,
         "clean_corpus": _clean_corpus,
         "bpe_token_count": _bpe_token_count,
         "ann_sq8": _ann_sq8,
@@ -1196,6 +1212,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs,
                    SUM(n_tokens) AS total_tokens
             FROM d GROUP BY source
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM p
+                UNION
+                SELECT r.u, p.v FROM reach r JOIN p ON r.v = p.u
+            )
+            SELECT u AS node, LEAST(u, MIN(v)) AS component
+            FROM reach GROUP BY u
         """,
         "embedding_srp_dedup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

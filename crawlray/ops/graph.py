@@ -128,3 +128,76 @@ def pagerank(
         ranks = merged.map_batches(_apply, batch_format="pyarrow").materialize()
 
     return ranks.select_columns(["node", "rank"])
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Connected components over an undirected pair Dataset → (node,
+    component) where component = the smallest node id in the component.
+
+    THE standard finale of corpus near-dup dedup: pair emitters
+    (minhash/simhash/cosine/SRP) give EDGES; keeping one document per
+    duplicate CLUSTER needs the transitive closure. Min-label propagation:
+    every node starts labeled with itself; each round, labels flow across
+    edges (one shuffle join + one groupby-min) and a node takes the min of
+    its own and its neighbors' labels. Converges in O(component diameter)
+    rounds — near-dup clusters are shallow (diameter ≤ ~bands), so a few
+    rounds suffice; convergence is detected with a single O(1) changed-count
+    aggregate per round, nothing node-proportional on the driver.
+    """
+    from ray.data.aggregate import Min, Sum
+    from crawlray.ops.relational import shuffle_join
+
+    # undirected: propagate both ways
+    fwd = pairs.select_columns([a_col, b_col]).rename_columns(["u", "v"])
+    rev = pairs.select_columns([b_col, a_col]).rename_columns(["u", "v"])
+    edges = fwd.union(rev).materialize()
+
+    labels = (
+        edges.select_columns(["u"])
+        .groupby("u")
+        .count()
+        .select_columns(["u"])
+        .map_batches(
+            lambda b: pa.table({"node": b.column("u"), "label": b.column("u")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # neighbor labels: edge (u,v) carries label(u) to v
+        carried = shuffle_join(
+            edges, labels, on=["u"], right_on=["node"]
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("v"), "nl": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        neigh_min = carried.groupby("node").aggregate(Min("nl", alias_name="nl"))
+        merged = shuffle_join(labels, neigh_min, on=["node"], join_type="left_outer")
+
+        def _take_min(batch: pa.Table) -> pa.Table:
+            nl = pc.fill_null(batch.column("nl"), pc.max(batch.column("label")))
+            new = pc.min_element_wise(batch.column("label"), nl)
+            changed = pc.cast(
+                pc.not_equal(new, batch.column("label")), pa.int64()
+            )
+            return pa.table(
+                {"node": batch.column("node"), "label": new, "chg": changed}
+            )
+
+        labels = merged.map_batches(_take_min, batch_format="pyarrow").materialize()
+        from crawlray.ops.relational import single_row_agg
+
+        n_changed = single_row_agg(labels, [Sum("chg", alias_name="c")]).column(
+            "c"
+        )[0].as_py() or 0
+        labels = labels.select_columns(["node", "label"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels.rename_columns({"label": "component"})

@@ -85,3 +85,47 @@ def test_pagerank_parallelism_invariant(ray_session):
         ).take_all()
     )
     assert a == b
+
+
+def test_connected_components_vs_union_find(ray_session):
+    from crawlray.ops.graph import connected_components
+
+    rng = np.random.default_rng(17)
+    # several chains + a star + isolated pairs: mixed diameters
+    pairs = (
+        [(i, i + 1) for i in range(0, 10)]          # chain 0..10
+        + [(100, x) for x in range(101, 108)]        # star at 100
+        + [(200, 201), (300, 301)]                   # pairs
+        + [(400 + i, 400 + rng.integers(0, 20)) for i in range(20)]
+    )
+    pairs = [(int(a), int(b)) for a, b in pairs if a != b]
+
+    # reference union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    tbl = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    out = connected_components(
+        ray.data.from_arrow(tbl).repartition(4)
+    ).take_all()
+    got = {r["node"]: r["component"] for r in out}
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == want[node], (node, got[node], want[node])
