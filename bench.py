@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "knn_cosine",
     "embedding_dedup",
+    "pagerank",
+    "dedup_clusters",
 ]
 
 # bench-tier synthetic web (BASELINE.md: ≥2×10⁵ URLs, zipf host skew).
