@@ -340,6 +340,55 @@ def _session_windows(sf_dir: str):
     )
 
 
+def _asof_join(sf_dir: str):
+    """Custom temporal operator Ray Data lacks (task brief): distributed
+    as-of join — each non-purchase event picks up the latest at-or-before
+    purchase by the same user. One groupby(user) shuffle; vectorized
+    searchsorted kernel per group."""
+    from crawlray.ops.temporal import asof_join
+
+    ev = _rd(sf_dir, "events")
+    left = ev.filter(expr="event_type != 'purchase'")
+    right = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "event_id", "value"]
+    )
+    return asof_join(
+        left, right, on="ts", by="user_id",
+        right_payload=["ts", "event_id", "value"], join_type="inner",
+    )
+
+
+def _range_join(sf_dir: str):
+    """Custom temporal operator Ray Data lacks (task brief): interval join
+    with NO equi-key — events falling inside 30-minute windows anchored at
+    every 97th event. Right intervals replicate to overlapping time
+    buckets; left rows land in exactly one bucket, so the bucket equi-join
+    emits each qualifying pair exactly once."""
+    from crawlray.ops.temporal import range_join
+
+    ev = _rd(sf_dir, "events")
+
+    def _anchors(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id")
+        keep = pc.equal(
+            pc.subtract(eid, pc.multiply(pc.divide(eid, 97), 97)), 0
+        )
+        b = batch.filter(keep)
+        we = pc.add(
+            b.column("ts"), pa.scalar(1800_000_000, pa.duration("us"))
+        ).cast(pa.timestamp("us"))
+        return pa.table(
+            {"win_id": b.column("event_id"), "ws": b.column("ts"), "we": we}
+        )
+
+    windows = ev.map_batches(_anchors, batch_format="pyarrow")
+    return range_join(
+        ev.select_columns(["event_id", "ts", "user_id"]), windows,
+        left_ts="ts", right_start="ws", right_end="we",
+        bucket_width=1800_000_000,
+    )
+
+
 def _hash_sample(sf_dir: str):
     """O-36, deterministic variant: content-keyed ~9.8% sample (25 of 256
     md5-prefix buckets) — reproducible across runs/parallelism/engines,
@@ -458,6 +507,29 @@ def _flatten_tokens(sf_dir: str):
     from crawlray.ops.textqa import explode_tokens
 
     return explode_tokens(_rd(sf_dir, "documents"))
+
+
+def _heavy_hitters(sf_dir: str):
+    """Misra-Gries frequent-items sketch over events.user_id. With
+    k=4096 >= the distinct-user count at driver scales the summary is
+    provably exact (zero decrements), so the SQL oracle is a plain GROUP
+    BY; the approximate regime (k << distinct) is covered by the
+    guarantee tests in tests/unit/test_sketch.py."""
+    from crawlray.ops.sketch import frequent_items
+
+    tbl, under = frequent_items(
+        _rd(sf_dir, "events", columns=["user_id"]), "user_id", k=4096
+    )
+    assert under == 0
+    return tbl
+
+
+def _tfidf(sf_dir: str):
+    """TF-IDF per (doc, term): token explode → tf groupby → df groupby →
+    term-keyed shuffle join; vocabulary never broadcast or driver-held."""
+    from crawlray.ops.textqa import tfidf
+
+    return tfidf(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _doc_stats(sf_dir: str):
@@ -868,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join": _left_outer_join,
         "pagerank": _pagerank,
         "anti_join": _anti_join,
+        "asof_join": _asof_join,
+        "range_join": _range_join,
         "hash_sample": _hash_sample,
         "stratified_sample": _stratified_sample,
         "quantiles": _quantiles,
@@ -883,6 +957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _hopping_window,
         "json_props": _json_props,
         "flatten_tokens": _flatten_tokens,
+        "tfidf": _tfidf,
+        "heavy_hitters": _heavy_hitters,
         "doc_stats": _doc_stats,
         "token_count_by_source": _token_count_by_source,
         "doc_fingerprint": _doc_fingerprint,
@@ -1043,6 +1119,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN
                   (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         """,
+        "asof_join": """
+            SELECT l.*, r.ts AS ts_r, r.event_id AS event_id_r,
+                   r.value AS value_r
+            FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+            ASOF JOIN (SELECT user_id, ts, event_id, value FROM events
+                       WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT e.event_id, e.ts, e.user_id, w.win_id, w.ws, w.we
+            FROM events e
+            JOIN (SELECT event_id AS win_id, ts AS ws,
+                         ts + INTERVAL 30 MINUTE AS we
+                  FROM events WHERE event_id % 97 = 0) w
+              ON e.ts BETWEEN w.ws AND w.we
+        """,
         "hash_sample": """
             SELECT doc_id, source FROM documents
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
@@ -1158,6 +1250,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "flatten_tokens": """
             SELECT doc_id, UNNEST(str_split(text, ' ')) AS token FROM documents
+        """,
+        "heavy_hitters": """
+            SELECT user_id AS item, COUNT(*) AS est_count
+            FROM events GROUP BY user_id
+        """,
+        "tfidf": """
+            WITH toks AS (
+                SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   ROUND(tf.tf * LN(CAST((SELECT COUNT(*) FROM documents)
+                                         AS DOUBLE)
+                                    / CAST(df.df AS DOUBLE)), 6) AS tfidf
+            FROM tf JOIN df USING (token)
         """,
         "doc_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars2,

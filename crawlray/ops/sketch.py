@@ -109,3 +109,114 @@ def approx_distinct(
     for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
         merged.merge(HLL(p, np.frombuffer(row["registers"], dtype=np.uint8).copy()))
     return merged.estimate()
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries frequent items (heavy hitters)
+
+
+class MGSummary:
+    """A Misra-Gries k-counter summary: at most k (item, count) pairs plus
+    the total decrement applied so far. Mergeable (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): merge = add counts, then decrement all
+    by the (k+1)-largest and drop non-positive. Guarantee after any merge
+    tree: true_count - decremented <= est <= true_count, with
+    decremented <= n_total / (k + 1)."""
+
+    __slots__ = ("k", "counts", "decremented", "n_total")
+
+    def __init__(self, k: int):
+        self.k = k
+        self.counts: dict = {}
+        self.decremented = 0
+        self.n_total = 0
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        # (k+1)-th largest value = smallest survivor's floor
+        cut = int(np.partition(vals, len(vals) - self.k - 1)[
+            len(vals) - self.k - 1
+        ])
+        self.decremented += cut
+        self.counts = {
+            it: c - cut for it, c in self.counts.items() if c > cut
+        }
+
+    def add_counts(self, items: list, counts: np.ndarray) -> None:
+        self.n_total += int(counts.sum())
+        for it, c in zip(items, counts.tolist()):
+            self.counts[it] = self.counts.get(it, 0) + c
+        self._shrink()
+
+    def merge(self, other: "MGSummary") -> "MGSummary":
+        out = MGSummary(min(self.k, other.k))
+        out.counts = dict(self.counts)
+        for it, c in other.counts.items():
+            out.counts[it] = out.counts.get(it, 0) + c
+        out.decremented = self.decremented + other.decremented
+        out.n_total = self.n_total + other.n_total
+        out._shrink()
+        return out
+
+
+def frequent_items(
+    ds: ray.data.Dataset, col: str, k: int = 64
+) -> tuple[pa.Table, int]:
+    """Approximate heavy hitters over a column (Misra-Gries): every item
+    with frequency > n/(k+1) is guaranteed present, and every estimated
+    count undershoots the true count by at most the returned
+    `max_undercount` (= the summed decrements, itself <= n/(k+1)).
+
+    Distributed shape: each block computes an EXACT vectorized
+    value_counts (Arrow C kernel) and folds it into ONE summary row of at
+    most k (item, count) pairs (list columns) — only summaries travel, so
+    the driver merge is O(#blocks * k), never rows. Same
+    map-side-combine + tiny-merge pattern as the HLL above; MG summaries
+    are mergeable (Agarwal et al., "Mergeable Summaries", PODS'12), so
+    block order and task retries cannot break the guarantee.
+
+    Returns (table with columns [item, est_count] sorted by est_count
+    desc then item asc, max_undercount).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column(col).combine_chunks().value_counts()
+        items = vc.field("values")
+        counts = vc.field("counts").to_numpy().astype(np.int64)
+        s = MGSummary(k)
+        s.add_counts(items.to_pylist(), counts)
+        its = list(s.counts.keys())
+        return pa.table(
+            {
+                "items": pa.array([its], type=pa.list_(items.type)),
+                "cnts": pa.array(
+                    [[s.counts[i] for i in its]], type=pa.list_(pa.int64())
+                ),
+                "dec": pa.array([s.decremented], pa.int64()),
+                "n": pa.array([s.n_total], pa.int64()),
+            }
+        )
+
+    total = MGSummary(k)
+    for row in ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        part = MGSummary(k)
+        part.counts = dict(zip(row["items"], row["cnts"]))
+        part.decremented = row["dec"]
+        part.n_total = row["n"]
+        total = total.merge(part)
+    its = sorted(total.counts, key=lambda i: (-total.counts[i], i))
+    tbl = pa.table(
+        {
+            "item": pa.array(its),
+            "est_count": pa.array(
+                [total.counts[i] for i in its], pa.int64()
+            ),
+        }
+    )
+    return tbl, total.decremented

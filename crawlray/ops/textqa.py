@@ -179,6 +179,53 @@ def lang_id(
     return ds.map_batches(_lid, batch_format="pyarrow")
 
 
+def tfidf(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """TF-IDF scores per (document, term): tf × ln(N / df).
+
+    Distributed shape (no driver rows, vocabulary never broadcast — its
+    heavy tail can be huge at corpus scale):
+      1. token explode (vectorized split, one row per occurrence);
+      2. groupby(doc, term) count → tf   (Ray's partial+final tree agg);
+      3. groupby(term) count over tf → df (document frequency);
+      4. tf ⋈ df on term via the hash-shuffle join — both sides already
+         keyed by term, and df's skew is bounded because it is one row per
+         distinct term.
+    N (corpus size) is the only driver-side scalar (Dataset.count() reads
+    metadata). Scores are rounded to `ndigits` so distributed float jitter
+    can't flip an external oracle's value hash.
+    """
+    from ray.data.aggregate import Count
+
+    from crawlray.ops.relational import shuffle_join
+
+    n_docs = ds.count()
+    toks = explode_tokens(ds, id_col, text_col)
+    tf = toks.groupby([id_col, "token"]).aggregate(Count(alias_name="tf"))
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = shuffle_join(tf, df, on=["token"])
+
+    def _score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").combine_chunks().to_numpy().astype(np.float64)
+        dfv = batch.column("df").combine_chunks().to_numpy().astype(np.float64)
+        score = tfv * np.log(float(n_docs) / dfv)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "token": batch.column("token"),
+                "tf": batch.column("tf"),
+                "df": batch.column("df"),
+                "tfidf": pa.array(np.round(score, ndigits)),
+            }
+        )
+
+    return joined.map_batches(_score, batch_format="pyarrow")
+
+
 def parse_json_field(
     ds: ray.data.Dataset, json_col: str, field: str, out_col: str
 ) -> ray.data.Dataset:

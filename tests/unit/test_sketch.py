@@ -42,3 +42,50 @@ def test_approx_distinct_dataset(ray_session):
     for col in ("k_int", "k_str"):
         est = approx_distinct(ds, col)
         assert abs(est - n) / n < 0.05, (col, est)
+
+
+# ---------------------------------------------------------------- MG sketch
+
+
+def test_frequent_items_exact_when_k_large(ray_session):
+    import collections
+
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.sketch import frequent_items
+
+    rng = np.random.RandomState(3)
+    vals = [f"u{int(v)}" for v in rng.zipf(1.7, 5000) % 40]
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(7)
+    tbl, under = frequent_items(ds, "v", k=1000)
+    got = dict(zip(tbl["item"].to_pylist(), tbl["est_count"].to_pylist()))
+    assert under == 0
+    assert got == dict(collections.Counter(vals))
+
+
+def test_frequent_items_guarantee(ray_session):
+    import collections
+
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.sketch import frequent_items
+
+    rng = np.random.RandomState(11)
+    vals = [f"u{int(v)}" for v in rng.zipf(1.3, 20000) % 500]
+    true = collections.Counter(vals)
+    n = len(vals)
+    k = 16
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(13)
+    tbl, under = frequent_items(ds, "v", k=k)
+    assert tbl.num_rows <= k
+    assert under <= n // (k + 1)
+    got = dict(zip(tbl["item"].to_pylist(), tbl["est_count"].to_pylist()))
+    for it, est in got.items():
+        assert est <= true[it]            # never overcounts
+        assert true[it] - est <= under    # bounded undercount
+    # every item above the n/(k+1) threshold must be present
+    for it, c in true.items():
+        if c > n // (k + 1) + under:
+            assert it in got, f"heavy hitter {it} ({c}) missing"
