@@ -129,3 +129,78 @@ def test_connected_components_vs_union_find(ray_session):
     assert set(got) == set(want)
     for node in want:
         assert got[node] == want[node], (node, got[node], want[node])
+
+
+def test_pagerank_shuffle_and_broadcast_paths_agree(ray_session):
+    """The small-node broadcast path and the shuffle path are the same
+    operator — force each via the threshold and compare to 1e-9."""
+    from crawlray.ops.graph import pagerank
+
+    edge_list = _random_graph(60, 300, seed=9)
+    edges = pa.table(
+        {
+            "src": pa.array([s for s, _ in edge_list], pa.int64()),
+            "dst": pa.array([t for _, t in edge_list], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(edges).repartition(4)
+    via_bcast = {
+        r["node"]: r["rank"]
+        for r in pagerank(ds, n_iters=4, broadcast_threshold_nodes=10**6)
+        .take_all()
+    }
+    via_shuffle = {
+        r["node"]: r["rank"]
+        for r in pagerank(ds, n_iters=4, broadcast_threshold_nodes=0)
+        .take_all()
+    }
+    assert set(via_bcast) == set(via_shuffle)
+    for k in via_bcast:
+        assert abs(via_bcast[k] - via_shuffle[k]) < 1e-9
+
+
+def test_connected_components_paths_agree(ray_session):
+    from crawlray.ops.graph import connected_components
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 200, size=150)
+    b = rng.integers(0, 200, size=150)
+    keep = a != b
+    pairs = pa.table(
+        {
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(pairs).repartition(3)
+    via_bcast = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            ds, broadcast_threshold_nodes=10**6
+        ).take_all()
+    }
+    via_shuffle = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            ds, broadcast_threshold_nodes=0
+        ).take_all()
+    }
+    assert via_bcast == via_shuffle
+
+
+def test_connected_components_string_nodes_broadcast(ray_session):
+    """Broadcast path propagates POSITIONS, so min-label semantics must
+    hold for non-numeric node ids too."""
+    from crawlray.ops.graph import connected_components
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array(["d", "b", "x"]),
+            "id_b": pa.array(["b", "a", "y"]),
+        }
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(ray.data.from_arrow(pairs)).take_all()
+    }
+    assert got == {"a": "a", "b": "a", "d": "a", "x": "x", "y": "x"}
