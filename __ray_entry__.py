@@ -340,6 +340,58 @@ def _session_windows(sf_dir: str):
     )
 
 
+def _window_functions(sf_dir: str):
+    """SQL window functions (LAG / LEAD / running SUM over a partition):
+    one groupby(user) shuffle, vectorized per-group kernel."""
+    from crawlray.ops.relational import window_shift_cum
+
+    out = window_shift_cum(
+        _rd(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"]),
+        key="user_id", order_cols=["ts", "event_id"], value_col="value",
+    )
+    return _round_cols(
+        out, {"lag_value": 6, "lead_value": 6, "running_sum": 6}
+    )
+
+
+def _rollup(sf_dir: str):
+    """GROUP BY ROLLUP over lineitem flags: per-level aggregates + grand
+    total, rolled-up keys carrying the '(all)' sentinel."""
+    from crawlray.ops.relational import rollup_agg
+
+    out = rollup_agg(
+        _rd(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus",
+                                         "l_quantity"]),
+        keys=["l_returnflag", "l_linestatus"], value_col="l_quantity",
+    )
+    return _round_cols(out, {"sum_v": 2})
+
+
+def _bloom_semi_join(sf_dir: str):
+    """EXACT semi join via a Bloom pre-filter (no false negatives) +
+    shuffle verification of the candidates only."""
+    from crawlray.ops.relational import bloom_semi_join
+
+    return bloom_semi_join(
+        _rd(sf_dir, "customer"),
+        _rd(sf_dir, "orders", columns=["o_custkey"]).rename_columns(
+            ["c_custkey"]
+        ),
+        key="c_custkey",
+    )
+
+
+def _weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis-Spirakis): 100 orders,
+    inclusion probability ∝ o_totalprice, pure function of the data."""
+    from crawlray.ops.relational import weighted_sample
+
+    return weighted_sample(
+        _rd(sf_dir, "orders"), key_col="o_orderkey",
+        weight_col="o_totalprice", k=100,
+    )
+
+
 def _asof_join(sf_dir: str):
     """Custom temporal operator Ray Data lacks (task brief): distributed
     as-of join — each non-purchase event picks up the latest at-or-before
@@ -942,6 +994,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _anti_join,
         "asof_join": _asof_join,
         "range_join": _range_join,
+        "window_functions": _window_functions,
+        "rollup": _rollup,
+        "bloom_semi_join": _bloom_semi_join,
+        "weighted_sample": _weighted_sample,
         "hash_sample": _hash_sample,
         "stratified_sample": _stratified_sample,
         "quantiles": _quantiles,
@@ -1118,6 +1174,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM customer
             WHERE c_custkey NOT IN
                   (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "window_functions": """
+            SELECT user_id, event_id, ts, value,
+                   ROUND(LAG(value) OVER w, 6) AS lag_value,
+                   ROUND(LEAD(value) OVER w, 6) AS lead_value,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rollup": """
+            SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+                   COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                   COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_v
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "bloom_semi_join": """
+            SELECT * FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "weighted_sample": """
+            SELECT * FROM orders
+            ORDER BY POW((('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)),
+                                          1, 8))::BIGINT + 1)
+                         / 4294967297.0,
+                         1.0 / o_totalprice) DESC,
+                     o_orderkey ASC
+            LIMIT 100
         """,
         "asof_join": """
             SELECT l.*, r.ts AS ts_r, r.event_id AS event_id_r,

@@ -694,3 +694,252 @@ def single_row_agg(ds: ray.data.Dataset, aggs) -> pa.Table:
     """
     out = ds.aggregate(*aggs)
     return pa.Table.from_pylist([out])
+
+
+def window_shift_cum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+) -> ray.data.Dataset:
+    """SQL window functions over a partition: LAG(value), LEAD(value) and
+    the running SUM(value) (ROWS UNBOUNDED PRECEDING), all ordered by
+    `order_cols` within each `key` group.
+
+    One groupby shuffle co-locates each partition; the per-group kernel is
+    one vectorized Arrow sort + numpy shifted views + cumsum — group sizes
+    bound the memory, never the dataset. Pass a unique tie-break column
+    last in `order_cols` so the frame order (and therefore LAG/LEAD and
+    the running sum) is deterministic, exactly as the equivalent OVER
+    clause requires.
+    """
+    import numpy as np
+
+    def _kernel(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in order_cols]
+        )
+        g = group.take(idx)
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n = len(v)
+        lag = np.concatenate(([0.0], v[:-1]))
+        lead = np.concatenate((v[1:], [0.0]))
+        lag_mask = np.zeros(n, bool)
+        lead_mask = np.zeros(n, bool)
+        if n:
+            lag_mask[0] = True
+            lead_mask[-1] = True
+        return pa.table(
+            {
+                **{c: g.column(c) for c in g.column_names},
+                "lag_value": pa.array(lag, mask=lag_mask),
+                "lead_value": pa.array(lead, mask=lead_mask),
+                "running_sum": pa.array(np.cumsum(v)),
+            }
+        )
+
+    return ds.groupby(key).map_groups(_kernel, batch_format="pyarrow")
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    all_label: str = "(all)",
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): count + sum at every key-prefix level, from
+    the full key down to the grand total. Rolled-up key columns carry
+    `all_label` (a sentinel instead of SQL's NULL so downstream
+    value-hash comparisons are unambiguous; the oracle COALESCEs its
+    NULLs to the same label).
+
+    One groupby shuffle per level (levels = len(keys)+1, each with Ray's
+    map-side partial aggregation) + a union — no driver rows except the
+    grand-total scalar."""
+    from ray.data.aggregate import Count, Sum
+
+    out = None
+    for i in range(len(keys), 0, -1):
+        sub = keys[:i]
+        level = ds.groupby(sub).aggregate(
+            Count(alias_name="n"), Sum(value_col, alias_name="sum_v")
+        )
+        pad = keys[i:]
+
+        def _pad(batch: pa.Table, _pad_cols=tuple(pad)) -> pa.Table:
+            cols = {}
+            for c in keys:
+                if c in _pad_cols:
+                    cols[c] = pa.array([all_label] * batch.num_rows)
+                else:
+                    cols[c] = batch.column(c)
+            cols["n"] = batch.column("n")
+            cols["sum_v"] = batch.column("sum_v")
+            return pa.table(cols)
+
+        level = level.map_batches(_pad, batch_format="pyarrow")
+        out = level if out is None else out.union(level)
+    total = single_row_agg(
+        ds, [Count(alias_name="n"), Sum(value_col, alias_name="sum_v")]
+    )
+    grand = pa.table(
+        {
+            **{c: pa.array([all_label]) for c in keys},
+            "n": total.column("n"),
+            "sum_v": total.column("sum_v"),
+        }
+    )
+    return out.union(ray.data.from_arrow(grand))
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    anti: bool = False,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+) -> ray.data.Dataset:
+    """EXACT semi/anti join with a Bloom-filter pre-filter — the at-scale
+    middle ground between `broadcast_semi_anti` (needs the exact right key
+    SET in one heap) and a full shuffle join (moves every left row).
+
+    Build: one streaming pass over the right side emits a per-block Bloom
+    bitmap partial (num_bits/8 bytes, OR-mergeable like the HLL
+    registers); the driver ORs them and `ray.put`s the final filter once.
+    Probe: every left batch tests membership with vectorized double
+    hashing (murmur3_128 hi/lo words) — no false negatives, FP rate
+    ~(1-e^(-kn/m))^k. Exactness rescue: Bloom candidates (tiny vs left
+    when selectivity is low) are verified with a hash-shuffle join against
+    the distinct right keys, so the result is EXACT; for anti joins the
+    Bloom-rejected rows pass immediately (no false negatives ⇒ definitely
+    unmatched) and only candidates are double-checked.
+    """
+    import numpy as np
+
+    from crawlray.murmur3 import murmur3_x64_128_batch
+
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    nb = np.uint64(num_bits)
+
+    def _key_hashes(col) -> tuple:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        lo, hi = murmur3_x64_128_batch(col)
+        return lo, hi | np.uint64(1)  # odd step for double hashing
+
+    def _build_partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(num_bits // 64, np.uint64)
+        lo, step = _key_hashes(batch.column(key))
+        for i in range(num_hashes):
+            pos = (lo + np.uint64(i) * step) % nb
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pa.table(
+            {"bits": pa.array([bits.tobytes()], pa.binary())}
+        )
+
+    merged = np.zeros(num_bits // 64, np.uint64)
+    for row in (
+        right.select_columns([key])
+        .map_batches(_build_partial, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    ):
+        merged |= np.frombuffer(row["bits"], np.uint64)
+    bloom_ref = ray.put(merged)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        lo, step = _key_hashes(batch.column(key))
+        hit = np.ones(len(lo), bool)
+        for i in range(num_hashes):
+            pos = (lo + np.uint64(i) * step) % nb
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(hit))
+
+    def _probe_inv(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        lo, step = _key_hashes(batch.column(key))
+        hit = np.ones(len(lo), bool)
+        for i in range(num_hashes):
+            pos = (lo + np.uint64(i) * step) % nb
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(~hit))
+
+    candidates = left.map_batches(_probe, batch_format="pyarrow")
+    rkeys = distinct(right.select_columns([key]), [key]).map_batches(
+        lambda b: b.append_column(
+            "_rhit", pa.array(np.ones(b.num_rows, np.int8))
+        ),
+        batch_format="pyarrow",
+    ).repartition(2)
+    verified = shuffle_join(
+        candidates, rkeys, on=[key],
+        join_type="left_outer" if anti else "inner",
+    )
+    if not anti:
+        return verified.drop_columns(["_rhit"])
+    false_pos = verified.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_rhit"))).drop_columns(
+            ["_rhit"]
+        ),
+        batch_format="pyarrow",
+    )
+    definite = left.map_batches(_probe_inv, batch_format="pyarrow")
+    return definite.union(false_pos)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis, IPL 2006): each row draws u = md5-uniform(key) ∈ (0,1] and
+    the k rows with the largest u^(1/weight) win — inclusion probability
+    proportional to weight, yet a pure function of the data (stable across
+    runs, parallelism and engines; the SQL oracle expresses the identical
+    score as POW(('0x'||SUBSTR(MD5(key),1,8))::BIGINT+1 / 4294967297.0,
+    1.0/weight)). Per-batch score is vectorized except the md5 itself;
+    selection is the existing distributed sort+limit top-k.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def _score(batch: pa.Table) -> pa.Table:
+        u = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(v).encode("utf-8")).digest()[:4], "big"
+                )
+                for v in batch.column(key_col).to_pylist()
+            ],
+            np.float64,
+        )
+        u = (u + 1.0) / 4294967297.0
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        if np.any(w <= 0):
+            raise ValueError("weights must be positive")
+        return batch.append_column("_es", pa.array(u ** (1.0 / w)))
+
+    return (
+        ds.map_batches(_score, batch_format="pyarrow")
+        .sort(["_es", key_col], descending=[True, False])
+        .limit(k)
+        .drop_columns(["_es"])
+    )

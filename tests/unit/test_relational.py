@@ -284,3 +284,56 @@ def test_bpe_token_count_adversarial_vs_duckdb(ray_session):
         assert got[i] == want, (i, t, got[i], want)
     # sanity: contractions count as separate tokens
     assert got[0] > 5
+
+
+def test_bloom_semi_anti_exact(ray_session):
+    """Bloom pre-filtered semi/anti joins are EXACT (candidates verified,
+    rejections have no false negatives) even with a tiny filter that
+    forces many false positives."""
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.relational import bloom_semi_join
+
+    rng = np.random.RandomState(2)
+    lkeys = rng.randint(0, 5000, 4000).astype("int64")
+    rkeys = rng.choice(np.arange(0, 5000, 3), 400, replace=False).astype(
+        "int64"
+    )
+    left = ray.data.from_arrow(
+        pa.table({"k": lkeys, "payload": np.arange(4000, dtype="int64")})
+    ).repartition(5)
+    right = ray.data.from_arrow(pa.table({"k": rkeys})).repartition(3)
+    rset = set(rkeys.tolist())
+    want_semi = sorted(p for k, p in zip(lkeys, range(4000)) if k in rset)
+    want_anti = sorted(p for k, p in zip(lkeys, range(4000)) if k not in rset)
+
+    # num_bits=64 → filter saturates → max false positives; still exact
+    for bits in (64, 1 << 16):
+        semi = bloom_semi_join(left, right, "k", num_bits=bits)
+        got = sorted(r["payload"] for r in semi.take_all())
+        assert got == want_semi, f"semi mismatch at num_bits={bits}"
+        anti = bloom_semi_join(left, right, "k", anti=True, num_bits=bits)
+        got = sorted(r["payload"] for r in anti.take_all())
+        assert got == want_anti, f"anti mismatch at num_bits={bits}"
+
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    """Heavier rows must be sampled far more often, and the kept set is a
+    pure function of the data (parallelism-invariant)."""
+    import ray.data
+
+    from crawlray.ops.relational import weighted_sample
+
+    n = 2000
+    w = [1000.0 if i < 100 else 1.0 for i in range(n)]
+    tbl = pa.table({"id": list(range(n)), "w": w})
+    ds = ray.data.from_arrow(tbl)
+    got = sorted(r["id"] for r in weighted_sample(ds, "id", "w", 100).take_all())
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy > 60  # 100 heavy rows hold >90% of total weight
+    got2 = sorted(
+        r["id"]
+        for r in weighted_sample(ds.repartition(11), "id", "w", 100).take_all()
+    )
+    assert got2 == got
