@@ -340,6 +340,77 @@ def _session_windows(sf_dir: str):
     )
 
 
+def _set_except(sf_dir: str):
+    """SQL EXCEPT in one tagged groupby (no join): (user, day) pairs with
+    a view but no purchase."""
+    from crawlray.ops.relational import set_op
+
+    ev = _rd(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _days(evtype):
+        def _m(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch.column("event_type"), evtype))
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "day": pc.floor_temporal(b.column("ts"), unit="day"),
+                }
+            )
+
+        return _m
+
+    views = ev.map_batches(_days("view"), batch_format="pyarrow")
+    buys = ev.map_batches(_days("purchase"), batch_format="pyarrow")
+    return set_op(views, buys, ["user_id", "day"], op="except")
+
+
+def _set_intersect(sf_dir: str):
+    """SQL INTERSECT, same machinery: (user, day) pairs with BOTH a view
+    and a purchase."""
+    from crawlray.ops.relational import set_op
+
+    ev = _rd(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _days(evtype):
+        def _m(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch.column("event_type"), evtype))
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "day": pc.floor_temporal(b.column("ts"), unit="day"),
+                }
+            )
+
+        return _m
+
+    views = ev.map_batches(_days("view"), batch_format="pyarrow")
+    buys = ev.map_batches(_days("purchase"), batch_format="pyarrow")
+    return set_op(views, buys, ["user_id", "day"], op="intersect")
+
+
+def _pivot(sf_dir: str):
+    """PIVOT: one summed value column per event type, one groupby."""
+    from crawlray.ops.relational import pivot_agg
+
+    out = pivot_agg(
+        _rd(sf_dir, "events", columns=["user_id", "event_type", "value"]),
+        group_col="user_id", pivot_col="event_type", value_col="value",
+        pivot_values=["click", "error", "purchase", "signup", "view"],
+    )
+    return _round_cols(out, {f"v_{v}": 3 for v in
+                             ["click", "error", "purchase", "signup", "view"]})
+
+
+def _group_rank(sf_dir: str):
+    """RANK / DENSE_RANK / ROW_NUMBER per customer over order price."""
+    from crawlray.ops.relational import group_rank
+
+    return group_rank(
+        _rd(sf_dir, "orders"), key="o_custkey", order_col="o_totalprice",
+        tiebreak_col="o_orderkey", descending=True,
+    )
+
+
 def _window_functions(sf_dir: str):
     """SQL window functions (LAG / LEAD / running SUM over a partition):
     one groupby(user) shuffle, vectorized per-group kernel."""
@@ -995,6 +1066,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _asof_join,
         "range_join": _range_join,
         "window_functions": _window_functions,
+        "set_except": _set_except,
+        "set_intersect": _set_intersect,
+        "pivot": _pivot,
+        "group_rank": _group_rank,
         "rollup": _rollup,
         "bloom_semi_join": _bloom_semi_join,
         "weighted_sample": _weighted_sample,
@@ -1184,6 +1259,44 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "set_except": """
+            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+            FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "set_intersect": """
+            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+            FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "pivot": """
+            SELECT user_id,
+                   ROUND(SUM(CASE WHEN event_type='click' THEN value
+                             ELSE 0 END), 3) AS v_click,
+                   ROUND(SUM(CASE WHEN event_type='error' THEN value
+                             ELSE 0 END), 3) AS v_error,
+                   ROUND(SUM(CASE WHEN event_type='purchase' THEN value
+                             ELSE 0 END), 3) AS v_purchase,
+                   ROUND(SUM(CASE WHEN event_type='signup' THEN value
+                             ELSE 0 END), 3) AS v_signup,
+                   ROUND(SUM(CASE WHEN event_type='view' THEN value
+                             ELSE 0 END), 3) AS v_view
+            FROM events GROUP BY user_id
+        """,
+        "group_rank": """
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS row_number,
+                   RANK() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC) AS rank,
+                   DENSE_RANK() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC) AS dense_rank
+            FROM orders
         """,
         "rollup": """
             SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,

@@ -943,3 +943,127 @@ def weighted_sample(
         .limit(k)
         .drop_columns(["_es"])
     )
+
+
+def set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+    op: str = "except",
+) -> ray.data.Dataset:
+    """SQL EXCEPT / INTERSECT (distinct set semantics) in ONE groupby
+    shuffle, no join: tag each side, union, group by the row value, and
+    keep groups seen only-left (EXCEPT) or on both sides (INTERSECT) via
+    min/max of the side tag. Map-side partial aggregation bounds the
+    shuffle volume by the number of DISTINCT rows per block."""
+    if op not in ("except", "intersect"):
+        raise ValueError("op must be 'except' or 'intersect'")
+    from ray.data.aggregate import Max, Min
+
+    def _tag(side: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    **{c: batch.column(c) for c in cols},
+                    "_side": pa.array([side] * batch.num_rows, pa.int8()),
+                }
+            )
+
+        return _t
+
+    both = left.select_columns(cols).map_batches(
+        _tag(0), batch_format="pyarrow"
+    ).union(
+        right.select_columns(cols).map_batches(_tag(1), batch_format="pyarrow")
+    )
+    agg = both.groupby(cols).aggregate(
+        Min("_side", alias_name="mn"), Max("_side", alias_name="mx")
+    )
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        mn, mx = batch.column("mn"), batch.column("mx")
+        if op == "except":
+            mask = pc.and_(pc.equal(mn, 0), pc.equal(mx, 0))
+        else:
+            mask = pc.and_(pc.equal(mn, 0), pc.equal(mx, 1))
+        return batch.filter(mask).select(cols)
+
+    return agg.map_batches(_keep, batch_format="pyarrow")
+
+
+def pivot_agg(
+    ds: ray.data.Dataset,
+    group_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list[str],
+) -> ray.data.Dataset:
+    """PIVOT: one output column per pivot value, summed per group (SQL:
+    SUM(CASE WHEN pivot=v THEN value ELSE 0 END) ... GROUP BY group).
+
+    Map-side the batch is widened with one masked value column per pivot
+    value (vectorized if_else) — then ONE groupby sums them all, so the
+    shuffle moves one row per (block, group) regardless of how many pivot
+    columns exist. `pivot_values` must be the explicit category list (at
+    scale you get it from `distinct()` or `frequent_items()`), which also
+    fixes the output schema up front."""
+    from ray.data.aggregate import Sum
+
+    def _widen(batch: pa.Table) -> pa.Table:
+        cols = {group_col: batch.column(group_col)}
+        pv = batch.column(pivot_col)
+        val = pc.cast(batch.column(value_col), pa.float64())
+        zero = pa.scalar(0.0, pa.float64())
+        for v in pivot_values:
+            cols[f"v_{v}"] = pc.if_else(pc.equal(pv, v), val, zero)
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(_widen, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            *[Sum(f"v_{v}", alias_name=f"v_{v}") for v in pivot_values]
+        )
+    )
+
+
+def group_rank(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    tiebreak_col: str,
+    descending: bool = False,
+) -> ray.data.Dataset:
+    """RANK / DENSE_RANK / ROW_NUMBER per partition (SQL window ranks):
+    one groupby shuffle; the per-group kernel is one vectorized argsort +
+    tie-run detection (numpy). rank/dense_rank order by `order_col` alone
+    (ties share a rank); row_number breaks ties with `tiebreak_col`."""
+    import numpy as np
+
+    def _kernel(group: pa.Table) -> pa.Table:
+        direction = "descending" if descending else "ascending"
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(order_col, direction), (tiebreak_col, "ascending")],
+        )
+        g = group.take(idx)
+        v = g.column(order_col).to_numpy(zero_copy_only=False)
+        n = len(v)
+        row_number = np.arange(1, n + 1, dtype=np.int64)
+        if n:
+            new_run = np.concatenate(([True], v[1:] != v[:-1]))
+            rank = np.maximum.accumulate(np.where(new_run, row_number, 0))
+            dense = np.cumsum(new_run).astype(np.int64)
+        else:
+            rank = np.empty(0, np.int64)
+            dense = np.empty(0, np.int64)
+        return pa.table(
+            {
+                **{c: g.column(c) for c in g.column_names},
+                "row_number": pa.array(row_number),
+                "rank": pa.array(rank.astype(np.int64)),
+                "dense_rank": pa.array(dense),
+            }
+        )
+
+    return ds.groupby(key).map_groups(_kernel, batch_format="pyarrow")
