@@ -632,6 +632,22 @@ def _flatten_tokens(sf_dir: str):
     return explode_tokens(_rd(sf_dir, "documents"))
 
 
+def _approx_quantiles(sf_dir: str):
+    """Approximate quantiles from a deterministic KMV bottom-k sample —
+    the sample is a pure function of the data, so the ORACLE reproduces
+    the same approximate answer (quantile_cont over ORDER BY md5 LIMIT k).
+    Error-vs-exact bounds ride tests/unit/test_sketch.py."""
+    from crawlray.ops.sketch import approx_quantiles
+
+    out = approx_quantiles(
+        _rd(sf_dir, "events", columns=["event_id", "value"]),
+        value_col="value", key_col="event_id", qs=[0.5, 0.9, 0.99], k=2000,
+    )
+    return _round_cols(
+        ray.data.from_arrow(out), {"q0_5": 6, "q0_9": 6, "q0_99": 6}
+    )
+
+
 def _heavy_hitters(sf_dir: str):
     """Misra-Gries frequent-items sketch over events.user_id. With
     k=4096 >= the distinct-user count at driver scales the summary is
@@ -1090,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flatten_tokens": _flatten_tokens,
         "tfidf": _tfidf,
         "heavy_hitters": _heavy_hitters,
+        "approx_quantiles": _approx_quantiles,
         "doc_stats": _doc_stats,
         "token_count_by_source": _token_count_by_source,
         "doc_fingerprint": _doc_fingerprint,
@@ -1453,6 +1470,17 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": """
             SELECT user_id AS item, COUNT(*) AS est_count
             FROM events GROUP BY user_id
+        """,
+        "approx_quantiles": """
+            WITH s AS (
+                SELECT value FROM events
+                ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id
+                LIMIT 2000
+            )
+            SELECT ROUND(QUANTILE_CONT(value, 0.5), 6) AS q0_5,
+                   ROUND(QUANTILE_CONT(value, 0.9), 6) AS q0_9,
+                   ROUND(QUANTILE_CONT(value, 0.99), 6) AS q0_99
+            FROM s
         """,
         "tfidf": """
             WITH toks AS (

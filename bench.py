@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "embedding_dedup",
     "pagerank",
     "dedup_clusters",
+    "asof_join",
+    "range_join",
+    "window_functions",
+    "tfidf",
+    "bloom_semi_join",
+    "pivot",
 ]
 
 # bench-tier synthetic web (BASELINE.md: ≥2×10⁵ URLs, zipf host skew).

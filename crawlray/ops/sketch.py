@@ -220,3 +220,111 @@ def frequent_items(
         }
     )
     return tbl, total.decremented
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k sample → approximate quantiles
+
+
+def bottomk_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int = 4096,
+    columns: list[str] | None = None,
+    hash_fn: str = "md5",
+) -> pa.Table:
+    """Deterministic uniform sample of k rows: the k smallest hash(key)
+    values (KMV / bottom-k min-wise sketch). Mergeable — bottom-k of a
+    union is the bottom-k of the per-block bottom-k's — so each block
+    contributes at most k rows and the driver merge is O(#blocks · k),
+    never rows. Being a pure function of the data, the sample (and
+    anything computed from it) is identical across runs, parallelism
+    levels and engines: SQL can reproduce it as ORDER BY MD5(key), key
+    LIMIT k. `hash_fn="murmur3"` switches to the vectorized engine kernel
+    for production-volume use (same guarantees, different sample).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = columns or []
+
+    def _digests(batch: pa.Table) -> pa.Array:
+        if hash_fn == "md5":
+            import hashlib
+
+            return pa.array(
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()
+                for v in batch.column(key_col).to_pylist()
+            )
+        from crawlray.murmur3 import murmur3_x64_128_batch
+
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            import pyarrow.compute as pc
+
+            col = pc.cast(col, pa.string())
+        lo, _ = murmur3_x64_128_batch(col)
+        return pa.array([format(v, "016x") for v in lo.tolist()])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "_dig": _digests(batch),
+                key_col: batch.column(key_col),
+                **{c: batch.column(c) for c in cols if c != key_col},
+            }
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("_dig", "ascending"), (key_col, "ascending")]
+        )
+        return t.take(order.slice(0, k))
+
+    import pyarrow.compute as pc
+
+    parts = pa.concat_tables(
+        t
+        for t in ray.get(
+            ds.map_batches(_partial, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_columns > 0
+    )
+    order = pc.sort_indices(
+        parts, sort_keys=[("_dig", "ascending"), (key_col, "ascending")]
+    )
+    return parts.take(order.slice(0, k)).drop_columns(["_dig"])
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    value_col: str,
+    key_col: str,
+    qs: list[float],
+    k: int = 4096,
+    hash_fn: str = "md5",
+) -> pa.Table:
+    """Approximate quantiles from a KMV bottom-k sample: error ~O(1/√k)
+    (rank error of a k-uniform sample), deterministic given the data —
+    the SQL oracle reproduces the SAME approximate answer via
+    quantile_cont over ORDER BY MD5(key), key LIMIT k. Interpolation is
+    linear (percentile_cont semantics), matching both DuckDB's
+    quantile_cont and the repo's exact distributed `exact_quantiles`.
+    One streaming pass + O(#blocks · k) merge; use `exact_quantiles`
+    when the exact answer is worth its full sort."""
+    sample = bottomk_sample(
+        ds, key_col, k=k, columns=[value_col], hash_fn=hash_fn
+    )
+    v = np.sort(sample.column(value_col).to_numpy(zero_copy_only=False))
+    out = {
+        f"q{str(q).replace('.', '_')}": pa.array(
+            [float(np.quantile(v, q, method="linear"))]
+        )
+        for q in qs
+    }
+    return pa.table(out)

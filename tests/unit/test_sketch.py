@@ -89,3 +89,48 @@ def test_frequent_items_guarantee(ray_session):
     for it, c in true.items():
         if c > n // (k + 1) + under:
             assert it in got, f"heavy hitter {it} ({c}) missing"
+
+
+# ------------------------------------------------------- KMV bottom-k sample
+
+
+def test_bottomk_sample_deterministic_and_mergeable(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from crawlray.ops.sketch import bottomk_sample
+
+    ids = [f"k{i:05d}" for i in range(3000)]
+    tbl = pa.table({"id": ids, "v": list(range(3000))})
+    ds = ray.data.from_arrow(tbl)
+    got = bottomk_sample(ds, "id", k=100, columns=["v"])
+    want = sorted(ids, key=lambda s: (hashlib.md5(s.encode()).hexdigest(), s))[
+        :100
+    ]
+    assert sorted(got.column("id").to_pylist()) == sorted(want)
+    got2 = bottomk_sample(ds.repartition(17), "id", k=100, columns=["v"])
+    assert got.column("id").to_pylist() == got2.column("id").to_pylist()
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.sketch import approx_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(0.0, 1.0, 50000)
+    tbl = pa.table({"id": np.arange(50000, dtype="int64"), "v": vals})
+    ds = ray.data.from_arrow(tbl).repartition(11)
+    out = approx_quantiles(
+        ds, "v", "id", qs=[0.5, 0.9], k=4096, hash_fn="murmur3"
+    )
+    got50 = out.column("q0_5")[0].as_py()
+    got90 = out.column("q0_9")[0].as_py()
+    # rank error of a k-uniform sample ~1.5/sqrt(k) ≈ 0.025 at k=4096;
+    # accept the true value of a quantile within ±0.04 rank of the target
+    lo50, hi50 = np.quantile(vals, [0.46, 0.54])
+    lo90, hi90 = np.quantile(vals, [0.86, 0.94])
+    assert lo50 <= got50 <= hi50
+    assert lo90 <= got90 <= hi90
