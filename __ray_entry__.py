@@ -632,6 +632,18 @@ def _flatten_tokens(sf_dir: str):
     return explode_tokens(_rd(sf_dir, "documents"))
 
 
+def _quality_score(sf_dir: str):
+    """Model-inference pattern: logistic quality scorer as an actor-pool
+    map_batches stage (weights loaded once per actor in __init__,
+    vectorized logistic per batch). Fixed deterministic weights make the
+    score SQL-expressible, so even the inference gets a DuckDB oracle."""
+    from crawlray.ops.textqa import quality_score
+
+    return quality_score(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]), concurrency=2
+    )
+
+
 def _approx_quantiles(sf_dir: str):
     """Approximate quantiles from a deterministic KMV bottom-k sample —
     the sample is a pure function of the data, so the ORACLE reproduces
@@ -1107,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": _tfidf,
         "heavy_hitters": _heavy_hitters,
         "approx_quantiles": _approx_quantiles,
+        "quality_score": _quality_score,
         "doc_stats": _doc_stats,
         "token_count_by_source": _token_count_by_source,
         "doc_fingerprint": _doc_fingerprint,
@@ -1470,6 +1483,20 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": """
             SELECT user_id AS item, COUNT(*) AS est_count
             FROM events GROUP BY user_id
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + EXP(-(
+                       -1.0
+                       + 0.002 * LENGTH(text)
+                       - 0.01 * LEN(str_split(text, ' '))
+                       + 0.3 * (CAST(LENGTH(text) AS DOUBLE)
+                                / GREATEST(LEN(str_split(text, ' ')), 1))
+                       + 5.0 * ((LENGTH(text)
+                                 - LENGTH(REPLACE(text, '.', '')))
+                                / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0))
+                   ))), 6) AS quality
+            FROM documents
         """,
         "approx_quantiles": """
             WITH s AS (

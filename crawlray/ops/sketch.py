@@ -286,7 +286,7 @@ def bottomk_sample(
 
     import pyarrow.compute as pc
 
-    parts = pa.concat_tables(
+    tbls = [
         t
         for t in ray.get(
             ds.map_batches(_partial, batch_format="pyarrow")
@@ -294,7 +294,10 @@ def bottomk_sample(
             .to_arrow_refs()
         )
         if t.num_columns > 0
-    )
+    ]
+    if not tbls:
+        raise ValueError("bottomk_sample: input dataset is empty")
+    parts = pa.concat_tables(tbls)
     order = pc.sort_indices(
         parts, sort_keys=[("_dig", "ascending"), (key_col, "ascending")]
     )

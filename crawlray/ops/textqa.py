@@ -409,3 +409,98 @@ def clean_corpus_stats(
     return deduped.groupby(source_col).aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# model-inference stage: logistic quality scorer (actor pool)
+
+# Deterministic stand-in for a trained quality model: logistic regression
+# over cheap text statistics. Weights are a module constant so the score is
+# a pure function of the text (and the SQL oracle can reproduce it); a real
+# deployment would load them from a model artifact in __init__ below.
+QUALITY_BIAS = -1.0
+QUALITY_WEIGHTS = (
+    0.002,   # n_chars
+    -0.01,   # n_tokens
+    0.3,     # avg token length (n_chars / n_tokens)
+    5.0,     # period density ((n_chars - n_chars_without_periods)/n_chars)
+)
+
+
+class QualityScorerStage:
+    """Actor-pool model-inference stage (task brief: 'stateful stages are
+    actor pools - setup in __init__ once per actor, work in __call__ per
+    batch'). __init__ stands in for the model-artifact load (weights into
+    numpy); __call__ is one vectorized pass: Arrow kernels for the
+    features, numpy for the logistic. Use via
+    ds.map_batches(QualityScorerStage, concurrency=N,
+    batch_format="pyarrow")."""
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        weights: tuple = QUALITY_WEIGHTS,
+        bias: float = QUALITY_BIAS,
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.w = np.asarray(weights, np.float64)
+        self.b = float(bias)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n_tokens = (
+            pc.list_value_length(pc.split_pattern(text, pattern=" "))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        no_period = (
+            pc.utf8_length(pc.replace_substring(text, ".", ""))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        denom = np.maximum(n_chars, 1.0)
+        # feature order and arithmetic MUST mirror the SQL oracle exactly
+        z = (
+            self.b
+            + self.w[0] * n_chars
+            + self.w[1] * n_tokens
+            + self.w[2] * (n_chars / np.maximum(n_tokens, 1.0))
+            + self.w[3] * ((n_chars - no_period) / denom)
+        )
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "quality": pa.array(np.round(score, 6)),
+            }
+        )
+
+
+def quality_score(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Per-document model score via the QualityScorerStage actor pool."""
+    import crawlray
+
+    # actor CLASSES pickle by reference unless the package is registered
+    # by-value — without this, workers whose cwd isn't the repo root hang
+    # in an actor-restart loop on `No module named 'crawlray'`
+    crawlray.ensure_worker_importability()
+    return ds.map_batches(
+        QualityScorerStage,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        concurrency=concurrency,
+        # fractional CPUs: a full-CPU pool sized at the cluster width
+        # starves upstream task operators (e.g. a preceding repartition)
+        # and deadlocks the stream — same sizing rule as the media stages
+        num_cpus=0.5,
+        batch_format="pyarrow",
+    )

@@ -337,3 +337,40 @@ def test_weighted_sample_bias_and_determinism(ray_session):
         for r in weighted_sample(ds.repartition(11), "id", "w", 100).take_all()
     )
     assert got2 == got
+
+
+def test_quality_score_actor_pool(ray_session):
+    """Actor-pool model inference: scores in (0,1), deterministic across
+    parallelism, monotone in the period-density feature."""
+    import math
+
+    import ray.data
+
+    from crawlray.ops.textqa import quality_score
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "plain words with no periods at all",
+                    "short. sentences. every. word. ends.",
+                    "x",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    got = {r["doc_id"]: r["quality"] for r in quality_score(ds).take_all()}
+    assert all(0.0 < v < 1.0 for v in got.values())
+    assert got[2] > got[1]  # period density pushes quality up
+    got2 = {
+        r["doc_id"]: r["quality"]
+        for r in quality_score(ds.repartition(3)).take_all()
+    }
+    assert got2 == got
+    # spot-check one score against the closed form
+    t = "plain words with no periods at all"
+    nc, nt, npd = len(t), len(t.split(" ")), len(t) - len(t.replace(".", ""))
+    z = -1.0 + 0.002 * nc - 0.01 * nt + 0.3 * (nc / nt) + 5.0 * (npd / nc)
+    assert abs(got[1] - round(1 / (1 + math.exp(-z)), 6)) < 1e-9
