@@ -401,6 +401,20 @@ def _pivot(sf_dir: str):
                              ["click", "error", "purchase", "signup", "view"]})
 
 
+def _unpivot(sf_dir: str):
+    """UNPIVOT / melt lineitem amounts to long form (pure map, no
+    shuffle)."""
+    from crawlray.ops.relational import unpivot
+
+    return unpivot(
+        _rd(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount"]),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 def _group_rank(sf_dir: str):
     """RANK / DENSE_RANK / ROW_NUMBER per customer over order price."""
     from crawlray.ops.relational import group_rank
@@ -1097,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_except": _set_except,
         "set_intersect": _set_intersect,
         "pivot": _pivot,
+        "unpivot": _unpivot,
         "group_rank": _group_rank,
         "rollup": _rollup,
         "bloom_semi_join": _bloom_semi_join,
@@ -1317,6 +1332,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN event_type='view' THEN value
                              ELSE 0 END), 3) AS v_view
             FROM events GROUP BY user_id
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber, key,
+                   CAST(value AS DOUBLE) AS value
+            FROM (
+                SELECT l_orderkey, l_linenumber,
+                       l_quantity, l_extendedprice, l_discount
+                FROM lineitem
+            )
+            UNPIVOT (value FOR key IN
+                     (l_quantity, l_extendedprice, l_discount))
         """,
         "group_rank": """
             SELECT *,

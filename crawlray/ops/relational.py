@@ -1067,3 +1067,35 @@ def group_rank(
         )
 
     return ds.groupby(key).map_groups(_kernel, batch_format="pyarrow")
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    key_name: str = "key",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT / melt: widen-to-long, one output row per (input row,
+    value column). Pure map — a vectorized per-batch explode (concat of
+    per-column slices), no shuffle, streams at any scale. Value columns
+    are cast to float64 (the common melt type)."""
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for vc in value_cols:
+            parts.append(
+                pa.table(
+                    {
+                        **{c: batch.column(c) for c in id_cols},
+                        key_name: pa.array([vc] * n),
+                        value_name: pc.cast(
+                            batch.column(vc), pa.float64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(_melt, batch_format="pyarrow")

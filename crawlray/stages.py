@@ -468,6 +468,8 @@ class FetchParseStage:
         self.max_depth = max_depth
         self.doc_root = doc_root
         self.actor_idx = actor_idx
+        self._write_threads: list = []
+        self._write_errors: list = []
         self.defer_offers = defer_offers
         # offers accumulate per actor and flush every OFFER_FLUSH_ROWS of
         # combined links: per-chunk offering was ~16 RPCs per 128-row chunk
@@ -787,6 +789,24 @@ class FetchParseStage:
             tbl = tbl.filter(pa.array(child_depth <= self.max_depth))
         return tbl
 
+    def _write_docs(self, docs: pa.Table, path: str) -> None:
+        try:
+            pq.write_table(
+                docs, path, compression="zstd", compression_level=3
+            )
+        except BaseException as e:  # noqa: BLE001 — surfaced by wait_writes
+            self._write_errors.append(e)
+
+    def wait_writes(self) -> None:
+        """Durability fence for the background doc writes (call before a
+        checkpoint commit and before reading documents back)."""
+        for t in self._write_threads:
+            t.join()
+        self._write_threads = []
+        if self._write_errors:
+            errs, self._write_errors = self._write_errors, []
+            raise errs[0]
+
     def end_wave(self, wave: int, cut_seq: int | None = None) -> int:
         """Flush this actor's wave state: resolve deferred offers (budget
         path), await offer delivery, write the doc buffer to the wave's
@@ -810,14 +830,23 @@ class FetchParseStage:
             if docs.num_rows and self.doc_root is not None:
                 d = os.path.join(self.doc_root, f"wave={wave:05d}", "documents")
                 os.makedirs(d, exist_ok=True)
+                path = os.path.join(d, f"part-{self.actor_idx:04d}.parquet")
                 # zstd-3: ~6.5x smaller than snappy on span text at equal
-                # write time — less shared-disk/tmpfs bus traffic per wave
-                pq.write_table(
-                    docs,
-                    os.path.join(d, f"part-{self.actor_idx:04d}.parquet"),
-                    compression="zstd",
-                    compression_level=3,
+                # write time — less shared-disk/tmpfs bus traffic per wave.
+                # The write runs on a BACKGROUND thread: pyarrow's zstd
+                # compressor and the tmpfs write both release the GIL, so
+                # it overlaps the driver's next-wave coordination and this
+                # actor's next fetch chunks instead of sitting inside the
+                # wave barrier. `wait_writes` is the durability fence —
+                # the driver calls it before a checkpoint commit and before
+                # reading the documents dataset back.
+                import threading
+
+                t = threading.Thread(
+                    target=self._write_docs, args=(docs, path), daemon=True
                 )
+                t.start()
+                self._write_threads.append(t)
                 n = docs.num_rows
         self._chunks_done = set()
         if self.metrics_actor is not None:

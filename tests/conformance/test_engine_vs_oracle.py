@@ -94,3 +94,33 @@ def test_parallelism_invariance(ray_session):
     assert a.seen_urls() == b.seen_urls()
     a.shutdown()
     b.shutdown()
+
+
+def test_preloaded_web_form_matches_table_form(ray_session):
+    """run_crawl(preloaded_web=(refs, n_pages)) — the bench/scaling form
+    that keeps fixture bring-up out of the timed window — is bit-identical
+    to the web= form."""
+    import ray
+
+    from crawlray.job import run_crawl
+
+    web = SynthWeb(seed=42, shape="zipf_hosts", n_urls=80, n_hosts=6)
+    seeds = web.default_seeds()
+    base = run_crawl(seeds, web=web, budget_per_host=2)
+    try:
+        tbl = web.webgraph_table()
+        pre = run_crawl(
+            seeds,
+            preloaded_web=([ray.put(tbl)], tbl.num_rows),
+            robots=web.robots_table(),
+            budget_per_host=2,
+        )
+        try:
+            got = _sorted_log(pre.crawl_log_table())
+            want = _sorted_log(base.crawl_log_table())
+            assert got.equals(want)
+            assert pre.seen_urls() == base.seen_urls()
+        finally:
+            pre.shutdown()
+    finally:
+        base.shutdown()

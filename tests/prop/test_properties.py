@@ -74,3 +74,44 @@ def test_pack_unpack_roundtrip():
     assert (d2 == disc).all() and (dep2 == depth).all()
     # min(pack) picks min disc_key first
     assert pack_disc_depth(5, 1023) < pack_disc_depth(6, 0)
+
+
+def test_mg_summary_merge_guarantee_property():
+    """MGSummary is a mergeable summary: for ANY split of a stream into
+    blocks and any merge order, every estimate undershoots the true count
+    by at most the accumulated decrement, which stays <= n/(k+1)."""
+    import collections
+
+    import numpy as np
+
+    from crawlray.ops.sketch import MGSummary
+
+    rng = np.random.RandomState(23)
+    for trial in range(10):
+        n = int(rng.randint(200, 3000))
+        vals = [f"v{int(x)}" for x in rng.zipf(1.4, n) % 60]
+        true = collections.Counter(vals)
+        k = int(rng.randint(4, 24))
+        # random split into blocks
+        n_blocks = int(rng.randint(1, 9))
+        cuts = sorted(rng.randint(0, n, n_blocks - 1).tolist()) if n_blocks > 1 else []
+        blocks, prev = [], 0
+        for c in cuts + [n]:
+            blocks.append(vals[prev:c])
+            prev = c
+        summaries = []
+        for b in blocks:
+            s = MGSummary(k)
+            cnt = collections.Counter(b)
+            s.add_counts(list(cnt.keys()), np.array(list(cnt.values()), np.int64))
+            summaries.append(s)
+        rng.shuffle(summaries)
+        total = summaries[0]
+        for s in summaries[1:]:
+            total = total.merge(s)
+        assert total.n_total == n
+        assert total.decremented <= n // (k + 1)
+        assert len(total.counts) <= k
+        for item, est in total.counts.items():
+            assert est <= true[item]
+            assert true[item] - est <= total.decremented
