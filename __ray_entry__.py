@@ -866,10 +866,44 @@ def _embedding_srp_dedup(sf_dir: str):
 
 
 def _lang_id(sf_dir: str):
-    """Language-ID heuristic (rows-only: not SQL-expressible)."""
+    """Language-ID heuristic — SQL-oracled: DuckDB list functions express
+    the same stopword-overlap argmax (first-max tie order en/de/fr/es)."""
     from crawlray.ops.textqa import lang_id
 
     return lang_id(_rd(sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    from crawlray.ops.textqa import _STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '')[1:200]) AS tk
+          FROM documents
+        ), sc AS (
+          SELECT doc_id,
+                 len(list_intersect(tk, {lst('en')})) AS s_en,
+                 len(list_intersect(tk, {lst('de')})) AS s_de,
+                 len(list_intersect(tk, {lst('fr')})) AS s_fr,
+                 len(list_intersect(tk, {lst('es')})) AS s_es
+          FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr
+                         AND s_en >= s_es THEN 'en'
+                    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                    WHEN s_es > 0 THEN 'es'
+                    ELSE 'und' END AS lang_pred,
+               CAST(GREATEST(s_en, s_de, s_fr, s_es) AS BIGINT) AS lang_score
+        FROM sc
+    """
 
 
 def _minhash_signatures(sf_dir: str):
@@ -1510,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS item, COUNT(*) AS est_count
             FROM events GROUP BY user_id
         """,
+        "lang_id": _lang_id_sql(),
         "quality_score": """
             SELECT doc_id,
                    ROUND(1.0 / (1.0 + EXP(-(
