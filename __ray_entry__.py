@@ -658,6 +658,40 @@ def _quality_score(sf_dir: str):
     )
 
 
+def _approx_distinct_by(sf_dir: str):
+    """Per-group HLL approx-distinct (register rows shuffle, never
+    values), oracled the same way as the global sketch: the row carries
+    the exact per-group distinct + a boolean asserting the estimate
+    landed within ±2%; DuckDB reproduces both, so a hash match proves the
+    exact counts AND the sketch's per-group accuracy contract."""
+    from crawlray.ops.sketch import approx_distinct_by
+    from ray.data.aggregate import Count
+
+    ests = approx_distinct_by(
+        _rd(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+    exact = (
+        _rd(sf_dir, "events", columns=["event_type", "user_id"])
+        .groupby(["event_type", "user_id"]).count()
+        .groupby("event_type").aggregate(Count(alias_name="n_exact"))
+    )
+    ex = {r["event_type"]: r["n_exact"] for r in exact.take_all()}
+    rows = []
+    for g, est in zip(
+        ests.column("event_type").to_pylist(),
+        ests.column("estimate").to_pylist(),
+    ):
+        rows.append(
+            {
+                "event_type": g,
+                "n_exact": ex[g],
+                "hll_within_2pct": abs(est - ex[g]) <= 0.02 * ex[g],
+            }
+        )
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["event_type"]))
+
+
 def _approx_quantiles(sf_dir: str):
     """Approximate quantiles from a deterministic KMV bottom-k sample —
     the sample is a pure function of the data, so the ORACLE reproduces
@@ -1168,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": _tfidf,
         "heavy_hitters": _heavy_hitters,
         "approx_quantiles": _approx_quantiles,
+        "approx_distinct_by": _approx_distinct_by,
         "quality_score": _quality_score,
         "doc_stats": _doc_stats,
         "token_count_by_source": _token_count_by_source,
@@ -1818,6 +1853,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS n_exact,
                    TRUE AS hll_within_2pct
             FROM events
+        """,
+        "approx_distinct_by": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+                   TRUE AS hll_within_2pct
+            FROM events GROUP BY event_type
         """,
         # rows-only (no SQL equivalent): lang_id, minhash_signatures,
         # minhash_lsh_dedup, simhash_docs, simhash_dedup, ann_ivf_trained,

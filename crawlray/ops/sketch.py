@@ -331,3 +331,52 @@ def approx_quantiles(
         for q in qs
     }
     return pa.table(out)
+
+
+def approx_distinct_by(
+    ds: ray.data.Dataset, group_col: str, col: str, p: int = 12
+) -> pa.Table:
+    """Per-group HLL cardinality estimates → (group, estimate).
+
+    Map-side: each block emits ONE register row per group present in the
+    block (2^p bytes each — the per-block summary is bounded by
+    groups-per-block, never rows). One groupby shuffle then merges
+    registers per group with the commutative register-max, so task
+    retries and block order cannot skew estimates. Use when the group
+    count is large enough that per-group exact distincts (a full
+    (group, value) shuffle) would dominate — the register rows are the
+    only thing that moves.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col).combine_chunks()
+        enc = gcol.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        hashes = _hash_column(batch.column(col).combine_chunks())
+        groups, regs = [], []
+        for code in range(len(enc.dictionary)):
+            h = HLL(p)
+            h.add_hashes(hashes[idx == code])
+            groups.append(enc.dictionary[code].as_py())
+            regs.append(h.registers.tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(groups, gcol.type),
+                "registers": pa.array(regs, pa.binary()),
+            }
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        h = HLL(p)
+        for r in group.column("registers").to_pylist():
+            h.merge(HLL(p, np.frombuffer(r, dtype=np.uint8).copy()))
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "estimate": pa.array([h.estimate()], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    out = parts.groupby(group_col).map_groups(_merge, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.take_all())

@@ -134,3 +134,33 @@ def test_approx_quantiles_error_bound(ray_session):
     lo90, hi90 = np.quantile(vals, [0.86, 0.94])
     assert lo50 <= got50 <= hi50
     assert lo90 <= got90 <= hi90
+
+
+def test_approx_distinct_by_accuracy_and_invariance(ray_session):
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.sketch import approx_distinct_by
+
+    rng = np.random.RandomState(5)
+    groups = rng.choice(["a", "b", "c"], 30000)
+    # distinct cardinalities per group differ by an order of magnitude
+    vals = np.where(
+        groups == "a", rng.randint(0, 200, 30000),
+        np.where(groups == "b", rng.randint(0, 2000, 30000),
+                 rng.randint(0, 12000, 30000)),
+    )
+    tbl = pa.table({"g": groups, "v": vals.astype("int64")})
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    out = approx_distinct_by(ds, "g", "v")
+    got = dict(zip(out.column("g").to_pylist(),
+                   out.column("estimate").to_pylist()))
+    import collections
+    true = {g: len({int(v) for gg, v in zip(groups, vals) if gg == g})
+            for g in ("a", "b", "c")}
+    for g in true:
+        assert abs(got[g] - true[g]) <= 0.05 * true[g] + 2, (g, got[g], true[g])
+    out2 = approx_distinct_by(ds.repartition(23), "g", "v")
+    got2 = dict(zip(out2.column("g").to_pylist(),
+                    out2.column("estimate").to_pylist()))
+    assert got2 == got  # register-max merge: block-layout invariant
