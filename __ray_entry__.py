@@ -74,7 +74,7 @@ def entry() -> Any:
     the DOCUMENTS dataset (doc_id + interleaved text/media spans).
     """
     sf_dir = "/root/testdata/sf0.001"
-    n = _rd(sf_dir, "documents").count()
+    n = _rd(sf_dir, "documents", columns=["doc_id"]).count()
     from crawlray.job import run_crawl
     from crawlray.synthgraph import SynthWeb
 
@@ -95,7 +95,11 @@ def entry() -> Any:
 
 def _q1_agg(sf_dir: str):
     """O-28/O-29: grouped aggregation (TPC-H Q1 style) over lineitem."""
-    ds = _rd(sf_dir, "lineitem")
+    ds = _rd(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Sum("l_extendedprice", alias_name="sum_price"),
@@ -107,7 +111,7 @@ def _q1_agg(sf_dir: str):
 
 def _groupby_counts(sf_dir: str):
     """O-28: per-key counts + sums over events."""
-    ds = _rd(sf_dir, "events")
+    ds = _rd(sf_dir, "events", columns=["event_type", "value"])
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("value", alias_name="total_value")
     )
@@ -118,7 +122,10 @@ def _global_agg(sf_dir: str):
     """O-29: global (non-grouped) aggregate over lineitem."""
     from crawlray.ops.relational import single_row_agg
 
-    ds = _rd(sf_dir, "lineitem")
+    ds = _rd(
+        sf_dir, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
     tbl = single_row_agg(
         ds,
         [
@@ -139,10 +146,16 @@ def _global_agg(sf_dir: str):
 
 
 def _dedup_first(sf_dir: str):
-    """O-30/O-38: full-row keep-first dedup (events by user_id, min event_id)."""
-    from crawlray.ops.dedup import dedup_keep_first
+    """O-30/O-38: full-row keep-first dedup (events by user_id, min
+    event_id) on the HASH-PARTITIONED path (VERDICT r3 item 5): one hash
+    shuffle, per-partition vectorized keep-first — no global sort, no
+    boundary repair. The sort-based variant keeps its own coverage in
+    tests/unit/test_dedup.py."""
+    from crawlray.ops.dedup import dedup_keep_first_hash
 
-    return dedup_keep_first(_rd(sf_dir, "events"), key="user_id", order="event_id")
+    return dedup_keep_first_hash(
+        _rd(sf_dir, "events"), key="user_id", order="event_id"
+    )
 
 
 def _global_sort_topk(sf_dir: str):
@@ -167,7 +180,7 @@ def _hash_join(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_mktsegment"],
     ).rename_columns(["o_custkey", "c_name", "c_mktsegment"])
-    orders = _rd(sf_dir, "orders")
+    orders = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, keys=["o_custkey"])
     return joined.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
 
@@ -182,7 +195,7 @@ def _join_agg(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     ).rename_columns(["o_custkey", "c_mktsegment"])
-    orders = _rd(sf_dir, "orders")
+    orders = _rd(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, keys=["o_custkey"])
     out = joined.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
@@ -196,11 +209,13 @@ def _shuffle_join(sf_dir: str):
     both and joins each partition independently)."""
     from crawlray.ops.relational import shuffle_join
 
-    li = _rd(sf_dir, "lineitem").select_columns(
-        ["l_orderkey", "l_quantity", "l_extendedprice"]
+    li = _rd(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
     )
-    orders = _rd(sf_dir, "orders").select_columns(
-        ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = _rd(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
     )
     out = shuffle_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"])
     return out.select_columns(
@@ -276,7 +291,7 @@ def _anti_join(sf_dir: str):
     from crawlray.ops.relational import broadcast_semi_anti
 
     custkeys = (
-        _rd(sf_dir, "orders")
+        _rd(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
         .filter(expr="o_orderstatus == 'F'")
         .unique("o_custkey")
     )
@@ -286,35 +301,36 @@ def _anti_join(sf_dir: str):
 
 
 def _quantiles(sf_dir: str):
-    """Exact distributed quantiles (percentile_cont semantics) of
-    lineitem.l_extendedprice — sort + O(#blocks) metadata walk, no driver
-    rows."""
-    from crawlray.ops.seqassign import exact_quantiles
+    """Exact distributed quantiles (percentile_cont semantics), global AND
+    per-group in one tagged table (VERDICT r3 item 1 consolidation):
+    lineitem.l_extendedprice globally via the sort + O(#blocks)
+    rank-select path (no driver rows), plus per-order-status quantiles of
+    orders.o_totalprice via the grouped shuffle path, each over the SAME
+    quantile list. Global rows carry o_orderstatus='(all)'."""
+    from crawlray.ops.seqassign import exact_quantiles, grouped_quantiles
 
-    p25, p50, p75, p95 = exact_quantiles(
-        _rd(sf_dir, "lineitem", columns=["l_extendedprice"]),
-        "l_extendedprice",
-        [0.25, 0.5, 0.75, 0.95],
-    )
-    return pa.table(
-        {
-            "p25": pa.array([round(p25, 4)]),
-            "p50": pa.array([round(p50, 4)]),
-            "p75": pa.array([round(p75, 4)]),
-            "p95": pa.array([round(p95, 4)]),
-        }
-    )
-
-
-def _grouped_quantiles(sf_dir: str):
-    """Per-group exact quantiles: order-value p50/p90 per order status."""
-    from crawlray.ops.seqassign import grouped_quantiles
-
-    out = grouped_quantiles(
+    qs = [0.25, 0.5, 0.75, 0.95]
+    grouped = grouped_quantiles(
         _rd(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"]),
-        group_cols=["o_orderstatus"], col="o_totalprice", qs=[0.5, 0.9],
+        group_cols=["o_orderstatus"], col="o_totalprice", qs=qs,
     )
-    return _round_cols(out, {"q50": 4, "q90": 4})
+    grouped = _round_cols(grouped, {"q25": 4, "q50": 4, "q75": 4, "q95": 4})
+    g25, g50, g75, g95 = exact_quantiles(
+        _rd(sf_dir, "lineitem", columns=["l_extendedprice"]),
+        "l_extendedprice", qs,
+    )
+    glob = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderstatus": pa.array(["(all)"]),
+                "q25": pa.array([round(g25, 4)]),
+                "q50": pa.array([round(g50, 4)]),
+                "q75": pa.array([round(g75, 4)]),
+                "q95": pa.array([round(g95, 4)]),
+            }
+        )
+    )
+    return grouped.union(glob)
 
 
 def _grouped_topk(sf_dir: str):
@@ -340,9 +356,12 @@ def _session_windows(sf_dir: str):
     )
 
 
-def _set_except(sf_dir: str):
-    """SQL EXCEPT in one tagged groupby (no join): (user, day) pairs with
-    a view but no purchase."""
+def _set_ops(sf_dir: str):
+    """SQL EXCEPT + INTERSECT, one tagged groupby each (no join), merged
+    into one tagged result so both set operators get a driver row inside
+    the 50-entry CORRECTNESS window (VERDICT r3 item 1): (user, day)
+    pairs with a view but no purchase (op='except') and pairs with both
+    (op='intersect')."""
     from crawlray.ops.relational import set_op
 
     ev = _rd(sf_dir, "events", columns=["user_id", "ts", "event_type"])
@@ -361,31 +380,22 @@ def _set_except(sf_dir: str):
 
     views = ev.map_batches(_days("view"), batch_format="pyarrow")
     buys = ev.map_batches(_days("purchase"), batch_format="pyarrow")
-    return set_op(views, buys, ["user_id", "day"], op="except")
 
-
-def _set_intersect(sf_dir: str):
-    """SQL INTERSECT, same machinery: (user, day) pairs with BOTH a view
-    and a purchase."""
-    from crawlray.ops.relational import set_op
-
-    ev = _rd(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-
-    def _days(evtype):
+    def _tag(op: str):
         def _m(batch: pa.Table) -> pa.Table:
-            b = batch.filter(pc.equal(batch.column("event_type"), evtype))
-            return pa.table(
-                {
-                    "user_id": b.column("user_id"),
-                    "day": pc.floor_temporal(b.column("ts"), unit="day"),
-                }
+            return batch.append_column(
+                "op", pa.array([op] * batch.num_rows, pa.string())
             )
 
         return _m
 
-    views = ev.map_batches(_days("view"), batch_format="pyarrow")
-    buys = ev.map_batches(_days("purchase"), batch_format="pyarrow")
-    return set_op(views, buys, ["user_id", "day"], op="intersect")
+    exc = set_op(views, buys, ["user_id", "day"], op="except").map_batches(
+        _tag("except"), batch_format="pyarrow"
+    )
+    its = set_op(views, buys, ["user_id", "day"], op="intersect").map_batches(
+        _tag("intersect"), batch_format="pyarrow"
+    )
+    return exc.union(its)
 
 
 def _pivot(sf_dir: str):
@@ -503,7 +513,7 @@ def _range_join(sf_dir: str):
     emits each qualifying pair exactly once."""
     from crawlray.ops.temporal import range_join
 
-    ev = _rd(sf_dir, "events")
+    ev = _rd(sf_dir, "events", columns=["event_id", "ts", "user_id"])
 
     def _anchors(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id")
@@ -526,16 +536,33 @@ def _range_join(sf_dir: str):
     )
 
 
-def _hash_sample(sf_dir: str):
-    """O-36, deterministic variant: content-keyed ~9.8% sample (25 of 256
-    md5-prefix buckets) — reproducible across runs/parallelism/engines,
-    unlike Dataset.random_sample (which stays the seeded-RNG path)."""
-    from crawlray.ops.relational import hash_sample
+def _samples(sf_dir: str):
+    """O-36, both deterministic samplers in one tagged table (VERDICT r3
+    item 1 consolidation). kind='hash': content-keyed ~9.8% sample (25 of
+    256 md5-prefix buckets) — reproducible across runs/parallelism/
+    engines, unlike Dataset.random_sample. kind='stratified': balanced
+    per-source sample, 10 docs per source chosen as the smallest
+    md5(doc_id) per group — the 'equal representation per source'
+    training-data sampler."""
+    from crawlray.ops.relational import hash_sample, stratified_sample
 
-    return hash_sample(
-        _rd(sf_dir, "documents", columns=["doc_id", "source"]),
-        key="doc_id", buckets_kept=25,
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _tag(kind: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "kind", pa.array([kind] * batch.num_rows, pa.string())
+            )
+
+        return _m
+
+    h = hash_sample(docs, key="doc_id", buckets_kept=25).map_batches(
+        _tag("hash"), batch_format="pyarrow"
     )
+    s = stratified_sample(
+        docs, group_col="source", key_col="doc_id", n_per_group=10
+    ).map_batches(_tag("stratified"), batch_format="pyarrow")
+    return h.union(s)
 
 
 def _salted_grouped_topk(sf_dir: str):
@@ -588,7 +615,7 @@ def _distinct_types(sf_dir: str):
     """O-31: distinct values via groupby shuffle."""
     from crawlray.ops.relational import distinct
 
-    return distinct(_rd(sf_dir, "events"), ["event_type"])
+    return distinct(_rd(sf_dir, "events", columns=["event_type"]), ["event_type"])
 
 
 def _union_all(sf_dir: str):
@@ -599,43 +626,57 @@ def _union_all(sf_dir: str):
     return a.union(b)
 
 
-def _window_bucket(sf_dir: str):
-    """O-42: temporal bucketing (events per hour)."""
-    ds = _rd(sf_dir, "events")
-
-    def _bucket(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "bucket": pc.floor_temporal(batch.column("ts"), unit="hour"),
-                "value": batch.column("value"),
-            }
-        )
-
-    out = (
-        ds.map_batches(_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
-    )
-    return _round_cols(out, {"total_value": 3})
-
-
-def _hopping_window(sf_dir: str):
-    """O-42/§2.9 adjacency: hopping (overlapping) window aggregate —
-    events per 1-hour window hopping every 15 minutes (4 windows/event)."""
+def _windowed_agg(sf_dir: str):
+    """O-42/§2.9: tumbling AND hopping window aggregates in one tagged
+    table (VERDICT r3 item 1 consolidation). Tumbling: events per hour
+    (kind='tumbling', window_start = hour epoch-seconds). Hopping: events
+    per 1-hour window hopping every 15 minutes, 4 windows/event
+    (kind='hopping')."""
     from crawlray.ops.relational import hopping_window_agg
 
-    out = hopping_window_agg(
-        _rd(sf_dir, "events", columns=["ts", "value"]),
-        ts_col="ts", value_col="value", window_seconds=3600, hop_seconds=900,
+    ev = _rd(sf_dir, "events", columns=["ts", "value"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        floor = pc.floor_temporal(batch.column("ts"), unit="hour")
+        secs = pc.divide(pc.cast(floor, pa.int64()), 1_000_000)
+        return pa.table({"window_start": secs, "value": batch.column("value")})
+
+    tumbling = (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
     )
-    return _round_cols(out, {"total_value": 3})
+    hopping = hopping_window_agg(
+        ev, ts_col="ts", value_col="value", window_seconds=3600, hop_seconds=900
+    )
+
+    def _tag(kind: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * batch.num_rows, pa.string()),
+                    "window_start": pc.cast(
+                        batch.column("window_start"), pa.int64()
+                    ),
+                    "n": batch.column("n"),
+                    "total_value": pc.round(
+                        batch.column("total_value"), ndigits=3
+                    ),
+                }
+            )
+
+        return _m
+
+    return tumbling.map_batches(_tag("tumbling"), batch_format="pyarrow").union(
+        hopping.map_batches(_tag("hopping"), batch_format="pyarrow")
+    )
 
 
 def _json_props(sf_dir: str):
     """O-44: JSON field extraction + aggregate."""
     from crawlray.ops.textqa import parse_json_field
 
-    ds = parse_json_field(_rd(sf_dir, "events"), "props", "k", "k")
+    ds = parse_json_field(_rd(sf_dir, "events", columns=["props"]), "props", "k", "k")
     return ds.groupby("k").aggregate(Count(alias_name="n"))
 
 
@@ -643,7 +684,7 @@ def _flatten_tokens(sf_dir: str):
     """O-43 analogue: explode documents into (doc_id, token) rows."""
     from crawlray.ops.textqa import explode_tokens
 
-    return explode_tokens(_rd(sf_dir, "documents"))
+    return explode_tokens(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _quality_score(sf_dir: str):
@@ -658,22 +699,23 @@ def _quality_score(sf_dir: str):
     )
 
 
-def _approx_distinct_by(sf_dir: str):
-    """Per-group HLL approx-distinct (register rows shuffle, never
-    values), oracled the same way as the global sketch: the row carries
-    the exact per-group distinct + a boolean asserting the estimate
-    landed within ±2%; DuckDB reproduces both, so a hash match proves the
-    exact counts AND the sketch's per-group accuracy contract."""
-    from crawlray.ops.sketch import approx_distinct_by
-    from ray.data.aggregate import Count
+def _approx_distinct(sf_dir: str):
+    """O-32 HLL approx-distinct, GLOBAL + per-group in one table (VERDICT
+    r3 item 1 consolidation), oracled as an error-bound check: each row
+    carries the exact distinct user count (engine's own distinct shuffle /
+    grouped count) plus a boolean asserting the HLL estimate landed
+    within ±2% of it. DuckDB reproduces the exact counts and the bound
+    claim (`TRUE`), so a hash match proves the engine's exact distincts
+    AND both sketches' accuracy contracts. The global row carries
+    event_type='(all)'. (±2% is also unit-asserted across cardinalities
+    in tests/unit/test_sketch.py.)"""
+    from crawlray.ops.relational import distinct
+    from crawlray.ops.sketch import approx_distinct, approx_distinct_by
 
-    ests = approx_distinct_by(
-        _rd(sf_dir, "events", columns=["event_type", "user_id"]),
-        "event_type", "user_id",
-    )
+    ev = _rd(sf_dir, "events", columns=["event_type", "user_id"])
+    ests = approx_distinct_by(ev, "event_type", "user_id")
     exact = (
-        _rd(sf_dir, "events", columns=["event_type", "user_id"])
-        .groupby(["event_type", "user_id"]).count()
+        ev.groupby(["event_type", "user_id"]).count()
         .groupby("event_type").aggregate(Count(alias_name="n_exact"))
     )
     ex = {r["event_type"]: r["n_exact"] for r in exact.take_all()}
@@ -689,6 +731,15 @@ def _approx_distinct_by(sf_dir: str):
                 "hll_within_2pct": abs(est - ex[g]) <= 0.02 * ex[g],
             }
         )
+    g_est = approx_distinct(ev, "user_id")
+    g_exact = distinct(ev.select_columns(["user_id"]), ["user_id"]).count()
+    rows.append(
+        {
+            "event_type": "(all)",
+            "n_exact": g_exact,
+            "hll_within_2pct": abs(int(g_est) - g_exact) <= 0.02 * g_exact,
+        }
+    )
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["event_type"]))
 
 
@@ -719,7 +770,16 @@ def _heavy_hitters(sf_dir: str):
     tbl, under = frequent_items(
         _rd(sf_dir, "events", columns=["user_id"]), "user_id", k=4096
     )
-    assert under == 0
+    if under != 0:
+        # diagnosable failure instead of a bare assert (ADVICE r3): at a
+        # larger scale factor the exact-regime precondition (k >= distinct
+        # users) breaks and the plain-GROUP-BY oracle no longer applies
+        raise RuntimeError(
+            f"heavy_hitters oracle precondition violated: Misra-Gries "
+            f"undercount={under} at k=4096 — distinct user_id exceeds k, "
+            f"so the summary is approximate and the exact SQL oracle "
+            f"does not apply at this scale factor"
+        )
     return tbl
 
 
@@ -731,16 +791,20 @@ def _tfidf(sf_dir: str):
     return tfidf(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
-def _doc_stats(sf_dir: str):
-    """Quality scoring: per-doc char/token counts (vectorized kernels)."""
-    from crawlray.ops.textqa import doc_stats
+def _doc_profile(sf_dir: str):
+    """Per-doc profile — the doc_stats, bpe_token_count and fingerprint
+    kernels FUSED into one map_batches pass (one read/stream instead of
+    three; VERDICT r3 item 1 consolidation). Columns: doc_id, n_chars2,
+    n_tokens, n_bpe_tokens (GPT-2-style RE2 pretokenizer count — Arrow
+    and DuckDB share the RE2 engine so counts match exactly), fp (md5)."""
+    from crawlray.ops.textqa import doc_profile
 
-    return doc_stats(_rd(sf_dir, "documents"))
+    return doc_profile(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _token_count_by_source(sf_dir: str):
     """Token counting rolled up per source."""
-    ds = _rd(sf_dir, "documents")
+    ds = _rd(sf_dir, "documents", columns=["source", "text"])
 
     def _with_source(batch: pa.Table) -> pa.Table:
         toks = pc.list_value_length(pc.split_pattern(batch.column("text"), pattern=" "))
@@ -759,18 +823,18 @@ def _token_count_by_source(sf_dir: str):
     return out
 
 
-def _doc_fingerprint(sf_dir: str):
-    """Document fingerprinting (md5 content hash)."""
-    from crawlray.ops.textqa import fingerprint
-
-    return fingerprint(_rd(sf_dir, "documents"))
 
 
 def _exact_dedup_docs(sf_dir: str):
-    """Exact near-key dedup: documents by 5-token text prefix, keep min doc_id."""
-    from crawlray.ops.dedup import dedup_keep_first
+    """Exact near-key dedup: documents by 5-token text prefix, keep min
+    doc_id — hash-partitioned keep-first path (one shuffle, VERDICT r3
+    item 5)."""
+    from crawlray.ops.dedup import dedup_keep_first_hash as dedup_keep_first
 
-    ds = _rd(sf_dir, "documents")
+    ds = _rd(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
 
     def _key(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch.column("text"), pattern=" ")
@@ -784,45 +848,61 @@ def _exact_dedup_docs(sf_dir: str):
     return deduped.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
 
 
-def _knn_cosine(sf_dir: str):
-    """Similarity search: brute-force cosine top-5 for the first 10 vectors."""
-    from crawlray.ops.knn import knn_cosine
-
+def _knn_ann(sf_dir: str):
+    """Similarity search suite in one tagged table (VERDICT r3 item 1
+    consolidation): kind='brute' — brute-force cosine top-5 for the first
+    10 vectors (broadcast queries, per-block top-k); kind='ivf_assign' —
+    IVF nearest-centroid bucket per vector (centroids = first 8
+    embeddings, deterministic); kind='ivf_knn' — IVF ANN end-to-end
+    (bucketing + nprobe=3 probe search, top-5 per query). Columns
+    (kind, id, other): brute/ivf_knn rows are (query_id, neighbor_id);
+    ivf_assign rows are (vec_id, bucket)."""
     import pyarrow.parquet as pq
+
+    from crawlray.ops.knn import ivf_bucket_assign, ivf_search_knn, knn_cosine
 
     q = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    mask = pc.less(q.column("vec_id"), 10)
-    q = q.filter(mask)
-    queries = np.array(q.column("embedding").to_pylist(), dtype=np.float64)
-    qids = np.array(q.column("vec_id").to_pylist(), dtype=np.int64)
-    out = knn_cosine(_rd(sf_dir, "embeddings"), queries, qids, k=5)
-    return pa.table(
-        {
-            "query_id": out.column("query_id"),
-            "neighbor_id": out.column("neighbor_id"),
-        }
+    cent = np.array(
+        q.filter(pc.less(q.column("vec_id"), 8)).column("embedding").to_pylist(),
+        dtype=np.float64,
     )
+    qt = q.filter(pc.less(q.column("vec_id"), 10))
+    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
 
+    emb = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    brute = knn_cosine(emb, queries, qids, k=5)
+    assign = ivf_bucket_assign(emb, cent)
+    ivf = ivf_search_knn(emb, cent, queries, qids, k=5, nprobe=3)
 
-def _embedding_dedup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (threshold 0.45)."""
-    from crawlray.ops.knn import similar_pairs_cosine
+    def _sect(kind, ids, others):
+        return pa.table(
+            {
+                "kind": pa.array([kind] * len(ids), pa.string()),
+                "id": pc.cast(ids, pa.int64()),
+                "other": pc.cast(others, pa.int64()),
+            }
+        )
 
-    return similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
-
-
-def _stratified_sample(sf_dir: str):
-    """Balanced per-source document sample: 10 docs per source, chosen
-    deterministically as the smallest md5(doc_id) per group — the
-    training-data 'equal representation per source' sampler."""
-    from crawlray.ops.relational import stratified_sample
-
-    return stratified_sample(
-        _rd(sf_dir, "documents", columns=["doc_id", "source"]),
-        group_col="source", key_col="doc_id", n_per_group=10,
+    # assignment stays a streaming Dataset (one row per corpus vector —
+    # never driver-materialized); the small top-k tables ride along
+    assign_ds = assign.map_batches(
+        lambda b: _sect("ivf_assign", b.column("vec_id"), b.column("bucket")),
+        batch_format="pyarrow",
     )
+    small = pa.concat_tables(
+        [
+            _sect("brute", brute.column("query_id"), brute.column("neighbor_id")),
+            _sect("ivf_knn", ivf.column("query_id"), ivf.column("neighbor_id")),
+        ]
+    )
+    return assign_ds.union(ray.data.from_arrow(small))
+
+
+
+
 
 
 def _ann_sq8(sf_dir: str):
@@ -841,18 +921,10 @@ def _ann_sq8(sf_dir: str):
     ).slice(0, 10)
     queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
     qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
-    qds = sq8_quantize(_rd(sf_dir, "embeddings"))
+    qds = sq8_quantize(_rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     return sq8_knn(qds, queries, qids, k=5).select(["query_id", "neighbor_id"])
 
 
-def _bpe_token_count(sf_dir: str):
-    """BPE-ish regex token counts (GPT-2-style pretokenizer pattern,
-    RE2) — the second tokenizer the task brief asks for beside the
-    whitespace splitter. Arrow and DuckDB share the RE2 engine, so the
-    oracle reproduces counts exactly."""
-    from crawlray.ops.textqa import bpe_token_count
-
-    return bpe_token_count(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _clean_corpus(sf_dir: str):
@@ -862,7 +934,9 @@ def _clean_corpus(sf_dir: str):
     CHAIN is oracled end-to-end."""
     from crawlray.ops.textqa import clean_corpus_stats
 
-    return clean_corpus_stats(_rd(sf_dir, "documents"))
+    return clean_corpus_stats(
+        _rd(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    )
 
 
 def _dedup_clusters(sf_dir: str):
@@ -876,7 +950,9 @@ def _dedup_clusters(sf_dir: str):
     from crawlray.ops.graph import connected_components
     from crawlray.ops.knn import similar_pairs_cosine
 
-    pairs = similar_pairs_cosine(_rd(sf_dir, "embeddings"), threshold=0.45)
+    pairs = similar_pairs_cosine(
+        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.45
+    )
     return connected_components(_rdm.from_arrow(pairs))
 
 
@@ -894,7 +970,8 @@ def _embedding_srp_dedup(sf_dir: str):
     from crawlray.ops.knn import srp_pairs_cosine
 
     out = srp_pairs_cosine(
-        _rd(sf_dir, "embeddings"), threshold=0.45, n_bits=128, bands=32, seed=7
+        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.45, n_bits=128, bands=32, seed=7,
     )
     return out.select(["id_a", "id_b"])
 
@@ -904,7 +981,7 @@ def _lang_id(sf_dir: str):
     the same stopword-overlap argmax (first-max tie order en/de/fr/es)."""
     from crawlray.ops.textqa import lang_id
 
-    return lang_id(_rd(sf_dir, "documents"))
+    return lang_id(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _lang_id_sql() -> str:
@@ -944,7 +1021,7 @@ def _minhash_signatures(sf_dir: str):
     """MinHash signatures per doc (rows-only; the LSH dedup building block)."""
     from crawlray.ops.neardup import minhash_signatures
 
-    return minhash_signatures(_rd(sf_dir, "documents"))
+    return minhash_signatures(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _minhash_lsh_dedup(sf_dir: str):
@@ -953,39 +1030,23 @@ def _minhash_lsh_dedup(sf_dir: str):
     tests/unit/test_neardup.py)."""
     from crawlray.ops.neardup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_rd(sf_dir, "documents"), jaccard_threshold=0.35)
+    return minhash_lsh_pairs(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]), jaccard_threshold=0.35
+    )
 
 
 def _simhash_docs(sf_dir: str):
     """Per-doc 64-bit simhash fingerprints (rows-only)."""
     from crawlray.ops.neardup import simhash_table
 
-    return simhash_table(_rd(sf_dir, "documents"))
+    return simhash_table(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _simhash_dedup(sf_dir: str):
     """SimHash near-dup pairs via 16-bit band buckets (rows-only)."""
     from crawlray.ops.neardup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_rd(sf_dir, "documents"))
-
-
-def _ann_ivf(sf_dir: str):
-    """IVF bucket assignment for ANN (rows-only): nearest-centroid bucket
-    per vector, centroids = first 8 embeddings (deterministic)."""
-    import pyarrow.parquet as pq
-
-    from crawlray.ops.knn import ivf_bucket_assign
-
-    q = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    cent = np.array(
-        q.filter(pc.less(q.column("vec_id"), 8)).column("embedding").to_pylist(),
-        dtype=np.float64,
-    )
-    out = ivf_bucket_assign(_rd(sf_dir, "embeddings"), cent)
-    return out.select_columns(["vec_id", "bucket"])
+    return simhash_dup_pairs(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _ivf_pairs(sf_dir: str):
@@ -1003,30 +1064,8 @@ def _ivf_pairs(sf_dir: str):
         q.filter(pc.less(q.column("vec_id"), 8)).column("embedding").to_pylist(),
         dtype=np.float64,
     )
-    return ivf_pairs_cosine(_rd(sf_dir, "embeddings"), cent, threshold=0.45)
-
-
-def _approx_distinct(sf_dir: str):
-    """O-32 HLL approx-distinct of events.user_id, ORACLED as an
-    error-bound check (VERDICT r2 item 6): the row carries the exact
-    distinct count (computed by the engine's own distinct shuffle) plus a
-    boolean asserting the HLL estimate landed within ±2% of it. DuckDB
-    reproduces the exact count and the bound claim (`TRUE`), so a hash
-    match proves BOTH the engine's exact distinct AND the sketch's
-    accuracy contract. (±2% is also unit-asserted in tests/unit/
-    test_sketch.py across cardinalities.)"""
-    from crawlray.ops.relational import distinct
-    from crawlray.ops.sketch import approx_distinct
-
-    ds = _rd(sf_dir, "events")
-    est = approx_distinct(ds, "user_id")
-    n_exact = distinct(ds, ["user_id"]).count()
-    ok = abs(int(est) - n_exact) <= 0.02 * n_exact
-    return pa.table(
-        {
-            "n_exact": pa.array([n_exact], pa.int64()),
-            "hll_within_2pct": pa.array([bool(ok)]),
-        }
+    return ivf_pairs_cosine(
+        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]), cent, threshold=0.45
     )
 
 
@@ -1037,61 +1076,31 @@ def _ann_ivf_trained(sf_dir: str):
     k-means++ + Lloyd training path end-to-end."""
     from crawlray.ops.knn import ivf_bucket_assign
 
-    out = ivf_bucket_assign(_rd(sf_dir, "embeddings"), "train", n_centroids=8)
+    out = ivf_bucket_assign(
+        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]), "train", n_centroids=8
+    )
     return out.select_columns(["vec_id", "bucket"])
 
 
-def _ann_ivf_search(sf_dir: str):
-    """IVF ANN end-to-end (rows-only): nearest-centroid bucketing + per-bucket
-    probe search for the first 10 vectors (nprobe=3). Recall vs the exact
-    brute-force baseline is asserted in tests/unit/test_knn_ivf.py."""
-    import pyarrow.parquet as pq
+def _media_pipeline(sf_dir: str):
+    """Multimodal pipeline, all four kernels in one wide result (VERDICT
+    r3 item 1 consolidation: media_decode + media_audio + media_resize +
+    media_frames merged) — computed by ONE fused actor-pool pass
+    (crawlray.ops.media.MediaProfileStage): image decode (REAL
+    PNG/GIF/JPEG header parse when magic bytes match — tested on real
+    bytes in tests/unit/test_media.py; these text-derived payloads take
+    the deterministic, SQL-expressible stub path), resize (integer
+    fit-to-max_dim contract), audio decode (REAL WAV/RIFF header parse,
+    stub for non-audio), frame-sample aggregate in closed form (n sampled
+    frames + summed demuxer seek offsets). One row per document, zero
+    joins/shuffles — every column is a pure per-doc function of the
+    payload, so the three-branch + two-join composition this replaces
+    bought nothing but two exchanges (and deadlocked the 4-CPU test
+    cluster's resource scheduler)."""
+    from crawlray.ops.media import media_profile
 
-    from crawlray.ops.knn import ivf_search_knn
-
-    q = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    cent = np.array(
-        q.filter(pc.less(q.column("vec_id"), 8)).column("embedding").to_pylist(),
-        dtype=np.float64,
-    )
-    qt = q.filter(pc.less(q.column("vec_id"), 10))
-    queries = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)
-    qids = np.array(qt.column("vec_id").to_pylist(), dtype=np.int64)
-    out = ivf_search_knn(_rd(sf_dir, "embeddings"), cent, queries, qids, k=5, nprobe=3)
-    return out.select(["query_id", "neighbor_id"])
-
-
-def _media_audio(sf_dir: str):
-    """Multimodal audio metadata: binary payload -> actor-pool audio
-    decode. Real WAV (RIFF) header parse when magic bytes match (tested
-    on stdlib-generated WAV bytes in tests/unit/test_media.py); the
-    text-derived payloads here carry no RIFF header, so they take the
-    deterministic stub path, which IS SQL-expressible and checked."""
-    from crawlray.ops.media import AudioDecodeStage, attach_binary_payload
-
-    withbin = attach_binary_payload(_rd(sf_dir, "documents"), "doc_id", "text")
-    out = withbin.map_batches(
-        AudioDecodeStage, batch_format="pyarrow", batch_size=64,
-        concurrency=2, num_cpus=0.5,
-    )
-    return _round_cols(
-        out.select_columns(["doc_id", "sample_rate", "channels", "n_frames", "duration_s"]),
-        {"duration_s": 6},
-    )
-
-
-def _media_decode(sf_dir: str):
-    """Multimodal plumbing: binary payload column → actor-pool decode
-    producing typed metadata. Real PNG/GIF/JPEG header decode when magic
-    bytes match (tested on real bytes in tests/unit/test_media.py); these
-    text-derived payloads carry no image signature, so they take the
-    deterministic stub path, which IS SQL-expressible and checked."""
-    from crawlray.ops.media import decode_media
-
-    out = decode_media(_rd(sf_dir, "documents"), "doc_id", "text")
-    return out.select_columns(["doc_id", "n_bytes", "width", "height"])
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return media_profile(docs, "doc_id", "text", max_dim=256, stride=2)
 
 
 def _ngram_jaccard(sf_dir: str):
@@ -1125,22 +1134,6 @@ def _cdc_dup_pairs(sf_dir: str):
     )
 
 
-def _media_resize(sf_dir: str):
-    """Multimodal: decode → actor-pool resize (integer fit-to-max_dim
-    contract; stub arithmetic stands in for a real resampler)."""
-    from crawlray.ops.media import resize_media
-
-    out = resize_media(_rd(sf_dir, "documents"), "doc_id", "text", max_dim=256)
-    return out.select_columns(["doc_id", "width", "height", "out_width", "out_height"])
-
-
-def _media_frames(sf_dir: str):
-    """Multimodal: decode → frame-sample explode (each doc's fake video
-    emits every 2nd frame as its own row, with the seek offset a real
-    demuxer would use)."""
-    from crawlray.ops.media import sample_frames
-
-    return sample_frames(_rd(sf_dir, "documents"), "doc_id", "text", stride=2)
 
 
 def _crawl_smoke(sf_dir: str):
@@ -1150,7 +1143,7 @@ def _crawl_smoke(sf_dir: str):
     from crawlray.job import run_crawl
     from crawlray.synthgraph import SynthWeb
 
-    n = _rd(sf_dir, "documents").count()
+    n = _rd(sf_dir, "documents", columns=["doc_id"]).count()
     web = SynthWeb(seed=42, shape="zipf_hosts", n_urls=max(60, min(n, 2000)), n_hosts=10)
     res = run_crawl(
         web.default_seeds(), web=web, budget_per_host=5, fetch_concurrency=2
@@ -1161,7 +1154,13 @@ def _crawl_smoke(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness harness runs the FIRST 50
+    # entries. All 50 SQL-oracled queries come first (VERDICT r3 item 1 —
+    # near-duplicate entries were merged into tagged multi-part results so
+    # the whole oracled surface fits the window); the 8 rows-only queries
+    # (pytest-parity instead of SQL) follow.
     return {
+        # -- relational core ------------------------------------------
         "q1_agg": _q1_agg,
         "groupby_counts": _groupby_counts,
         "global_agg": _global_agg,
@@ -1171,67 +1170,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_agg": _join_agg,
         "shuffle_join": _shuffle_join,
         "left_outer_join": _left_outer_join,
-        "pagerank": _pagerank,
         "anti_join": _anti_join,
-        "asof_join": _asof_join,
-        "range_join": _range_join,
-        "window_functions": _window_functions,
-        "set_except": _set_except,
-        "set_intersect": _set_intersect,
+        "bloom_semi_join": _bloom_semi_join,
+        "set_ops": _set_ops,
+        "distinct_types": _distinct_types,
+        "union_all": _union_all,
         "pivot": _pivot,
         "unpivot": _unpivot,
-        "group_rank": _group_rank,
         "rollup": _rollup,
-        "bloom_semi_join": _bloom_semi_join,
-        "weighted_sample": _weighted_sample,
-        "hash_sample": _hash_sample,
-        "stratified_sample": _stratified_sample,
-        "quantiles": _quantiles,
-        "grouped_quantiles": _grouped_quantiles,
+        # -- windows / temporal ---------------------------------------
+        "window_functions": _window_functions,
+        "group_rank": _group_rank,
         "grouped_topk": _grouped_topk,
         "session_windows": _session_windows,
+        "windowed_agg": _windowed_agg,
+        "asof_join": _asof_join,
+        "range_join": _range_join,
+        # -- skew-salted variants --------------------------------------
         "salted_grouped_topk": _salted_grouped_topk,
         "salted_shuffle_join": _salted_shuffle_join,
         "salted_session_windows": _salted_session_windows,
-        "distinct_types": _distinct_types,
-        "union_all": _union_all,
-        "window_bucket": _window_bucket,
-        "hopping_window": _hopping_window,
+        # -- sampling / quantiles / sketches ---------------------------
+        "weighted_sample": _weighted_sample,
+        "samples": _samples,
+        "quantiles": _quantiles,
+        "approx_quantiles": _approx_quantiles,
+        "approx_distinct": _approx_distinct,
+        "heavy_hitters": _heavy_hitters,
+        # -- text / LLM-data pipeline ----------------------------------
         "json_props": _json_props,
         "flatten_tokens": _flatten_tokens,
         "tfidf": _tfidf,
-        "heavy_hitters": _heavy_hitters,
-        "approx_quantiles": _approx_quantiles,
-        "approx_distinct_by": _approx_distinct_by,
         "quality_score": _quality_score,
-        "doc_stats": _doc_stats,
+        "doc_profile": _doc_profile,
         "token_count_by_source": _token_count_by_source,
-        "doc_fingerprint": _doc_fingerprint,
+        "lang_id": _lang_id,
         "exact_dedup_docs": _exact_dedup_docs,
-        "knn_cosine": _knn_cosine,
-        "embedding_dedup": _embedding_dedup,
+        "clean_corpus": _clean_corpus,
+        "ngram_jaccard": _ngram_jaccard,
+        "cdc_chunks": _cdc_chunks,
+        "cdc_dup_pairs": _cdc_dup_pairs,
+        # -- embeddings / similarity / graph ---------------------------
+        "knn_ann": _knn_ann,
         "embedding_srp_dedup": _embedding_srp_dedup,
         "dedup_clusters": _dedup_clusters,
-        "clean_corpus": _clean_corpus,
-        "bpe_token_count": _bpe_token_count,
+        "pagerank": _pagerank,
+        # -- multimodal -------------------------------------------------
+        "media_pipeline": _media_pipeline,
+        # ================ rows-only (pytest parity) below ==============
         "ann_sq8": _ann_sq8,
-        "lang_id": _lang_id,
         "minhash_signatures": _minhash_signatures,
         "minhash_lsh_dedup": _minhash_lsh_dedup,
         "simhash_docs": _simhash_docs,
         "simhash_dedup": _simhash_dedup,
-        "ann_ivf": _ann_ivf,
-        "ann_ivf_search": _ann_ivf_search,
         "ann_ivf_trained": _ann_ivf_trained,
         "ivf_pairs": _ivf_pairs,
-        "approx_distinct": _approx_distinct,
-        "ngram_jaccard": _ngram_jaccard,
-        "cdc_chunks": _cdc_chunks,
-        "cdc_dup_pairs": _cdc_dup_pairs,
-        "media_decode": _media_decode,
-        "media_audio": _media_audio,
-        "media_resize": _media_resize,
-        "media_frames": _media_frames,
         "crawl_smoke": _crawl_smoke,
     }
 
@@ -1374,19 +1367,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
-        "set_except": """
-            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
-            FROM events WHERE event_type = 'view'
-            EXCEPT
-            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
-            FROM events WHERE event_type = 'purchase'
-        """,
-        "set_intersect": """
-            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
-            FROM events WHERE event_type = 'view'
-            INTERSECT
-            SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
-            FROM events WHERE event_type = 'purchase'
+        "set_ops": """
+            WITH v AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day
+                       FROM events WHERE event_type = 'purchase')
+            SELECT 'except' AS op, user_id, day
+            FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+            UNION ALL
+            SELECT 'intersect' AS op, user_id, day
+            FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
         """,
         "pivot": """
             SELECT user_id,
@@ -1459,29 +1449,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_id % 97 = 0) w
               ON e.ts BETWEEN w.ws AND w.we
         """,
-        "hash_sample": """
-            SELECT doc_id, source FROM documents
+        "samples": """
+            SELECT doc_id, source, 'hash' AS kind FROM documents
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < '19'
-        """,
-        "stratified_sample": """
-            SELECT doc_id, source FROM documents
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY source
-                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
-            ) <= 10
+            UNION ALL
+            SELECT doc_id, source, 'stratified' AS kind FROM (
+                SELECT doc_id, source FROM documents
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                ) <= 10
+            )
         """,
         "quantiles": """
-            SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-                   ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-                   ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-            FROM lineitem
-        """,
-        "grouped_quantiles": """
             SELECT o_orderstatus,
-                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS q50,
-                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS q90
+                   ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+                   ROUND(quantile_cont(o_totalprice, 0.50), 4) AS q50,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 4) AS q95
             FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT '(all)',
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 4),
+                   ROUND(quantile_cont(l_extendedprice, 0.50), 4),
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4),
+                   ROUND(quantile_cont(l_extendedprice, 0.95), 4)
+            FROM lineitem
         """,
         "grouped_topk": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -1548,13 +1541,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT * FROM orders WHERE o_orderstatus = 'F'
         """,
-        "window_bucket": """
-            SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
-                   ROUND(SUM(value), 3) AS total_value
-            FROM events GROUP BY 1
-        """,
-        "hopping_window": """
-            WITH e AS (
+        "windowed_agg": """
+            WITH t AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                           AS window_start,
+                       COUNT(*) AS n, ROUND(SUM(value), 3) AS total_value
+                FROM events GROUP BY 1
+            ),
+            e AS (
                 SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value
                 FROM events
             ),
@@ -1563,10 +1557,15 @@ def oracle_sql() -> dict[str, str]:
                        UNNEST(range(CAST(FLOOR((es - 3600.0) / 900.0) AS BIGINT) + 1,
                                     CAST(FLOOR(es / 900.0) AS BIGINT) + 1)) AS k
                 FROM e
+            ),
+            h AS (
+                SELECT k * 900 AS window_start, COUNT(*) AS n,
+                       ROUND(SUM(value), 3) AS total_value
+                FROM x GROUP BY 1
             )
-            SELECT k * 900 AS window_start, COUNT(*) AS n,
-                   ROUND(SUM(value), 3) AS total_value
-            FROM x GROUP BY 1
+            SELECT 'tumbling' AS kind, * FROM t
+            UNION ALL
+            SELECT 'hopping' AS kind, * FROM h
         """,
         "json_props": """
             SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
@@ -1621,9 +1620,12 @@ def oracle_sql() -> dict[str, str]:
                                     / CAST(df.df AS DOUBLE)), 6) AS tfidf
             FROM tf JOIN df USING (token)
         """,
-        "doc_stats": """
+        "doc_profile": """
             SELECT doc_id, LENGTH(text) AS n_chars2,
-                   LEN(str_split(text, ' ')) AS n_tokens
+                   LEN(str_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS n_bpe_tokens,
+                   MD5(text) AS fp
             FROM documents
         """,
         "token_count_by_source": """
@@ -1631,33 +1633,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source
         """,
-        "doc_fingerprint": "SELECT doc_id, MD5(text) AS fp FROM documents",
+
         "exact_dedup_docs": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY array_to_string(str_split(text, ' ')[1:5], ' ')
                 ORDER BY doc_id) = 1
         """,
-        "knn_cosine": """
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
-            FROM embeddings q JOIN embeddings e ON q.vec_id < 10
-                 AND e.vec_id != q.vec_id
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY q.vec_id
-                ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
-                         e.vec_id ASC) <= 5
-        """,
-        "embedding_dedup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-        """,
-        "bpe_token_count": """
-            SELECT doc_id,
-                   len(regexp_extract_all(text,
-                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS n_bpe_tokens
-            FROM documents
-        """,
+
+
         "clean_corpus": """
             WITH q AS (
                 SELECT doc_id, source,
@@ -1672,7 +1656,7 @@ def oracle_sql() -> dict[str, str]:
                 QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
             )
             SELECT source, COUNT(*) AS n_docs,
-                   SUM(n_tokens) AS total_tokens
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM d GROUP BY source
         """,
         "dedup_clusters": """
@@ -1694,23 +1678,56 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
-        "media_audio": """
-            WITH b AS (
+        # all four multimodal stages joined per doc (image decode stub
+        # dims, resize contract, audio stub metadata, frame-sample
+        # aggregate) — one row per document, matching the engine's joined
+        # branch pipeline
+        "media_pipeline": """
+            WITH m AS (
                 SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+            ),
+            img AS (
+                SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+                       CAST(n % 640 AS INTEGER) AS width,
+                       CAST(n % 480 AS INTEGER) AS height
+                FROM m
+            ),
+            rez AS (
+                SELECT doc_id, n_bytes, width, height,
+                       CAST(CASE WHEN GREATEST(width, height, 1) > 256
+                            THEN width * 256 // GREATEST(width, height, 1)
+                            ELSE width END AS INTEGER) AS out_width,
+                       CAST(CASE WHEN GREATEST(width, height, 1) > 256
+                            THEN height * 256 // GREATEST(width, height, 1)
+                            ELSE height END AS INTEGER) AS out_height
+                FROM img
+            ),
+            au AS (
+                SELECT doc_id,
+                       CAST(8000 + n % 8000 AS INTEGER) AS sample_rate,
+                       CAST(n % 2 + 1 AS INTEGER) AS channels,
+                       CAST(n AS BIGINT) AS n_frames,
+                       ROUND(CAST(n AS DOUBLE) / (8000 + n % 8000), 6)
+                           AS duration_s
+                FROM m
+            ),
+            fr0 AS (SELECT doc_id, n, n % 7 + 1 AS nf FROM m),
+            fr AS (
+                SELECT fr0.doc_id, COUNT(*) AS n_sampled_frames,
+                       CAST(SUM(f.frame_idx * (fr0.n // fr0.nf)) AS BIGINT)
+                           AS sum_frame_off
+                FROM fr0, LATERAL (
+                    SELECT UNNEST(range(0, fr0.nf, 2)) AS frame_idx
+                ) f
+                GROUP BY fr0.doc_id
             )
-            SELECT doc_id,
-                   CAST(8000 + n % 8000 AS INTEGER) AS sample_rate,
-                   CAST(n % 2 + 1 AS INTEGER) AS channels,
-                   CAST(n AS BIGINT) AS n_frames,
-                   ROUND(CAST(n AS DOUBLE) / (8000 + n % 8000), 6) AS duration_s
-            FROM b
-        """,
-        "media_decode": """
-            SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   octet_length(encode(text)) % 640 AS width,
-                   octet_length(encode(text)) % 480 AS height
-            FROM documents
+            SELECT rez.doc_id, rez.n_bytes, rez.width, rez.height,
+                   rez.out_width, rez.out_height,
+                   au.sample_rate, au.channels, au.n_frames, au.duration_s,
+                   fr.n_sampled_frames, fr.sum_frame_off
+            FROM rez
+            JOIN au USING (doc_id)
+            JOIN fr ON fr.doc_id = rez.doc_id
         """,
         "ngram_jaccard": """
             WITH toks AS (
@@ -1739,68 +1756,117 @@ def oracle_sql() -> dict[str, str]:
             JOIN counts cb ON cb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
         """,
-        "media_resize": """
-            WITH m AS (
-                SELECT doc_id,
-                       octet_length(encode(text)) % 640 AS width,
-                       octet_length(encode(text)) % 480 AS height
-                FROM documents
-            )
-            SELECT doc_id, width, height,
-                   CAST(CASE WHEN GREATEST(width, height, 1) > 256
-                        THEN width * 256 // GREATEST(width, height, 1)
-                        ELSE width END AS INTEGER) AS out_width,
-                   CAST(CASE WHEN GREATEST(width, height, 1) > 256
-                        THEN height * 256 // GREATEST(width, height, 1)
-                        ELSE height END AS INTEGER) AS out_height
-            FROM m
-        """,
-        "media_frames": """
-            WITH m AS (
-                SELECT doc_id,
-                       octet_length(encode(text)) AS n_bytes,
-                       octet_length(encode(text)) % 7 + 1 AS n_frames
-                FROM documents
-            )
-            SELECT m.doc_id,
-                   CAST(f.frame_idx AS INTEGER) AS frame_idx,
-                   CAST(f.frame_idx * (m.n_bytes // m.n_frames) AS BIGINT)
-                       AS frame_off
-            FROM m, LATERAL (
-                SELECT UNNEST(range(0, m.n_frames, 2)) AS frame_idx
-            ) f
-        """,
-        # nearest-centroid assignment over the 8 fixed centroid vectors:
-        # DuckDB computes the same cosine argmax (ties → lowest bucket,
-        # matching np.argmax's first-max-wins); embeddings cast to DOUBLE[]
-        # so both engines accumulate in f64
-        "ann_ivf": """
-            WITH cent AS (
-                SELECT vec_id AS bucket,
-                       CAST(embedding AS DOUBLE[]) AS cvec
-                FROM embeddings WHERE vec_id < 8
+        # rolling-hash CDC chunking, reproduced EXACTLY in SQL (VERDICT r3
+        # item 7): byte codes via unicode() (corpus verified pure ASCII),
+        # window hash as a 16-term HUGEINT polynomial with the engine's
+        # P^t mod 2^64 constants, greedy min/max boundary walk as a
+        # recursive CTE, chunk_fp = md5-low-64 little-endian byte swap
+        "cdc_chunks": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text, length(text) AS n,
+                     list_transform(range(1, length(text)+1),
+                                    i -> CAST(unicode(text[i]) AS HUGEINT)) AS b
+              FROM documents
             ),
-            sims AS (
-                SELECT e.vec_id, c.bucket,
-                       list_cosine_similarity(
-                           CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
-                FROM embeddings e CROSS JOIN cent c
+            -- cut candidates: rolling window hash of the 16 bytes ending
+            -- at position c (FNV-prime polynomial mod 2^64; 64 | 2^64, so
+            -- the low-6-bit mask test reduces to % 64 on the raw sum)
+            cands AS (
+              SELECT doc_id, text, n,
+                     list_filter(range(16, n+1),
+                                 c -> (b[c-15]*1::HUGEINT + b[c-14]*1099511628211::HUGEINT + b[c-13]*956575116354345::HUGEINT + b[c-12]*624165263380053675::HUGEINT + b[c-11]*11527715348014283921::HUGEINT + b[c-10]*913917546033277539::HUGEINT + b[c-9]*15895002104753931833::HUGEINT + b[c-8]*14218562807570617051::HUGEINT + b[c-7]*2232315406967589409::HUGEINT + b[c-6]*10622396531520239123::HUGEINT + b[c-5]*1775861927039214153::HUGEINT + b[c-4]*3510945102848213515::HUGEINT + b[c-3]*17673114087473428657::HUGEINT + b[c-2]*10372170898125509827::HUGEINT + b[c-1]*104005896588101465::HUGEINT + b[c-0]*2442422338666789947::HUGEINT) % 64 = 0) AS cl
+              FROM d
+            ),
+            -- greedy boundary walk (min/max chunk length), one recursion
+            -- step per chunk: next cut = first candidate in
+            -- (start+32, start+1024], else the max-length/EOF cut
+            chunks AS (
+              SELECT doc_id, text, n, cl,
+                     0 AS chunk_idx, CAST(0 AS BIGINT) AS chunk_off,
+                     CAST(coalesce(list_aggregate(
+                         list_filter(cl, x -> x > 32 AND x <= least(1024, n)),
+                         'min'), least(1024, n)) AS BIGINT) AS cut
+              FROM cands WHERE n > 0
+              UNION ALL
+              SELECT doc_id, text, n, cl,
+                     chunk_idx + 1, cut,
+                     CAST(coalesce(list_aggregate(
+                         list_filter(cl, x -> x > cut + 32
+                                          AND x <= least(cut + 1024, n)),
+                         'min'), least(cut + 1024, n)) AS BIGINT)
+              FROM chunks WHERE cut < n
+            ),
+            ch AS (
+              SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                     chunk_off, cut - chunk_off AS chunk_len,
+                     md5(substr(text, CAST(chunk_off + 1 AS INTEGER),
+                                CAST(cut - chunk_off AS INTEGER))) AS h
+              FROM chunks
             )
-            SELECT vec_id, CAST(bucket AS INTEGER) AS bucket
-            FROM (
-                SELECT vec_id, bucket,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY vec_id
-                           ORDER BY sim DESC, bucket ASC) AS rn
-                FROM sims
-            ) WHERE rn = 1
+            SELECT doc_id, chunk_idx, chunk_off, chunk_len,
+                   ('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2) || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT AS chunk_fp
+            FROM ch
         """,
-        # IVF ANN end-to-end: DuckDB reproduces bucket assignment, the
-        # per-query 3 probed buckets (ties → lowest bucket, matching the
-        # engine's stable argsort), and the top-5-per-query ranking with
-        # the engine's deterministic tie-break (sim DESC, neighbor_id ASC,
-        # self excluded) — all in DOUBLE precision
-        "ann_ivf_search": """
+        "cdc_dup_pairs": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text, length(text) AS n,
+                     list_transform(range(1, length(text)+1),
+                                    i -> CAST(unicode(text[i]) AS HUGEINT)) AS b
+              FROM documents
+            ),
+            -- cut candidates: rolling window hash of the 16 bytes ending
+            -- at position c (FNV-prime polynomial mod 2^64; 64 | 2^64, so
+            -- the low-6-bit mask test reduces to % 64 on the raw sum)
+            cands AS (
+              SELECT doc_id, text, n,
+                     list_filter(range(16, n+1),
+                                 c -> (b[c-15]*1::HUGEINT + b[c-14]*1099511628211::HUGEINT + b[c-13]*956575116354345::HUGEINT + b[c-12]*624165263380053675::HUGEINT + b[c-11]*11527715348014283921::HUGEINT + b[c-10]*913917546033277539::HUGEINT + b[c-9]*15895002104753931833::HUGEINT + b[c-8]*14218562807570617051::HUGEINT + b[c-7]*2232315406967589409::HUGEINT + b[c-6]*10622396531520239123::HUGEINT + b[c-5]*1775861927039214153::HUGEINT + b[c-4]*3510945102848213515::HUGEINT + b[c-3]*17673114087473428657::HUGEINT + b[c-2]*10372170898125509827::HUGEINT + b[c-1]*104005896588101465::HUGEINT + b[c-0]*2442422338666789947::HUGEINT) % 64 = 0) AS cl
+              FROM d
+            ),
+            -- greedy boundary walk (min/max chunk length), one recursion
+            -- step per chunk: next cut = first candidate in
+            -- (start+32, start+1024], else the max-length/EOF cut
+            chunks AS (
+              SELECT doc_id, text, n, cl,
+                     0 AS chunk_idx, CAST(0 AS BIGINT) AS chunk_off,
+                     CAST(coalesce(list_aggregate(
+                         list_filter(cl, x -> x > 32 AND x <= least(1024, n)),
+                         'min'), least(1024, n)) AS BIGINT) AS cut
+              FROM cands WHERE n > 0
+              UNION ALL
+              SELECT doc_id, text, n, cl,
+                     chunk_idx + 1, cut,
+                     CAST(coalesce(list_aggregate(
+                         list_filter(cl, x -> x > cut + 32
+                                          AND x <= least(cut + 1024, n)),
+                         'min'), least(cut + 1024, n)) AS BIGINT)
+              FROM chunks WHERE cut < n
+            ),
+            ch AS (
+              SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                     chunk_off, cut - chunk_off AS chunk_len,
+                     md5(substr(text, CAST(chunk_off + 1 AS INTEGER),
+                                CAST(cut - chunk_off AS INTEGER))) AS h
+              FROM chunks
+            ),
+            fps AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2) || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT AS chunk_fp
+              FROM ch
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared_chunks
+            FROM fps a JOIN fps b
+              ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 3
+        """,
+        # similarity-search suite: brute-force cosine top-5, IVF
+        # nearest-centroid assignment (8 fixed centroids, ties → lowest
+        # bucket matching np.argmax first-max-wins), and IVF ANN probe
+        # search (nprobe=3, engine's deterministic tie-breaks), all in
+        # DOUBLE precision, tagged (kind, id, other)
+        "knn_ann": """
             WITH cent AS (
                 SELECT vec_id AS bucket, CAST(embedding AS DOUBLE[]) AS cvec
                 FROM embeddings WHERE vec_id < 8
@@ -1819,6 +1885,16 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn = 1
             ),
             q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+            brute AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.query_id, e.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY list_cosine_similarity(q.qv, e.v)
+                                   DESC, e.vec_id ASC) AS rn
+                    FROM q JOIN emb e ON e.vec_id != q.query_id
+                ) WHERE rn <= 5
+            ),
             probes AS (
                 SELECT query_id, bucket FROM (
                     SELECT q.query_id, c.bucket,
@@ -1837,30 +1913,36 @@ def oracle_sql() -> dict[str, str]:
                 JOIN assign a ON a.bucket = p.bucket
                 JOIN emb e ON e.vec_id = a.vec_id
                 WHERE e.vec_id != q.query_id
+            ),
+            ivfk AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS rn
+                    FROM cand
+                ) WHERE rn <= 5
             )
-            SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY query_id
-                           ORDER BY sim DESC, neighbor_id ASC) AS rn
-                FROM cand
-            ) WHERE rn <= 5
+            SELECT 'brute' AS kind, CAST(query_id AS BIGINT) AS id,
+                   CAST(neighbor_id AS BIGINT) AS other FROM brute
+            UNION ALL
+            SELECT 'ivf_assign', CAST(vec_id AS BIGINT),
+                   CAST(bucket AS BIGINT) FROM assign
+            UNION ALL
+            SELECT 'ivf_knn', CAST(query_id AS BIGINT),
+                   CAST(neighbor_id AS BIGINT) FROM ivfk
         """,
         # error-bound oracle for the HLL sketch: SQL reproduces the exact
         # distinct count and the bound claim; a hash match proves the
         # engine's exact distinct AND that its estimate was within ±2%
         "approx_distinct": """
-            SELECT COUNT(DISTINCT user_id) AS n_exact,
-                   TRUE AS hll_within_2pct
-            FROM events
-        """,
-        "approx_distinct_by": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
                    TRUE AS hll_within_2pct
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '(all)', COUNT(DISTINCT user_id), TRUE FROM events
         """,
-        # rows-only (no SQL equivalent): lang_id, minhash_signatures,
-        # minhash_lsh_dedup, simhash_docs, simhash_dedup, ann_ivf_trained,
-        # ivf_pairs, approx chunkers (cdc_*), crawl_smoke (parity proven
-        # in tests instead)
+        # rows-only (no SQL equivalent, parity proven in tests instead):
+        # ann_sq8, minhash_signatures, minhash_lsh_dedup, simhash_docs,
+        # simhash_dedup, ann_ivf_trained, ivf_pairs, crawl_smoke
     }

@@ -37,23 +37,22 @@ BENCH_QUERIES = [
     "hash_join",
     "join_agg",
     "shuffle_join",
-    "hash_sample",
+    "samples",
     "session_windows",
     "grouped_topk",
     "salted_grouped_topk",
     "salted_shuffle_join",
     "salted_session_windows",
-    "media_decode",
+    "media_pipeline",
     "quantiles",
-    "window_bucket",
-    "hopping_window",
+    "windowed_agg",
     "json_props",
     "flatten_tokens",
-    "doc_fingerprint",
+    "doc_profile",
     "clean_corpus",
     "exact_dedup_docs",
-    "knn_cosine",
-    "embedding_dedup",
+    "knn_ann",
+    "embedding_srp_dedup",
     "pagerank",
     "dedup_clusters",
     "asof_join",
@@ -336,7 +335,27 @@ def main() -> None:
 
     t0 = time.time()
     queries = {} if args.crawl_only else bench_queries(sf_dir, num_cpus)
-    crawl = None if args.skip_crawl else bench_crawl(num_cpus)
+    if args.skip_crawl:
+        crawl = None
+    elif args.crawl_only:
+        crawl = bench_crawl(num_cpus)
+    else:
+        # Run the crawl in a FRESH process (VERDICT r3 item 4): the query
+        # phase leaves ~130 idle workers and a plasma store full of query
+        # blocks behind in this session; the crawl measurement should see
+        # the same clean cluster a standalone run — and the --scaling
+        # protocol — sees. The web cache is generated/persisted first so
+        # the child only pays the (untimed) preload.
+        ensure_web(num_cpus)
+        import ray
+
+        ray.shutdown()
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        sys.stderr.write(p.stderr[-2000:])
+        crawl = json.loads(p.stdout.strip().splitlines()[-1])["crawl"]
     total = round(time.time() - t0, 2)
     if crawl is not None and not args.crawl_only:
         queries["crawl_zipf_200k"] = crawl["seconds"]
@@ -353,7 +372,8 @@ def main() -> None:
     print(json.dumps(payload))
     import ray
 
-    ray.shutdown()
+    if ray.is_initialized():
+        ray.shutdown()
 
 
 if __name__ == "__main__":

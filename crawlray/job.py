@@ -825,6 +825,7 @@ def resume_crawl(
     backend_factory=None,
     seen_capacity: int | None = None,
     max_actor_recoveries: int = 2,
+    num_seen_shards: int | None = None,
 ) -> CrawlResult:
     """Resume a checkpointed crawl from its newest committed wave (O-6, §3.3).
 
@@ -834,6 +835,15 @@ def resume_crawl(
     wave loop. Invariant (tested): run(0..end) ≡ run(0..k) + resume(k..end)
     bit-for-bit. The returned result's crawl_log/documents are assembled
     from ALL committed waves (pre- and post-resume).
+
+    `num_seen_shards` resumes into a DIFFERENT seen-shard count than the
+    checkpoint was written with (Megaphone-style re-shard on resume,
+    SURVEY §7.7-H2 / VERDICT r3 item 9): routing is
+    shard = murmur3_lo(url) % N — a pure function of the stored 128-bit
+    hash, never of N — so changing N is a re-partition of the same key
+    space: the committed seen deltas re-bucket and the stored frontier's
+    shard column is recomputed. Results are shard-count-invariant
+    (tests/resume/test_resume_reshard.py asserts bit-identity).
     """
     import json as _json
 
@@ -910,6 +920,38 @@ def resume_crawl(
             lo, hi = seen_hashes.setdefault(shard_id, ([], []))
             lo.extend(t.column("url_hash_lo").to_pylist())
             hi.extend(t.column("url_hash_hi").to_pylist())
+    new_shards = (
+        int(num_seen_shards)
+        if num_seen_shards is not None
+        else int(cfg["num_seen_shards"])
+    )
+    if new_shards != cfg["num_seen_shards"]:
+        # re-shard: re-bucket every committed (lo, hi) pair by lo % M and
+        # recompute the frontier's shard column — the only two places the
+        # shard count is materialized in checkpoint state
+        all_lo: list[int] = []
+        all_hi: list[int] = []
+        for lo, hi in seen_hashes.values():
+            all_lo.extend(lo)
+            all_hi.extend(hi)
+        lo_arr = np.array(all_lo, np.uint64)
+        hi_arr = np.array(all_hi, np.uint64)
+        buckets = (lo_arr % np.uint64(new_shards)).astype(np.int64)
+        seen_hashes = {
+            int(s): (lo_arr[buckets == s].tolist(), hi_arr[buckets == s].tolist())
+            for s in np.unique(buckets)
+        }
+        fr_shard = pa.array(
+            (
+                frontier_tbl.column("url_hash_lo").to_numpy().astype(np.uint64)
+                % np.uint64(new_shards)
+            ).astype(np.uint32),
+            pa.uint32(),
+        )
+        frontier_tbl = frontier_tbl.set_column(
+            frontier_tbl.schema.get_field_index("shard"), "shard", fr_shard
+        )
+
     host_state: dict[int, dict] = {}
     hdir = os.path.join(out_dir, f"wave={last:05d}", "host_state")
     for fname in os.listdir(hdir):
@@ -930,7 +972,7 @@ def resume_crawl(
         budget_per_host=cfg["budget_per_host"],
         max_depth=cfg["max_depth"],
         max_pages=cfg["max_pages"],
-        num_seen_shards=cfg["num_seen_shards"],
+        num_seen_shards=new_shards,
         num_robots_shards=cfg["num_robots_shards"],
         num_host_shards=cfg["num_host_shards"],
         carryover_tokens=cfg["carryover_tokens"],

@@ -37,6 +37,40 @@ def _collect_table(ds: ray.data.Dataset, schema: pa.Schema) -> pa.Table:
     return pa.concat_tables(tbls)
 
 
+def _collect_partials(
+    ds: ray.data.Dataset,
+    schema: pa.Schema,
+    key: str,
+    agg: tuple[str, str] | None,
+    max_driver_blocks: int = 64,
+) -> pa.Table:
+    """Per-block partial rows → one driver table, with a volume guard
+    (ADVICE r3): the HLL chooser certifies the NODE count is small, but a
+    raw collect pulls O(#blocks × nodes-per-block) partial rows. When the
+    partial dataset has many blocks, pre-combine per key with one small
+    Ray Data groupby (tree reduce over already-tiny partials) so the
+    driver receives at most one row per node regardless of edge block
+    count. `agg` is (value_col, 'sum'|'min'), or None for distinct keys.
+    """
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    mat = ds.materialize()
+    if mat.num_blocks() > max_driver_blocks:
+        if agg is None:
+            mat = mat.groupby(key).count().select_columns([key])
+        else:
+            col, how = agg
+            a = (
+                _Sum(col, alias_name=col)
+                if how == "sum"
+                else _Min(col, alias_name=col)
+            )
+            mat = mat.groupby(key).aggregate(a)
+        mat = mat.materialize()
+    return _collect_table(mat, schema)
+
+
 def _approx_node_count(edges: ray.data.Dataset, cols: list[str]) -> float:
     """HLL (±~1.6%, p=12) estimate of the distinct-node count over the
     union of endpoint columns — ONE streaming pass with a 4 KiB partial
@@ -162,9 +196,10 @@ def _pagerank_broadcast(
             }
         )
 
-    parts = _collect_table(
-        edges.map_batches(_nd_partial, batch_format="pyarrow").materialize(),
+    parts = _collect_partials(
+        edges.map_batches(_nd_partial, batch_format="pyarrow"),
         pa.schema([("node", node_type), ("c", pa.int64())]),
+        key="node", agg=("c", "sum"),
     )
     tot = parts.group_by(["node"]).aggregate([("c", "sum")])
     node_arr = tot.column("node").combine_chunks()
@@ -193,9 +228,10 @@ def _pagerank_broadcast(
             g = t.group_by(["node"]).aggregate([("w", "sum")])
             return g.rename_columns(["node", "w"])
 
-        parts = _collect_table(
-            edges.map_batches(_partial, batch_format="pyarrow").materialize(),
+        parts = _collect_partials(
+            edges.map_batches(_partial, batch_format="pyarrow"),
             pa.schema([("node", node_arr.type), ("w", pa.float64())]),
+            key="node", agg=("w", "sum"),
         )
         in_sum = np.zeros(n, np.float64)
         if parts.num_rows:
@@ -319,9 +355,10 @@ def _cc_broadcast(
             .aggregate([])
         )
 
-    parts = _collect_table(
-        edges.map_batches(_n_partial, batch_format="pyarrow").materialize(),
+    parts = _collect_partials(
+        edges.map_batches(_n_partial, batch_format="pyarrow"),
         pa.schema([("u", u_type)]),
+        key="u", agg=None,
     )
     node_arr = (
         parts.group_by(["u"]).aggregate([]).column("u").combine_chunks()
@@ -350,9 +387,10 @@ def _cc_broadcast(
             g = t.group_by(["v"]).aggregate([("lu", "min")])
             return g.rename_columns(["v", "lu"])
 
-        parts = _collect_table(
-            edges.map_batches(_partial, batch_format="pyarrow").materialize(),
+        parts = _collect_partials(
+            edges.map_batches(_partial, batch_format="pyarrow"),
             pa.schema([("v", pa.int64()), ("lu", pa.int64())]),
+            key="v", agg=("lu", "min"),
         )
         new = labels.copy()
         if parts.num_rows:

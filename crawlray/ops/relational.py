@@ -712,6 +712,10 @@ def window_shift_cum(
     last in `order_cols` so the frame order (and therefore LAG/LEAD and
     the running sum) is deterministic, exactly as the equivalent OVER
     clause requires.
+
+    NULL semantics match SQL (ADVICE r3): LAG/LEAD propagate a NULL value
+    as NULL (not NaN), and the running SUM ignores NULL rows (the frame's
+    sum is NULL only while no non-null value has been seen yet).
     """
     import numpy as np
 
@@ -720,23 +724,27 @@ def window_shift_cum(
             group, sort_keys=[(c, "ascending") for c in order_cols]
         )
         g = group.take(idx)
-        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(
-            np.float64
+        col = g.column(value_col).combine_chunks()
+        null_mask = (
+            pc.is_null(col).to_numpy(zero_copy_only=False)
+            if col.null_count
+            else np.zeros(len(col), bool)
         )
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        v_filled = np.where(null_mask, 0.0, v)
         n = len(v)
-        lag = np.concatenate(([0.0], v[:-1]))
-        lead = np.concatenate((v[1:], [0.0]))
-        lag_mask = np.zeros(n, bool)
-        lead_mask = np.zeros(n, bool)
-        if n:
-            lag_mask[0] = True
-            lead_mask[-1] = True
+        lag = np.concatenate(([0.0], v_filled[:-1]))
+        lead = np.concatenate((v_filled[1:], [0.0]))
+        lag_mask = np.concatenate(([True], null_mask[:-1]))
+        lead_mask = np.concatenate((null_mask[1:], [True])) if n else null_mask
+        rs = np.cumsum(v_filled)
+        rs_mask = np.cumsum(~null_mask) == 0  # NULL until a value appears
         return pa.table(
             {
                 **{c: g.column(c) for c in g.column_names},
                 "lag_value": pa.array(lag, mask=lag_mask),
                 "lead_value": pa.array(lead, mask=lead_mask),
-                "running_sum": pa.array(np.cumsum(v)),
+                "running_sum": pa.array(rs, mask=rs_mask),
             }
         )
 
@@ -878,12 +886,15 @@ def bloom_semi_join(
         return batch.filter(pa.array(~hit))
 
     candidates = left.map_batches(_probe, batch_format="pyarrow")
+    # no fixed repartition here (ADVICE r3): shuffle_join's size-aware
+    # num_partitions default scales with the right key set; a hardcoded
+    # repartition(2) would funnel a large key set into 2 aggregators
     rkeys = distinct(right.select_columns([key]), [key]).map_batches(
         lambda b: b.append_column(
             "_rhit", pa.array(np.ones(b.num_rows, np.int8))
         ),
         batch_format="pyarrow",
-    ).repartition(2)
+    )
     verified = shuffle_join(
         candidates, rkeys, on=[key],
         join_type="left_outer" if anti else "inner",
@@ -905,31 +916,54 @@ def weighted_sample(
     key_col: str,
     weight_col: str,
     k: int,
+    hash_fn: str = "md5",
 ) -> ray.data.Dataset:
     """Deterministic weighted sample WITHOUT replacement (Efraimidis &
-    Spirakis, IPL 2006): each row draws u = md5-uniform(key) ∈ (0,1] and
+    Spirakis, IPL 2006): each row draws u = hash-uniform(key) ∈ (0,1] and
     the k rows with the largest u^(1/weight) win — inclusion probability
     proportional to weight, yet a pure function of the data (stable across
-    runs, parallelism and engines; the SQL oracle expresses the identical
-    score as POW(('0x'||SUBSTR(MD5(key),1,8))::BIGINT+1 / 4294967297.0,
-    1.0/weight)). Per-batch score is vectorized except the md5 itself;
-    selection is the existing distributed sort+limit top-k.
+    runs, parallelism and engines).
+
+    hash_fn="md5" (default) keeps SQL-oracle parity — the oracle expresses
+    the identical score as POW(('0x'||SUBSTR(MD5(key),1,8))::BIGINT+1 /
+    4294967297.0, 1.0/weight) — at the cost of a per-row Python md5.
+    hash_fn="murmur3" uses the repo's vectorized murmur3_x64_128 batch
+    kernel (no per-row Python) for production-volume runs (ADVICE r3),
+    mirroring hash_sample_fast. Selection is the distributed sort+limit
+    top-k either way.
     """
     import hashlib
 
     import numpy as np
 
+    if hash_fn not in ("md5", "murmur3"):
+        raise ValueError("hash_fn must be 'md5' or 'murmur3'")
+
+    def _uniform(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        if hash_fn == "md5":
+            u = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(str(v).encode("utf-8")).digest()[:4], "big"
+                    )
+                    for v in col.to_pylist()
+                ],
+                np.float64,
+            )
+            return (u + 1.0) / 4294967297.0
+        from crawlray.murmur3 import murmur3_x64_128_batch
+
+        scol = col
+        if not pa.types.is_string(scol.type) and not pa.types.is_large_string(
+            scol.type
+        ):
+            scol = pc.cast(scol, pa.string())
+        lo, _hi = murmur3_x64_128_batch(scol)
+        # map uint64 hash → (0, 1]: (h + 1) / 2^64, vectorized
+        return (lo.astype(np.float64) + 1.0) / 18446744073709551616.0
+
     def _score(batch: pa.Table) -> pa.Table:
-        u = np.array(
-            [
-                int.from_bytes(
-                    hashlib.md5(str(v).encode("utf-8")).digest()[:4], "big"
-                )
-                for v in batch.column(key_col).to_pylist()
-            ],
-            np.float64,
-        )
-        u = (u + 1.0) / 4294967297.0
+        u = _uniform(batch.column(key_col).combine_chunks())
         w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
             np.float64
         )

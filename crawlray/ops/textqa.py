@@ -115,6 +115,38 @@ def fingerprint(
     return ds.map_batches(_fp, batch_format="pyarrow")
 
 
+def doc_profile(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Fused per-doc profile: the doc_stats, bpe_token_count and
+    fingerprint kernels in ONE map_batches pass (one read, one stream —
+    the shape three separate passes over a 100 TB corpus should fuse
+    into). Columns: (id, n_chars2, n_tokens, n_bpe_tokens, fp). The
+    individual operators remain available (and unit-tested) for callers
+    that need just one of them.
+    """
+
+    def _profile(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        toks = pc.split_pattern(text, pattern=" ")
+        bpe = pc.count_substring_regex(text, pattern=BPE_TOKEN_PATTERN)
+        fps = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in text.to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chars2": pc.cast(pc.utf8_length(text), pa.int64()),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                "n_bpe_tokens": pc.cast(bpe, pa.int64()),
+                "fp": pa.array(fps),
+            }
+        )
+
+    return ds.map_batches(_profile, batch_format="pyarrow")
+
+
 def lang_id(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:

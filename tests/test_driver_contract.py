@@ -68,5 +68,15 @@ def test_query_matches_oracle(name, con, ray_session):
     assert sorted(res.columns) == sorted(want.columns), (
         f"{name}: cols {sorted(res.columns)} != {sorted(want.columns)}"
     )
+    # dtype-kind parity (int vs float vs bool vs object) — the driver's
+    # schema check is dtype-sensitive; clean_corpus int64-vs-float64
+    # slipped through before this guard (VERDICT r3 item 2)
+    for c in res.columns:
+        ka, kb = res[c].dtype.kind, want[c].dtype.kind
+        ka = "i" if ka == "u" else ka
+        kb = "i" if kb == "u" else kb
+        assert ka == kb, (
+            f"{name}: column {c} dtype kind {res[c].dtype} != {want[c].dtype}"
+        )
     a, b = _normalize(res), _normalize(want)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
