@@ -117,6 +117,11 @@ def dedup_keep_first_hash(
     Output block order is arbitrary; use the sort-based variant when the
     caller needs key-ordered output. Same semantics otherwise: QUALIFY
     ROW_NUMBER() OVER (PARTITION BY key ORDER BY order) = 1.
+
+    Caveat: `groupby().map_groups()` emits zero-column empty blocks for
+    empty hash partitions; they are harmless to scans/to_pandas/writes but
+    poison Acero joins — a caller feeding this into `Dataset.join` should
+    scrub with `crawlray.ops.neardup._drop_empty_blocks(out.materialize())`.
     """
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))

@@ -42,13 +42,15 @@ def _collect_partials(
     schema: pa.Schema,
     key: str,
     agg: tuple[str, str] | None,
-    max_driver_blocks: int = 64,
+    max_driver_rows: int = 4_000_000,
 ) -> pa.Table:
     """Per-block partial rows → one driver table, with a volume guard
     (ADVICE r3): the HLL chooser certifies the NODE count is small, but a
-    raw collect pulls O(#blocks × nodes-per-block) partial rows. When the
-    partial dataset has many blocks, pre-combine per key with one small
-    Ray Data groupby (tree reduce over already-tiny partials) so the
+    raw collect pulls O(#blocks × nodes-per-block) partial rows. When that
+    VOLUME is actually large (row count on the materialized partials — an
+    O(1) metadata read, NOT a block-count proxy: a small graph sharded
+    into many blocks stays on the fast path), pre-combine per key with one
+    small Ray Data groupby (tree reduce over already-tiny partials) so the
     driver receives at most one row per node regardless of edge block
     count. `agg` is (value_col, 'sum'|'min'), or None for distinct keys.
     """
@@ -56,7 +58,7 @@ def _collect_partials(
     from ray.data.aggregate import Sum as _Sum
 
     mat = ds.materialize()
-    if mat.num_blocks() > max_driver_blocks:
+    if mat.count() > max_driver_rows:
         if agg is None:
             mat = mat.groupby(key).count().select_columns([key])
         else:

@@ -547,6 +547,7 @@ def srp_pairs_cosine(
     bands: int = 8,
     seed: int = 7,
     max_bucket: int = 4096,
+    broadcast_bytes: int = 256 << 20,
 ) -> pa.Table:
     """Embedding near-dup pairs via signed-random-projection (SRP) LSH —
     the sub-quadratic scale path alongside `ivf_pairs_cosine`.
@@ -626,11 +627,82 @@ def srp_pairs_cosine(
     if pairs.count() == 0:
         return empty
 
-    # exact-verify: attach vec_a / vec_b with two hash joins over candidate
+    # exact-verify. Adaptive chooser (same idiom as pagerank/CC): when the
+    # whole normalized corpus matrix fits a broadcast budget, ray.put it
+    # ONCE and verify candidate pairs by direct row indexing per batch —
+    # the join path would ship each dim*8-byte vector once PER CANDIDATE
+    # PAIR (measured at sf0.1: ~1.8 GB through two exchanges for a 1 MB
+    # corpus matrix). The join path below remains for corpora past the
+    # budget, where no single worker should hold the matrix.
+    n_vec = slim.count()
+    if n_vec * dim * 8 <= broadcast_bytes:
+        full = pa.concat_tables(ray.get(slim.to_arrow_refs()))
+        all_ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(all_ids, kind="stable")
+        ids_sorted = all_ids[order]
+        mat_sorted = _normalize(
+            np.array(full.column(vec_col).to_pylist(), dtype=np.float64)[order]
+        )
+        mat_ref = ray.put((ids_sorted, mat_sorted))
+
+        def _verify_bcast(batch: pa.Table) -> pa.Table:
+            ids_s, m = ray.get(mat_ref)
+            ia = np.searchsorted(
+                ids_s,
+                batch.column("id_a").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            )
+            ib = np.searchsorted(
+                ids_s,
+                batch.column("id_b").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            )
+            sim = np.einsum("ij,ij->i", m[ia], m[ib])
+            keep = np.nonzero(sim >= threshold)[0]
+            kp = pa.array(keep)
+            return pa.table(
+                {
+                    "id_a": batch.column("id_a").take(kp),
+                    "id_b": batch.column("id_b").take(kp),
+                    "sim": pa.array(np.round(sim[keep], 6), pa.float64()),
+                }
+            )
+
+        out = pairs.map_batches(_verify_bcast, batch_format="pyarrow").take_all()
+        out.sort(key=lambda rrow: (rrow["id_a"], rrow["id_b"]))
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [
+                    ("id_a", pa.int64()),
+                    ("id_b", pa.int64()),
+                    ("sim", pa.float64()),
+                ]
+            ),
+        )
+
+    # join path: attach vec_a / vec_b with two hash joins over candidate
     # volume, then one vectorized f64 einsum per batch. Acero hash joins
     # reject list<> payload columns, so vectors ride the join as
     # fixed-size-binary rows (zero-copy f64 encode/decode both ways).
-    nparts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # Partition count sized from the actual candidate volume (~64 MiB per
+    # aggregator, same rule as shuffle_join — a fixed max(8, CPU) spun up
+    # 32 aggregators per join on a 27 MB pair set and dominated wall time).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    try:
+        cand_bytes = (pairs.size_bytes() or 0) + (slim.size_bytes() or 0)
+    except Exception:  # noqa: BLE001 — size unknown for this source
+        cand_bytes = 0
+    nparts = (
+        int(min(max(2, -(-cand_bytes // (64 << 20))),
+                max(cpus, -(-cand_bytes // (256 << 20)))))
+        if cand_bytes
+        else max(8, cpus)
+    )
     bin_type = pa.binary(dim * 8)
 
     def _to_bin(batch: pa.Table) -> pa.Table:

@@ -207,6 +207,25 @@ def test_srp_pairs_precision_exact_and_recall_high(ray_session):
     assert len(set(got_pairs)) >= 0.8 * len(want)
 
 
+def test_srp_pairs_broadcast_equals_join_path(ray_session):
+    """The adaptive exact-verify chooser: the broadcast path (corpus
+    matrix ray.put once, direct row indexing) and the join path (vectors
+    ride two hash joins as fixed-size-binary) must emit IDENTICAL pairs
+    and sims — broadcast_bytes=0 forces the join path."""
+    from crawlray.ops.knn import srp_pairs_cosine
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(100, 16)
+    m = np.vstack([m, m[:15] + 0.01 * rng.randn(15, 16)])
+    ds, _ = _ds(m)
+    bcast = srp_pairs_cosine(ds, 0.9, n_bits=64, bands=8, seed=7)
+    joined = srp_pairs_cosine(
+        ds, 0.9, n_bits=64, bands=8, seed=7, broadcast_bytes=0
+    )
+    assert bcast.to_pylist() == joined.to_pylist()
+    assert bcast.num_rows > 0  # non-vacuous
+
+
 def test_srp_pairs_deterministic_across_layouts(ray_session):
     """Same seed + input ⇒ identical pair set at any parallelism."""
     from crawlray.ops.knn import srp_pairs_cosine

@@ -63,6 +63,36 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert (100, 101) in got_pairs  # near-dup pair
 
 
+def test_minhash_verify_join_path_equals_broadcast(ray_session, monkeypatch):
+    """_verify_jaccard's adaptive chooser: forcing the Dataset.join path
+    (broadcast budget 0) must yield the same verified pairs as the
+    broadcast tag path. A dup-heavy corpus keeps the candidate jid set
+    dense enough to fill every join partition (with the pair-volume
+    partition clamp)."""
+    import ray.data
+
+    from crawlray.ops import neardup
+
+    base = _corpus()
+    # replicate the planted-dup block across many ids so the candidate
+    # pair set is large enough to exercise the join meaningfully
+    texts = base.column("text").to_pylist()
+    ids, out_texts = [], []
+    for rep in range(8):
+        for i, t in zip(base.column("doc_id").to_pylist(), texts):
+            ids.append(rep * 1000 + i)
+            out_texts.append(t)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(out_texts)}
+    )
+    ds = ray.data.from_arrow(tbl)
+    bcast = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pylist()
+    monkeypatch.setattr(neardup, "_VERIFY_BROADCAST_MAX_HALF_ROWS", 0)
+    joined = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pylist()
+    assert bcast == joined
+    assert len(bcast) > 50  # non-vacuous: replicated dups make many pairs
+
+
 def test_minhash_signature_determinism(ray_session):
     import ray.data
 
