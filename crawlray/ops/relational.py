@@ -119,6 +119,71 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     return ds.groupby(cols).count().select_columns(cols)
 
 
+def grouped_count_hash(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    alias: str = "n",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """COUNT(*) per key tuple via map-side Arrow hash-aggregation partials
+    + ONE hash-bucket exchange + per-partition Arrow hash merge.
+
+    Equivalent to `ds.groupby(keys).aggregate(Count(alias))` but avoids
+    Ray's sort-based groupby shuffle, which was measured at 20x+ the cost
+    of a hash exchange on multi-key row sets (round 4: 36 s -> 1.7 s on
+    4.1M two-int64-key rows). Both the per-block partial and the
+    per-partition merge are pyarrow `Table.group_by` hash aggregations —
+    no sorting anywhere; routing `_pk` is a vectorized mix of per-column
+    murmur3 (strings) / multiplicative hashes (ints), so every key tuple
+    meets in exactly one partition.
+
+    Caveat (same as every `groupby().map_groups()` shape): empty hash
+    partitions yield zero-column empty blocks — harmless to scans and
+    aggregations, but scrub with `neardup._drop_empty_blocks` before
+    feeding the output into a `Dataset.join`.
+    """
+    import numpy as np
+
+    from crawlray.murmur3 import murmur3_x64_128_batch
+
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _pk_of(t: pa.Table) -> pa.Array:
+        acc = np.zeros(t.num_rows, np.uint64)
+        for k in keys:
+            col = t.column(k).combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type
+            ):
+                lo, _hi = murmur3_x64_128_batch(col)
+            else:
+                lo = col.to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                ) * np.uint64(0x9E3779B97F4A7C15)
+            acc = acc * np.uint64(1099511628211) + lo
+        return pa.array((acc % np.uint64(num_partitions)).astype(np.int32))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        g = g.rename_columns(keys + ["_c"])
+        return g.append_column("_pk", _pk_of(g))
+
+    def _merge(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(keys + ["_c"])
+            .group_by(keys)
+            .aggregate([("_c", "sum")])
+        )
+        return g.rename_columns(keys + [alias])
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
 def topk(
     ds: ray.data.Dataset,
     keys: list[str],

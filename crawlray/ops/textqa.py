@@ -222,8 +222,13 @@ def tfidf(
     Distributed shape (no driver rows, vocabulary never broadcast — its
     heavy tail can be huge at corpus scale):
       1. token explode (vectorized split, one row per occurrence);
-      2. groupby(doc, term) count → tf   (Ray's partial+final tree agg);
-      3. groupby(term) count over tf → df (document frequency);
+      2. (doc, term) count → tf via `grouped_count_hash` — map-side Arrow
+         hash partials + ONE hash-bucket exchange (round 4: Ray's
+         sort-based two-key groupby was the pipeline's dominant cost);
+         tf is MATERIALIZED once because two consumers read it (df and
+         the join) — unmaterialized, the whole explode+count re-executes
+         per consumer;
+      3. (term) count over tf → df (document frequency), same kernel;
       4. tf ⋈ df on term via the hash-shuffle join — both sides already
          keyed by term, and df's skew is bounded because it is one row per
          distinct term.
@@ -231,14 +236,17 @@ def tfidf(
     metadata). Scores are rounded to `ndigits` so distributed float jitter
     can't flip an external oracle's value hash.
     """
-    from ray.data.aggregate import Count
-
-    from crawlray.ops.relational import shuffle_join
+    from crawlray.ops.neardup import _drop_empty_blocks
+    from crawlray.ops.relational import grouped_count_hash, shuffle_join
 
     n_docs = ds.count()
     toks = explode_tokens(ds, id_col, text_col)
-    tf = toks.groupby([id_col, "token"]).aggregate(Count(alias_name="tf"))
-    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    tf = _drop_empty_blocks(
+        grouped_count_hash(toks, [id_col, "token"], alias="tf").materialize()
+    )
+    df = _drop_empty_blocks(
+        grouped_count_hash(tf, ["token"], alias="df").materialize()
+    )
     joined = shuffle_join(tf, df, on=["token"])
 
     def _score(batch: pa.Table) -> pa.Table:

@@ -374,3 +374,42 @@ def test_quality_score_actor_pool(ray_session):
     nc, nt, npd = len(t), len(t.split(" ")), len(t) - len(t.replace(".", ""))
     z = -1.0 + 0.002 * nc - 0.01 * nt + 0.3 * (nc / nt) + 5.0 * (npd / nc)
     assert abs(got[1] - round(1 / (1 + math.exp(-z)), 6)) < 1e-9
+
+
+def test_grouped_count_hash_equals_ray_groupby(ray_session):
+    """grouped_count_hash ≡ Ray's groupby().count() on mixed-type keys
+    (int + string), at any parallelism, including the single-key form."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from crawlray.ops.relational import grouped_count_hash
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "uid": pa.array(rng.randint(0, 40, n), pa.int64()),
+            "tok": pa.array([f"t{v}" for v in rng.randint(0, 25, n)]),
+        }
+    )
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = {
+            (r["uid"], r["tok"]): r["n"]
+            for r in grouped_count_hash(ds, ["uid", "tok"]).take_all()
+        }
+        want = {
+            (r["uid"], r["tok"]): r["count()"]
+            for r in ds.groupby(["uid", "tok"]).count().take_all()
+        }
+        assert got == want
+        got1 = {
+            r["tok"]: r["n"]
+            for r in grouped_count_hash(ds, ["tok"], alias="n").take_all()
+        }
+        want1 = {
+            r["tok"]: r["cnt"]
+            for r in ds.groupby("tok").aggregate(Count(alias_name="cnt")).take_all()
+        }
+        assert got1 == want1
