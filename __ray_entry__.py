@@ -476,15 +476,35 @@ def _bloom_semi_join(sf_dir: str):
     )
 
 
-def _weighted_sample(sf_dir: str):
-    """Deterministic weighted sample (Efraimidis-Spirakis): 100 orders,
-    inclusion probability ∝ o_totalprice, pure function of the data."""
-    from crawlray.ops.relational import weighted_sample
+def _pack_sequences(sf_dir: str):
+    """Sequence packing for training-data prep (concat-and-chunk): docs
+    concatenated per source in doc_id order, the token stream cut every
+    256 tokens; each doc reports its running token total and the pack its
+    first token lands in. Distributed via the O-33 order-assignment shape
+    (one range sort + O(#blocks + #sources) driver metadata), never a
+    whole-source map_groups."""
+    from crawlray.ops.corpusprep import pack_sequences
 
-    return weighted_sample(
-        _rd(sf_dir, "orders"), key_col="o_orderkey",
-        weight_col="o_totalprice", k=100,
+    return pack_sequences(
+        _rd(sf_dir, "documents", columns=["source", "doc_id", "text"]),
+        budget=256,
     )
+
+
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus docs sharing >= 1 word 8-gram
+    with a held-out benchmark set (16/256 md5 buckets of doc_id — the
+    same deterministic split the oracle expresses), with the count of
+    distinct shared grams. Gram explode is one vectorized
+    binary_join_element_wise per batch; the membership test rides the
+    Bloom semi-join (bitmap partials + broadcast probe + exact verify)."""
+    from crawlray.ops.corpusprep import decontaminate
+    from crawlray.ops.relational import hash_sample
+
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = hash_sample(docs, key="doc_id", buckets_kept=16)
+    cand = hash_sample(docs, key="doc_id", buckets_kept=16, invert=True)
+    return decontaminate(cand, bench, n=8)
 
 
 def _asof_join(sf_dir: str):
@@ -537,14 +557,21 @@ def _range_join(sf_dir: str):
 
 
 def _samples(sf_dir: str):
-    """O-36, both deterministic samplers in one tagged table (VERDICT r3
-    item 1 consolidation). kind='hash': content-keyed ~9.8% sample (25 of
+    """O-36, all three deterministic samplers in one tagged table (VERDICT
+    r3/r4 consolidation). kind='hash': content-keyed ~9.8% sample (25 of
     256 md5-prefix buckets) — reproducible across runs/parallelism/
     engines, unlike Dataset.random_sample. kind='stratified': balanced
     per-source sample, 10 docs per source chosen as the smallest
     md5(doc_id) per group — the 'equal representation per source'
-    training-data sampler."""
-    from crawlray.ops.relational import hash_sample, stratified_sample
+    training-data sampler. kind='weighted': Efraimidis-Spirakis weighted
+    sample of 100 orders, inclusion probability ∝ o_totalprice, rows
+    normalized to (doc_id=o_orderkey, source='orders') so all three
+    samplers share one schema and one driver row."""
+    from crawlray.ops.relational import (
+        hash_sample,
+        stratified_sample,
+        weighted_sample,
+    )
 
     docs = _rd(sf_dir, "documents", columns=["doc_id", "source"])
 
@@ -562,7 +589,28 @@ def _samples(sf_dir: str):
     s = stratified_sample(
         docs, group_col="source", key_col="doc_id", n_per_group=10
     ).map_batches(_tag("stratified"), batch_format="pyarrow")
-    return h.union(s)
+
+    def _norm_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                "source": pa.array(
+                    ["orders"] * batch.num_rows, pa.string()
+                ),
+            }
+        )
+
+    w = (
+        weighted_sample(
+            _rd(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+            key_col="o_orderkey",
+            weight_col="o_totalprice",
+            k=100,
+        )
+        .map_batches(_norm_orders, batch_format="pyarrow")
+        .map_batches(_tag("weighted"), batch_format="pyarrow")
+    )
+    return h.union(s).union(w)
 
 
 def _salted_grouped_topk(sf_dir: str):
@@ -1114,24 +1162,54 @@ def _ngram_jaccard(sf_dir: str):
     )
 
 
-def _cdc_chunks(sf_dir: str):
-    """Rolling-hash content-defined chunk fingerprints (rows-only: chunk
-    boundaries are a rolling-hash function, not SQL-expressible; the
-    vectorized kernel is parity-tested against a byte-at-a-time reference
-    in tests/unit/test_cdc.py)."""
+def _cdc(sf_dir: str):
+    """CDC chunking AND partial-dup pairs in one tagged table (round-4
+    consolidation so both keep a driver row inside the 50-entry window).
+    kind='chunk': every content-defined chunk as (a=doc_id, b=chunk_idx,
+    v='off:len:fp'). kind='pair': partial-dup doc pairs sharing >= 3
+    chunk fingerprints as (a=id_a, b=id_b, v=shared_chunks). The full
+    rolling-hash boundary walk is SQL-oracled (recursive CTE); the
+    vectorized kernel is additionally parity-tested against a
+    byte-at-a-time reference in tests/unit/test_cdc.py."""
+    from crawlray.ops.neardup import cdc_dup_pairs
     from crawlray.ops.textqa import cdc_chunks
 
-    return cdc_chunks(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
 
+    def _norm_chunks(batch: pa.Table) -> pa.Table:
+        v = pc.binary_join_element_wise(
+            pc.cast(batch.column("chunk_off"), pa.string()),
+            pc.cast(batch.column("chunk_len"), pa.string()),
+            pc.cast(batch.column("chunk_fp"), pa.string()),
+            ":",
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["chunk"] * batch.num_rows, pa.string()),
+                "a": pc.cast(batch.column("doc_id"), pa.int64()),
+                "b": pc.cast(batch.column("chunk_idx"), pa.int64()),
+                "v": v,
+            }
+        )
 
-def _cdc_dup_pairs(sf_dir: str):
-    """Partial-dup pairs via shared CDC chunk fingerprints (rows-only;
-    planted-overlap parity in tests/unit/test_cdc.py)."""
-    from crawlray.ops.neardup import cdc_dup_pairs
+    def _norm_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["pair"] * batch.num_rows, pa.string()),
+                "a": pc.cast(batch.column("id_a"), pa.int64()),
+                "b": pc.cast(batch.column("id_b"), pa.int64()),
+                "v": pc.cast(batch.column("shared_chunks"), pa.string()),
+            }
+        )
 
-    return cdc_dup_pairs(
-        _rd(sf_dir, "documents", columns=["doc_id", "text"]), min_shared=3
+    chunks = cdc_chunks(docs).map_batches(
+        _norm_chunks, batch_format="pyarrow"
     )
+    # cdc_dup_pairs returns a (small) driver-side Arrow pair table
+    pairs = ray.data.from_arrow(
+        _norm_pairs(cdc_dup_pairs(docs, min_shared=3))
+    )
+    return chunks.union(pairs)
 
 
 
@@ -1191,7 +1269,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_shuffle_join": _salted_shuffle_join,
         "salted_session_windows": _salted_session_windows,
         # -- sampling / quantiles / sketches ---------------------------
-        "weighted_sample": _weighted_sample,
         "samples": _samples,
         "quantiles": _quantiles,
         "approx_quantiles": _approx_quantiles,
@@ -1208,8 +1285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _exact_dedup_docs,
         "clean_corpus": _clean_corpus,
         "ngram_jaccard": _ngram_jaccard,
-        "cdc_chunks": _cdc_chunks,
-        "cdc_dup_pairs": _cdc_dup_pairs,
+        "cdc": _cdc,
+        "pack_sequences": _pack_sequences,
+        "decontaminate": _decontaminate,
         # -- embeddings / similarity / graph ---------------------------
         "knn_ann": _knn_ann,
         "embedding_srp_dedup": _embedding_srp_dedup,
@@ -1424,15 +1502,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
         """,
-        "weighted_sample": """
-            SELECT * FROM orders
-            ORDER BY POW((('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)),
-                                          1, 8))::BIGINT + 1)
-                         / 4294967297.0,
-                         1.0 / o_totalprice) DESC,
-                     o_orderkey ASC
-            LIMIT 100
-        """,
         "asof_join": """
             SELECT l.*, r.ts AS ts_r, r.event_id AS event_id_r,
                    r.value AS value_r
@@ -1459,6 +1528,18 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY source
                     ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
                 ) <= 10
+            )
+            UNION ALL
+            SELECT o_orderkey AS doc_id, 'orders' AS source,
+                   'weighted' AS kind
+            FROM (
+                SELECT o_orderkey FROM orders
+                ORDER BY POW((('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)),
+                                              1, 8))::BIGINT + 1)
+                             / 4294967297.0,
+                             1.0 / o_totalprice) DESC,
+                         o_orderkey ASC
+                LIMIT 100
             )
         """,
         "quantiles": """
@@ -1729,6 +1810,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN au USING (doc_id)
             JOIN fr ON fr.doc_id = rez.doc_id
         """,
+        "pack_sequences": """
+            SELECT source, doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+                   CAST((SUM(n_tokens) OVER w - n_tokens) // 256 AS BIGINT)
+                       AS pack_id
+            FROM (SELECT source, doc_id,
+                         LEN(str_split(text, ' ')) AS n_tokens
+                  FROM documents)
+            WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        """,
+        "decontaminate": """
+            WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t
+                          FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM toks, UNNEST(range(1, GREATEST(LEN(t)-7, 0)+1)) AS u(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams
+                      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            < '10'),
+            cand AS (SELECT DISTINCT doc_id, g FROM grams
+                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                           >= '10')
+            SELECT cand.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM cand JOIN bench USING (g)
+            GROUP BY cand.doc_id
+        """,
         "ngram_jaccard": """
             WITH toks AS (
                 SELECT doc_id,
@@ -1761,53 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         # window hash as a 16-term HUGEINT polynomial with the engine's
         # P^t mod 2^64 constants, greedy min/max boundary walk as a
         # recursive CTE, chunk_fp = md5-low-64 little-endian byte swap
-        "cdc_chunks": """
-            WITH RECURSIVE d AS (
-              SELECT doc_id, text, length(text) AS n,
-                     list_transform(range(1, length(text)+1),
-                                    i -> CAST(unicode(text[i]) AS HUGEINT)) AS b
-              FROM documents
-            ),
-            -- cut candidates: rolling window hash of the 16 bytes ending
-            -- at position c (FNV-prime polynomial mod 2^64; 64 | 2^64, so
-            -- the low-6-bit mask test reduces to % 64 on the raw sum)
-            cands AS (
-              SELECT doc_id, text, n,
-                     list_filter(range(16, n+1),
-                                 c -> (b[c-15]*1::HUGEINT + b[c-14]*1099511628211::HUGEINT + b[c-13]*956575116354345::HUGEINT + b[c-12]*624165263380053675::HUGEINT + b[c-11]*11527715348014283921::HUGEINT + b[c-10]*913917546033277539::HUGEINT + b[c-9]*15895002104753931833::HUGEINT + b[c-8]*14218562807570617051::HUGEINT + b[c-7]*2232315406967589409::HUGEINT + b[c-6]*10622396531520239123::HUGEINT + b[c-5]*1775861927039214153::HUGEINT + b[c-4]*3510945102848213515::HUGEINT + b[c-3]*17673114087473428657::HUGEINT + b[c-2]*10372170898125509827::HUGEINT + b[c-1]*104005896588101465::HUGEINT + b[c-0]*2442422338666789947::HUGEINT) % 64 = 0) AS cl
-              FROM d
-            ),
-            -- greedy boundary walk (min/max chunk length), one recursion
-            -- step per chunk: next cut = first candidate in
-            -- (start+32, start+1024], else the max-length/EOF cut
-            chunks AS (
-              SELECT doc_id, text, n, cl,
-                     0 AS chunk_idx, CAST(0 AS BIGINT) AS chunk_off,
-                     CAST(coalesce(list_aggregate(
-                         list_filter(cl, x -> x > 32 AND x <= least(1024, n)),
-                         'min'), least(1024, n)) AS BIGINT) AS cut
-              FROM cands WHERE n > 0
-              UNION ALL
-              SELECT doc_id, text, n, cl,
-                     chunk_idx + 1, cut,
-                     CAST(coalesce(list_aggregate(
-                         list_filter(cl, x -> x > cut + 32
-                                          AND x <= least(cut + 1024, n)),
-                         'min'), least(cut + 1024, n)) AS BIGINT)
-              FROM chunks WHERE cut < n
-            ),
-            ch AS (
-              SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-                     chunk_off, cut - chunk_off AS chunk_len,
-                     md5(substr(text, CAST(chunk_off + 1 AS INTEGER),
-                                CAST(cut - chunk_off AS INTEGER))) AS h
-              FROM chunks
-            )
-            SELECT doc_id, chunk_idx, chunk_off, chunk_len,
-                   ('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2) || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT AS chunk_fp
-            FROM ch
-        """,
-        "cdc_dup_pairs": """
+        "cdc": """
             WITH RECURSIVE d AS (
               SELECT doc_id, text, length(text) AS n,
                      list_transform(range(1, length(text)+1),
@@ -1854,12 +1916,25 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2) || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT AS chunk_fp
               FROM ch
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   COUNT(*) AS shared_chunks
-            FROM fps a JOIN fps b
-              ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-            HAVING COUNT(*) >= 3
+            -- kind='chunk': every chunk as (a=doc_id, b=chunk_idx,
+            -- v='off:len:fp'); kind='pair': partial-dup doc pairs sharing
+            -- >= 3 fingerprints as (a=id_a, b=id_b, v=shared count)
+            SELECT 'chunk' AS kind, doc_id AS a,
+                   CAST(chunk_idx AS BIGINT) AS b,
+                   CAST(chunk_off AS VARCHAR) || ':' ||
+                   CAST(chunk_len AS VARCHAR) || ':' ||
+                   CAST(('0x' || substr(h,15,2) || substr(h,13,2) || substr(h,11,2) || substr(h,9,2) || substr(h,7,2) || substr(h,5,2) || substr(h,3,2) || substr(h,1,2))::UBIGINT AS VARCHAR) AS v
+            FROM ch
+            UNION ALL
+            SELECT 'pair', id_a, id_b, CAST(shared_chunks AS VARCHAR)
+            FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS shared_chunks
+              FROM fps a JOIN fps b
+                ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 3
+            )
         """,
         # similarity-search suite: brute-force cosine top-5, IVF
         # nearest-centroid assignment (8 fixed centroids, ties → lowest

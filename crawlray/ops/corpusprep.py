@@ -1,0 +1,269 @@
+"""Training-corpus preparation operators: sequence packing and benchmark
+decontamination (task brief's large-scale-training-data-pipeline set;
+no reference counterpart — /root/reference is empty, SURVEY §0).
+
+Both are Ray-Data-first compositions over Arrow batches with explicit
+partitioning stories for the 100 TB design point:
+
+- `pack_sequences` — GPT-style concat-and-chunk packing: documents are
+  concatenated in a deterministic per-source order and split every
+  `budget` tokens; each document learns which pack (context-window bin)
+  it starts in. The distributed shape is the O-33 order-assignment
+  pattern (seqassign.sort_and_zip_index): one range-shuffle sort, an
+  O(#blocks + #sources) driver metadata pass, and one vectorized
+  per-block assignment pass — the driver never touches data rows.
+
+- `decontaminate` — benchmark n-gram decontamination: flags every
+  corpus document sharing at least one word n-gram with a benchmark
+  set (the standard train/test-contamination check). Grams are built
+  fully vectorized (one Arrow `binary_join_element_wise` over shifted
+  token arrays — no per-row Python), deduped with a hash-bucket
+  exchange, and matched through the existing Bloom semi-join (bitmap
+  partials OR-merged, broadcast probe, exact shuffle verify), so the
+  benchmark side never needs to fit in one heap and only candidate
+  grams reach the verification join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _count_tokens(
+    ds: ray.data.Dataset, source_col: str, order_col: str, text_col: str
+) -> ray.data.Dataset:
+    """(source, order, n_tokens) — single-space split, the same token
+    convention every textqa oracle uses (LEN(str_split(text, ' ')))."""
+
+    def _count(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        return pa.table(
+            {
+                source_col: batch.column(source_col),
+                order_col: batch.column(order_col),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> ray.data.Dataset:
+    """Concat-and-chunk sequence packing: within each `source_col`
+    partition, documents are laid end-to-end in `order_col` order and the
+    stream is cut every `budget` tokens; each document reports its running
+    token total and the 0-based pack (bin) its first token falls in.
+
+    Output: (source, order, n_tokens, cum_tokens, pack_id) with
+      cum_tokens = SUM(n_tokens) OVER (PARTITION BY source ORDER BY order)
+      pack_id    = (cum_tokens - n_tokens) // budget
+
+    Distributed shape (the O-33 pattern, not groupby().map_groups()): a
+    per-source map_groups would co-locate each WHOLE source in one task —
+    a single giant source (the common case in crawl corpora) would OOM it.
+    Instead:
+      1. one range-shuffle sort by (source, order) — blocks partition the
+         concatenation order;
+      2. tiny metadata pass: per block, one (first_order, source,
+         subtotal) row per source RUN in the block. Sorted input means a
+         source's runs are contiguous across blocks, so the total is
+         O(#blocks + #sources) rows — driver metadata, never data;
+      3. driver prefix-sums the per-(block, source) bases in block order;
+      4. second pass over the same materialized blocks adds the base to a
+         vectorized local per-run cumsum.
+    `order_col` values must be unique (doc ids); the first one in a block
+    identifies the block in step 3, exactly as sort_and_zip_index does.
+    """
+    counted = _count_tokens(ds, source_col, order_col, text_col)
+    mat = counted.sort([source_col, order_col]).materialize()
+
+    empty_meta = pa.table(
+        {
+            "block_key": pa.array([], pa.int64()),
+            "run_source": pa.array([], pa.string()),
+            "run_first_order": pa.array([], pa.int64()),
+            "subtotal": pa.array([], pa.int64()),
+        }
+    )
+
+    def _meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or order_col not in b.column_names:
+            return empty_meta
+        src = np.asarray(b.column(source_col).to_pylist(), dtype=object)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = b.column(order_col).to_numpy(zero_copy_only=False)
+        change = np.empty(len(src), dtype=bool)
+        change[0] = True
+        change[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(src))
+        cum = np.cumsum(n)
+        subtotals = cum[ends - 1] - np.where(starts > 0, cum[starts - 1], 0)
+        first = int(order[0])
+        return pa.table(
+            {
+                "block_key": pa.array([first] * len(starts), pa.int64()),
+                "run_source": pa.array(src[starts].tolist(), pa.string()),
+                "run_first_order": pa.array(
+                    order[starts].astype(np.int64), pa.int64()
+                ),
+                "subtotal": pa.array(subtotals, pa.int64()),
+            }
+        )
+
+    meta = mat.map_batches(
+        _meta, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    # a source's runs are contiguous across blocks in global (source,
+    # order) order, so ordering its runs by their own first order value
+    # reconstructs the concatenation order (the BLOCK's first order value
+    # can belong to a different source and must not be the sort key)
+    meta.sort(key=lambda r: (r["run_source"], r["run_first_order"]))
+    running: dict[str, int] = {}
+    bases: dict[int, dict[str, int]] = {}
+    for m in meta:
+        blk = bases.setdefault(m["block_key"], {})
+        blk[m["run_source"]] = running.get(m["run_source"], 0)
+        running[m["run_source"]] = (
+            running.get(m["run_source"], 0) + m["subtotal"]
+        )
+
+    out_schema = pa.schema(
+        [
+            (source_col, pa.string()),
+            (order_col, pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("cum_tokens", pa.int64()),
+            ("pack_id", pa.int64()),
+        ]
+    )
+
+    def _assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or order_col not in b.column_names:
+            return out_schema.empty_table()
+        src = np.asarray(b.column(source_col).to_pylist(), dtype=object)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        change = np.empty(len(src), dtype=bool)
+        change[0] = True
+        change[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(change)
+        run_lens = np.diff(np.append(starts, len(src)))
+        cum = np.cumsum(n)
+        cum_before_run = np.where(starts > 0, cum[starts - 1], 0)
+        blk = bases[int(b.column(order_col)[0].as_py())]
+        run_bases = np.array([blk[s] for s in src[starts]], dtype=np.int64)
+        adjust = np.repeat(run_bases - cum_before_run, run_lens)
+        cum_tokens = cum + adjust
+        pack_id = (cum_tokens - n) // budget
+        return pa.table(
+            {
+                source_col: b.column(source_col),
+                order_col: pc.cast(b.column(order_col), pa.int64()),
+                "n_tokens": b.column("n_tokens"),
+                "cum_tokens": pa.array(cum_tokens, pa.int64()),
+                "pack_id": pa.array(pack_id, pa.int64()),
+            }
+        )
+
+    return mat.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+
+
+def word_ngrams(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> ray.data.Dataset:
+    """(id, gram) rows: every word n-gram (single-space tokens joined by a
+    single space) of every document, in document order — the oracle is
+    array_to_string(t[i:i+n-1], ' ') over UNNEST(range(...)).
+
+    Fully vectorized: tokens are flattened once per batch; the n shifted
+    views of the flat token array are joined with ONE
+    `binary_join_element_wise` call. Docs shorter than n tokens emit
+    nothing. Output volume is ~(tokens - (n-1)·docs) rows per batch —
+    bound the batch size upstream for very long documents.
+    """
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            batch.column(text_col), pattern=" "
+        ).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        g_per = np.maximum(lens - (n - 1), 0)
+        total = int(g_per.sum())
+        ids = batch.column(id_col)
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "gram": pa.array([], pa.string()),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(lens)), g_per)
+        gram_starts = np.concatenate(([0], np.cumsum(g_per)))[:-1]
+        within = np.arange(total) - np.repeat(gram_starts, g_per)
+        starts = doc_starts[doc_idx] + within
+        shifted = [
+            flat.take(pa.array(starts + k, pa.int64())) for k in range(n)
+        ]
+        gram = pc.binary_join_element_wise(*shifted, " ")
+        return pa.table(
+            {id_col: ids.take(pa.array(doc_idx, pa.int64())), "gram": gram}
+        )
+
+    return ds.map_batches(_grams, batch_format="pyarrow")
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: (id, n_hits) for every corpus document
+    sharing >= 1 word n-gram with the benchmark set, n_hits = the number
+    of DISTINCT shared grams. Clean documents emit no row — the caller
+    anti-joins on the result (or inspects it) to drop contaminated docs.
+
+    Shape at scale: both gram sets dedupe through hash-bucket exchanges
+    (grouped_count_hash — no sort shuffle); the membership test is the
+    existing Bloom semi-join (O(#blocks) bitmap partials OR-merged on the
+    driver, broadcast probe, exact hash-join verify of candidates only),
+    so the benchmark gram SET is never collected into one heap and
+    non-matching corpus grams (the overwhelming majority) never shuffle.
+    """
+    from crawlray.ops.neardup import _drop_empty_blocks
+    from crawlray.ops.relational import bloom_semi_join, grouped_count_hash
+
+    bench_grams = _drop_empty_blocks(
+        grouped_count_hash(
+            word_ngrams(benchmark, id_col, text_col, n).select_columns(
+                ["gram"]
+            ),
+            ["gram"],
+        )
+        .select_columns(["gram"])
+        .materialize()
+    )
+    cand = _drop_empty_blocks(
+        grouped_count_hash(
+            word_ngrams(docs, id_col, text_col, n), [id_col, "gram"]
+        )
+        .select_columns([id_col, "gram"])
+        .materialize()
+    )
+    hits = bloom_semi_join(cand, bench_grams, key="gram")
+    return grouped_count_hash(hits, [id_col], alias="n_hits")

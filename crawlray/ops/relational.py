@@ -198,7 +198,11 @@ def topk(
 
 
 def hash_sample(
-    ds: ray.data.Dataset, key: str, buckets_kept: int, total_buckets: int = 256
+    ds: ray.data.Dataset,
+    key: str,
+    buckets_kept: int,
+    total_buckets: int = 256,
+    invert: bool = False,
 ) -> ray.data.Dataset:
     """Deterministic content-keyed sample (O-36, the reproducible variant).
 
@@ -211,6 +215,10 @@ def hash_sample(
     sampling two tables by the same join key keeps matching rows together,
     which a per-row RNG cannot do. Per-batch work is a vectorized string
     compare on the 2-hex-char prefix; only the md5 itself is per-row.
+
+    `invert=True` keeps the COMPLEMENT (the other 256 - buckets_kept
+    buckets) — the two calls partition the input exactly, which is how a
+    benchmark/candidate split stays disjoint by construction.
     """
     if total_buckets != 256:
         raise ValueError("total_buckets must be 256 (2 hex chars)")
@@ -219,6 +227,7 @@ def hash_sample(
     if buckets_kept == 256:
         return ds  # keep-all: '100' would compare lexicographically wrong
     threshold = format(buckets_kept, "02x")
+    cmp = pc.greater_equal if invert else pc.less
     import hashlib
 
     def _sample(batch: pa.Table) -> pa.Table:
@@ -226,7 +235,7 @@ def hash_sample(
             hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
             for v in batch.column(key).to_pylist()
         )
-        return batch.filter(pc.less(prefixes, threshold))
+        return batch.filter(cmp(prefixes, threshold))
 
     return ds.map_batches(_sample, batch_format="pyarrow")
 
