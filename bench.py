@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "tfidf",
     "bloom_semi_join",
     "pivot",
+    "pack_sequences",
+    "decontaminate",
 ]
 
 # bench-tier synthetic web (BASELINE.md: ≥2×10⁵ URLs, zipf host skew).
