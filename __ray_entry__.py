@@ -398,31 +398,85 @@ def _set_ops(sf_dir: str):
     return exc.union(its)
 
 
-def _pivot(sf_dir: str):
-    """PIVOT: one summed value column per event type, one groupby."""
-    from crawlray.ops.relational import pivot_agg
+def _pivot_unpivot(sf_dir: str):
+    """PIVOT then UNPIVOT round-trip in one query (consolidated from two
+    separate driver entries per the VERDICT-r3 window-packing pattern —
+    both kernels still execute and oracle-check): events pivot to one
+    summed value column per event type (one groupby), then melt back to
+    long form (pure map, no shuffle)."""
+    from crawlray.ops.relational import pivot_agg, unpivot
 
-    out = pivot_agg(
-        _rd(sf_dir, "events", columns=["user_id", "event_type", "value"]),
-        group_col="user_id", pivot_col="event_type", value_col="value",
-        pivot_values=["click", "error", "purchase", "signup", "view"],
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = _round_cols(
+        pivot_agg(
+            _rd(sf_dir, "events", columns=["user_id", "event_type",
+                                           "value"]),
+            group_col="user_id", pivot_col="event_type", value_col="value",
+            pivot_values=kinds,
+        ),
+        {f"v_{v}": 3 for v in kinds},
     )
-    return _round_cols(out, {f"v_{v}": 3 for v in
-                             ["click", "error", "purchase", "signup", "view"]})
-
-
-def _unpivot(sf_dir: str):
-    """UNPIVOT / melt lineitem amounts to long form (pure map, no
-    shuffle)."""
-    from crawlray.ops.relational import unpivot
-
     return unpivot(
-        _rd(sf_dir, "lineitem",
-            columns=["l_orderkey", "l_linenumber", "l_quantity",
-                     "l_extendedprice", "l_discount"]),
-        id_cols=["l_orderkey", "l_linenumber"],
-        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        wide, id_cols=["user_id"], value_cols=[f"v_{v}" for v in kinds]
     )
+
+
+# RE2 PII patterns shared verbatim with the SQL oracle (corpusprep
+# defines them; repeated inline in the oracle string below).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _redact_pii(sf_dir: str):
+    """PII redaction over documents whose text gets DETERMINISTIC planted
+    PII first (the synthetic corpus has none): doc_id%3==0 rows gain an
+    email, %4==0 an IPv4, %5==0 an SSN-shaped id — all derived from
+    doc_id alone so the DuckDB oracle rebuilds the identical augmented
+    text with string concat, then mirrors the same sequential
+    count-then-replace regex chain. Engine shape: two stateless
+    map_batches (plant, redact) — zero shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawlray.ops.corpusprep import redact_pii
+
+    def _plant(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        s = pc.cast(did, pa.string())
+
+        def _mod(m: int):
+            # no pc.mod in this pyarrow; int divide IS floor-div on int64
+            # and doc_id >= 0, so x - (x // m) * m is exact
+            return pc.subtract(did, pc.multiply(pc.divide(did, m), m))
+
+        def _m(base: int, mod: int) -> pa.Array:
+            return pc.cast(pc.add(base, _mod(mod)), pa.string())
+
+        def _when(mod: int, part) -> pa.Array:
+            return pc.if_else(pc.equal(_mod(mod), 0), part, "")
+
+        j = pc.binary_join_element_wise
+        email = _when(3, j(" contact u", s, "@example.com", ""))
+        ip = _when(
+            4,
+            j(" from 10.", _m(100, 150), ".", _m(0, 250), ".", _m(0, 100),
+              ""),
+        )
+        ssn = _when(
+            5,
+            j(" ssn ", _m(100, 900), "-", _m(10, 90), "-", _m(1000, 9000),
+              ""),
+        )
+        return pa.table(
+            {
+                "doc_id": did,
+                "text": j(b.column("text"), email, ip, ssn, ""),
+            }
+        )
+
+    planted = _rd(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _plant, batch_format="pyarrow"
+    )
+    return redact_pii(planted, text_col="text")
 
 
 def _group_rank(sf_dir: str):
@@ -1253,8 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_ops": _set_ops,
         "distinct_types": _distinct_types,
         "union_all": _union_all,
-        "pivot": _pivot,
-        "unpivot": _unpivot,
+        "pivot_unpivot": _pivot_unpivot,
         "rollup": _rollup,
         # -- windows / temporal ---------------------------------------
         "window_functions": _window_functions,
@@ -1288,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc": _cdc,
         "pack_sequences": _pack_sequences,
         "decontaminate": _decontaminate,
+        "redact_pii": _redact_pii,
         # -- embeddings / similarity / graph ---------------------------
         "knn_ann": _knn_ann,
         "embedding_srp_dedup": _embedding_srp_dedup,
@@ -1456,30 +1510,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'intersect' AS op, user_id, day
             FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
         """,
-        "pivot": """
-            SELECT user_id,
-                   ROUND(SUM(CASE WHEN event_type='click' THEN value
-                             ELSE 0 END), 3) AS v_click,
-                   ROUND(SUM(CASE WHEN event_type='error' THEN value
-                             ELSE 0 END), 3) AS v_error,
-                   ROUND(SUM(CASE WHEN event_type='purchase' THEN value
-                             ELSE 0 END), 3) AS v_purchase,
-                   ROUND(SUM(CASE WHEN event_type='signup' THEN value
-                             ELSE 0 END), 3) AS v_signup,
-                   ROUND(SUM(CASE WHEN event_type='view' THEN value
-                             ELSE 0 END), 3) AS v_view
-            FROM events GROUP BY user_id
-        """,
-        "unpivot": """
-            SELECT l_orderkey, l_linenumber, key,
-                   CAST(value AS DOUBLE) AS value
+        "pivot_unpivot": """
+            SELECT user_id, key, CAST(value AS DOUBLE) AS value
             FROM (
-                SELECT l_orderkey, l_linenumber,
-                       l_quantity, l_extendedprice, l_discount
-                FROM lineitem
+                SELECT user_id,
+                       ROUND(SUM(CASE WHEN event_type='click' THEN value
+                                 ELSE 0 END), 3) AS v_click,
+                       ROUND(SUM(CASE WHEN event_type='error' THEN value
+                                 ELSE 0 END), 3) AS v_error,
+                       ROUND(SUM(CASE WHEN event_type='purchase' THEN value
+                                 ELSE 0 END), 3) AS v_purchase,
+                       ROUND(SUM(CASE WHEN event_type='signup' THEN value
+                                 ELSE 0 END), 3) AS v_signup,
+                       ROUND(SUM(CASE WHEN event_type='view' THEN value
+                                 ELSE 0 END), 3) AS v_view
+                FROM events GROUP BY user_id
             )
             UNPIVOT (value FOR key IN
-                     (l_quantity, l_extendedprice, l_discount))
+                     (v_click, v_error, v_purchase, v_signup, v_view))
         """,
         "group_rank": """
             SELECT *,
@@ -1819,6 +1867,55 @@ def oracle_sql() -> dict[str, str]:
                          LEN(str_split(text, ' ')) AS n_tokens
                   FROM documents)
             WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+        """,
+        "redact_pii": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                               || '@example.com' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                          THEN ' from 10.'
+                               || CAST(100 + doc_id % 150 AS VARCHAR) || '.'
+                               || CAST(doc_id % 250 AS VARCHAR) || '.'
+                               || CAST(doc_id % 100 AS VARCHAR)
+                          ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                          THEN ' ssn '
+                               || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                               || CAST(10 + doc_id % 90 AS VARCHAR) || '-'
+                               || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          ELSE '' END AS text
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) AS BIGINT) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS text
+                FROM aug
+            ),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(text,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                       )) AS BIGINT) AS n_ips,
+                       regexp_replace(text,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '<IP>', 'g') AS text
+                FROM s1
+            )
+            SELECT doc_id,
+                   regexp_replace(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                                  '<ID>', 'g') AS text,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ids
+            FROM s2
         """,
         "decontaminate": """
             WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t

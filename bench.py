@@ -60,9 +60,10 @@ BENCH_QUERIES = [
     "window_functions",
     "tfidf",
     "bloom_semi_join",
-    "pivot",
+    "pivot_unpivot",
     "pack_sequences",
     "decontaminate",
+    "redact_pii",
 ]
 
 # bench-tier synthetic web (BASELINE.md: ≥2×10⁵ URLs, zipf host skew).

@@ -87,6 +87,91 @@ def test_decontaminate_matches_join_oracle(ray_session):
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
 
 
+def test_redact_pii_counts_and_replaces(ray_session):
+    from crawlray.ops.corpusprep import redact_pii
+
+    rows = [
+        {"doc_id": 0, "text": "mail a@b.com and c.d+e@f-g.org end"},
+        {"doc_id": 1, "text": "ip 10.0.3.254 then 192.168.1.1 ssn 123-45-6789"},
+        {"doc_id": 2, "text": "clean text with no pii at all"},
+        {"doc_id": 3, "text": "x@y.z is not an email; 1.2.3.4 is an ip"},
+        {"doc_id": 4, "text": ""},
+    ]
+    got = (
+        redact_pii(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.n_emails.tolist() == [2, 0, 0, 0, 0]
+    assert got.n_ips.tolist() == [0, 2, 0, 1, 0]
+    assert got.n_ids.tolist() == [0, 1, 0, 0, 0]
+    assert got.text[0] == "mail <EMAIL> and <EMAIL> end"
+    assert got.text[1] == "ip <IP> then <IP> ssn <ID>"
+    assert got.text[2] == rows[2]["text"]  # untouched
+    assert got.text[3] == "x@y.z is not an email; <IP> is an ip"
+    assert got.text[4] == ""
+    # original column set preserved + one count column per pattern
+    assert list(got.columns) == ["doc_id", "text", "n_emails", "n_ips",
+                                 "n_ids"]
+
+
+def test_redact_pii_matches_duckdb_regex_chain(ray_session):
+    """Same sequential count-then-replace chain in DuckDB (both engines
+    are RE2) over real corpus text with planted PII — the driver query's
+    oracle in miniature."""
+    from crawlray.ops.corpusprep import DEFAULT_PII_PATTERNS, redact_pii
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+
+    def _plant(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        s = pc.cast(b.column("doc_id"), pa.string())
+        extra = pc.binary_join_element_wise(
+            "u", s, "@ex.org 10.1.2.3 111-22-3333", ""
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    b.column("text"), extra, " "
+                ),
+            }
+        )
+
+    got = redact_pii(ds.map_batches(_plant, batch_format="pyarrow")).to_pandas()
+    (_, p_em, _), (_, p_ip, _), (_, p_id, _) = DEFAULT_PII_PATTERNS
+    want = duckdb.sql(
+        f"""
+        WITH aug AS (SELECT doc_id,
+                            text || ' u' || CAST(doc_id AS VARCHAR)
+                                 || '@ex.org 10.1.2.3 111-22-3333' AS text
+                     FROM '{DOCS}'),
+        s1 AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(text, '{p_em}')) AS BIGINT)
+                          AS n_emails,
+                      regexp_replace(text, '{p_em}', '<EMAIL>', 'g') AS text
+               FROM aug),
+        s2 AS (SELECT doc_id, n_emails,
+                      CAST(len(regexp_extract_all(text, '{p_ip}')) AS BIGINT)
+                          AS n_ips,
+                      regexp_replace(text, '{p_ip}', '<IP>', 'g') AS text
+               FROM s1)
+        SELECT doc_id,
+               regexp_replace(text, '{p_id}', '<ID>', 'g') AS text,
+               n_emails, n_ips,
+               CAST(len(regexp_extract_all(text, '{p_id}')) AS BIGINT)
+                   AS n_ids
+        FROM s2
+        """
+    ).df()
+    assert len(got) == len(want) > 0
+    assert (want.n_emails > 0).all() and (want.n_ips > 0).all()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
 def test_hash_sample_invert_partitions_exactly(ray_session):
     from crawlray.ops.relational import hash_sample
 
