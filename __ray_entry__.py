@@ -1750,12 +1750,32 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (token)
         """,
         "doc_profile": """
-            SELECT doc_id, LENGTH(text) AS n_chars2,
+            WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t
+                          FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok
+                   GROUP BY doc_id, w),
+            rep1 AS (SELECT doc_id,
+                            MAX(c) / CAST(SUM(c) AS BIGINT)
+                                AS top_token_frac
+                     FROM tc GROUP BY doc_id),
+            grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                      FROM toks,
+                           UNNEST(range(1, GREATEST(LEN(t)-1, 0)+1)) u(i)),
+            rep2 AS (SELECT doc_id,
+                            (COUNT(*) - COUNT(DISTINCT g))
+                                / CAST(COUNT(*) AS BIGINT) AS dup_2gram_frac
+                     FROM grams GROUP BY doc_id)
+            SELECT d.doc_id, LENGTH(text) AS n_chars2,
                    LEN(str_split(text, ' ')) AS n_tokens,
                    len(regexp_extract_all(text,
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS n_bpe_tokens,
-                   MD5(text) AS fp
-            FROM documents
+                   MD5(text) AS fp,
+                   rep1.top_token_frac,
+                   COALESCE(rep2.dup_2gram_frac, 0.0) AS dup_2gram_frac
+            FROM documents d
+            JOIN rep1 USING (doc_id)
+            LEFT JOIN rep2 ON rep2.doc_id = d.doc_id
         """,
         "token_count_by_source": """
             SELECT source, CAST(SUM(LEN(str_split(text, ' '))) AS BIGINT) AS n_tokens,

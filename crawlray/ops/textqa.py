@@ -118,12 +118,12 @@ def fingerprint(
 def doc_profile(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
-    """Fused per-doc profile: the doc_stats, bpe_token_count and
-    fingerprint kernels in ONE map_batches pass (one read, one stream —
-    the shape three separate passes over a 100 TB corpus should fuse
-    into). Columns: (id, n_chars2, n_tokens, n_bpe_tokens, fp). The
-    individual operators remain available (and unit-tested) for callers
-    that need just one of them.
+    """Fused per-doc profile: the doc_stats, bpe_token_count, fingerprint
+    and Gopher repetition kernels in ONE map_batches pass (one read, one
+    stream — the shape four separate passes over a 100 TB corpus should
+    fuse into). Columns: (id, n_chars2, n_tokens, n_bpe_tokens, fp,
+    top_token_frac, dup_2gram_frac). The individual operators remain
+    available (and unit-tested) for callers that need just one of them.
     """
 
     def _profile(batch: pa.Table) -> pa.Table:
@@ -134,6 +134,7 @@ def doc_profile(
             hashlib.md5((t or "").encode("utf-8")).hexdigest()
             for t in text.to_pylist()
         ]
+        top, dup = repetition_arrays(text)
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -141,10 +142,104 @@ def doc_profile(
                 "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
                 "n_bpe_tokens": pc.cast(bpe, pa.int64()),
                 "fp": pa.array(fps),
+                "top_token_frac": top,
+                "dup_2gram_frac": dup,
             }
         )
 
     return ds.map_batches(_profile, batch_format="pyarrow")
+
+
+def repetition_arrays(text: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Gopher-style per-document repetition signals over one text array:
+    (top_token_frac, dup_2gram_frac) — the fraction of tokens taken by the
+    single most frequent token, and the fraction of word 2-grams that are
+    repeats of an earlier 2-gram in the same document (0.0 when the doc
+    has <2 tokens). Both are exact IEEE divisions of small int64 counts,
+    so a SQL oracle computing MAX(c)/SUM(c) and (n-d)/n reproduces them
+    bit-for-bit.
+
+    Fully vectorized: one whitespace split, one Arrow group_by over
+    (doc, token) for the mode count, one shifted binary_join +
+    group_by over (doc, 2-gram) for the distinct-gram count; per-doc
+    folds are numpy ufunc.at scatters — no Python loop over rows.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    flat = pc.list_flatten(toks)
+    n_docs = len(lens)
+    if n_docs == 0:
+        empty = pa.array([], pa.float64())
+        return empty, empty
+
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    tc = (
+        pa.table({"d": pa.array(doc_idx), "w": flat})
+        .group_by(["d", "w"])
+        .aggregate([("w", "count")])
+    )
+    maxc = np.zeros(n_docs, np.int64)
+    np.maximum.at(
+        maxc,
+        tc.column("d").to_numpy(zero_copy_only=False),
+        tc.column("w_count").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    # split(" ") of "" yields [""], so lens >= 1 always; division is safe
+    top_frac = maxc / lens
+
+    g_per = np.maximum(lens - 1, 0)
+    total = int(g_per.sum())
+    dup_frac = np.zeros(n_docs, np.float64)
+    if total:
+        gidx = np.repeat(np.arange(n_docs, dtype=np.int64), g_per)
+        gram_starts = np.concatenate(([0], np.cumsum(g_per)))[:-1]
+        doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            gram_starts, g_per
+        )
+        s = doc_starts[gidx] + within
+        grams = pc.binary_join_element_wise(
+            flat.take(pa.array(s, pa.int64())),
+            flat.take(pa.array(s + 1, pa.int64())),
+            " ",
+        )
+        gt = (
+            pa.table({"d": pa.array(gidx), "g": grams})
+            .group_by(["d", "g"])
+            .aggregate([("g", "count")])
+        )
+        distinct = np.zeros(n_docs, np.int64)
+        np.add.at(
+            distinct, gt.column("d").to_numpy(zero_copy_only=False), 1
+        )
+        nz = g_per > 0
+        dup_frac[nz] = (g_per[nz] - distinct[nz]) / g_per[nz]
+    return pa.array(top_frac, pa.float64()), pa.array(dup_frac, pa.float64())
+
+
+def repetition_stats(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """(id, top_token_frac, dup_2gram_frac) — the Gopher repetition-filter
+    signals as a standalone zero-shuffle stage (callers threshold them to
+    drop boilerplate/spam docs). Also fused into `doc_profile`."""
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        top, dup = repetition_arrays(batch.column(text_col))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "top_token_frac": top,
+                "dup_2gram_frac": dup,
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow")
 
 
 def lang_id(
