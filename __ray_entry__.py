@@ -664,7 +664,25 @@ def _samples(sf_dir: str):
         .map_batches(_norm_orders, batch_format="pyarrow")
         .map_batches(_tag("weighted"), batch_format="pyarrow")
     )
-    return h.union(s).union(w)
+
+    # kind='mixture': the data-mixing sampler. Each source's keep-rate is
+    # derived deterministically from md5(source)'s first hex char
+    # (rate = hex·17/256, i.e. threshold 'xx'), so the oracle expresses
+    # the identical predicate as REPEAT(SUBSTR(MD5(source),1,1), 2)
+    # with zero hardcoded source names.
+    import hashlib as _hl
+
+    from crawlray.ops.relational import mixture_sample
+
+    srcs = docs.unique("source")
+    rates = {
+        s: int(_hl.md5(s.encode("utf-8")).hexdigest()[0], 16) * 17 / 256
+        for s in srcs
+    }
+    m = mixture_sample(
+        docs, source_col="source", key_col="doc_id", rates=rates
+    ).map_batches(_tag("mixture"), batch_format="pyarrow")
+    return h.union(s).union(w).union(m)
 
 
 def _salted_grouped_topk(sf_dir: str):
@@ -1589,6 +1607,10 @@ def oracle_sql() -> dict[str, str]:
                          o_orderkey ASC
                 LIMIT 100
             )
+            UNION ALL
+            SELECT doc_id, source, 'mixture' AS kind FROM documents
+            WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  < REPEAT(SUBSTR(MD5(source), 1, 1), 2)
         """,
         "quantiles": """
             SELECT o_orderstatus,

@@ -240,6 +240,64 @@ def hash_sample(
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+def mixture_sample(
+    ds: ray.data.Dataset,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> ray.data.Dataset:
+    """Deterministic data-mixing sampler: downsample each source to its
+    target mixture rate (the 'domain weights' stage of a training-data
+    pipeline — e.g. {'web': 0.3, 'books': 1.0, 'spam': 0.0}). A row is
+    kept iff md5(key) falls in the first round(rate·256) of 256
+    hex-prefix buckets for ITS source, so the kept set is a pure function
+    of (key, source→rate): stable across runs, parallelism and engines,
+    and the same key survives in every table sampled with the same rates
+    (hash_sample's cross-table property, per source). Rates ≥ 1 keep the
+    whole source; this op only downsamples (upsampling = repeat epochs
+    downstream).
+
+    Shape: zero shuffle — one dict-encode of the source column per batch
+    (one threshold lookup per DISTINCT source, not per row) + the same
+    md5-prefix compare hash_sample uses (md5 kept for oracle parity; see
+    hash_sample_fast for the murmur3 production path). `rates` rides the
+    task closure — fine for the O(10²–10³) sources real corpora have.
+    """
+
+    def _thr(rate: float) -> str:
+        b = int(round(max(0.0, min(1.0, rate)) * 256))
+        # every md5 prefix is [0-9a-f]{2} < 'g0', so 'g0' == keep-all
+        return "g0" if b >= 256 else format(b, "02x")
+
+    thr_by_source = {s: _thr(r) for s, r in rates.items()}
+    default_thr = _thr(default_rate)
+    import hashlib
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        uniq_thr = pa.array(
+            [
+                thr_by_source.get(s, default_thr)
+                for s in enc.dictionary.to_pylist()
+            ],
+            pa.string(),
+        )
+        thr = uniq_thr.take(enc.indices)
+        prefixes = pa.array(
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+            for v in batch.column(key_col).to_pylist()
+        )
+        return batch.filter(pc.less(prefixes, thr))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")
+
+
 def hash_sample_fast(
     ds: ray.data.Dataset,
     key: str,

@@ -8,6 +8,65 @@ import pyarrow as pa
 import ray.data
 
 
+def test_mixture_sample_per_source_rates(ray_session):
+    """Data-mixing sampler: each source downsampled to ITS rate; kept set
+    is the exact md5-bucket predicate, parallelism-invariant; rate 0 drops
+    a source entirely, rate 1 keeps it whole, unknown sources get
+    default_rate."""
+    from crawlray.ops.relational import mixture_sample
+
+    rows = []
+    for i in range(3000):
+        rows.append({"doc_id": i, "source": f"s{i % 3}"})
+    ds = ray.data.from_items(rows)
+    rates = {"s0": 1.0, "s1": 0.25, "s2": 0.0}
+    got = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            ds, source_col="source", key_col="doc_id", rates=rates
+        ).take_all()
+    )
+    thr = {"s0": "g0", "s1": format(64, "02x"), "s2": "00"}
+    want = sorted(
+        i
+        for i in range(3000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:2] < thr[f"s{i % 3}"]
+    )
+    assert got == want
+    kept_by_src = {
+        s: sum(1 for i in got if i % 3 == int(s[1])) for s in rates
+    }
+    assert kept_by_src["s0"] == 1000          # rate 1.0: whole source
+    assert kept_by_src["s2"] == 0             # rate 0.0: dropped
+    assert 150 < kept_by_src["s1"] < 350      # ~25% of 1000
+    # parallelism-invariant
+    got2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            ds.repartition(11), source_col="source", key_col="doc_id",
+            rates=rates,
+        ).take_all()
+    )
+    assert got2 == got
+    # unknown source falls back to default_rate
+    extra = ray.data.from_items(
+        [{"doc_id": i, "source": "mystery"} for i in range(100)]
+    )
+    assert (
+        mixture_sample(
+            extra, source_col="source", key_col="doc_id", rates=rates,
+            default_rate=1.0,
+        ).count()
+        == 100
+    )
+    assert (
+        mixture_sample(
+            extra, source_col="source", key_col="doc_id", rates=rates
+        ).count()
+        == 0
+    )
+
+
 def test_hash_sample_deterministic_and_exact(ray_session):
     ids = [f"doc-{i:05d}" for i in range(2000)]
     tbl = pa.table({"doc_id": ids, "v": list(range(2000))})
