@@ -346,14 +346,41 @@ def _grouped_topk(sf_dir: str):
 
 
 def _session_windows(sf_dir: str):
-    """Streaming windowed aggregate (sessionization): per-user gap-based
-    sessions over events, 30-minute gap."""
-    from crawlray.ops.relational import session_windows
+    """Sessionization, plain AND skew-salted in one tagged table (the
+    VERDICT-r3 window-packing pattern — both engine paths still run and
+    oracle-check). kind='plain': per-user gap sessions (30-min gap)
+    through the unsalted operator. kind='salted': per-event_type sessions
+    (10-min gap, every key hot — hot keys split into 1-hour time buckets,
+    sessionized per (key, bucket) in parallel, ONLY per-bucket summaries
+    merge). Key columns are cast to string so both share one schema."""
+    from crawlray.ops.relational import (
+        salted_session_windows,
+        session_windows,
+    )
 
-    return session_windows(
+    def _norm(key_col: str, kind: str):
+        def _m(batch: pa.Table) -> pa.Table:
+            out = batch.set_column(
+                batch.column_names.index(key_col),
+                "key",
+                pc.cast(batch.column(key_col), pa.string()),
+            )
+            return out.append_column(
+                "kind", pa.array([kind] * batch.num_rows, pa.string())
+            )
+
+        return _m
+
+    plain = session_windows(
         _rd(sf_dir, "events", columns=["user_id", "ts"]),
         key="user_id", ts_col="ts", gap_seconds=1800,
-    )
+    ).map_batches(_norm("user_id", "plain"), batch_format="pyarrow")
+    salted = salted_session_windows(
+        _rd(sf_dir, "events", columns=["event_type", "ts"]),
+        key="event_type", ts_col="ts", gap_seconds=600,
+        bucket_seconds=3600.0,
+    ).map_batches(_norm("event_type", "salted"), batch_format="pyarrow")
+    return plain.union(salted)
 
 
 def _set_ops(sf_dir: str):
@@ -717,18 +744,37 @@ def _salted_shuffle_join(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "type_n"])
 
 
-def _salted_session_windows(sf_dir: str):
-    """Skew-salted sessionization: gap-based sessions per event_type
-    (every key hot). Hot keys split into 1-hour time buckets, sessionize
-    per (key, bucket) in parallel, then merge ONLY the per-bucket session
-    summaries — output equals the unsalted operator / SQL oracle."""
-    from crawlray.ops.relational import salted_session_windows
+def _paragraph_dedup(sf_dir: str):
+    """Corpus-wide exact paragraph dedup (Dolma-style boilerplate
+    stripping) over documents with DETERMINISTIC planted boilerplate (the
+    synthetic corpus has no repeated paragraphs): every doc gains a
+    common header paragraph and a per-source footer paragraph, separated
+    by ' | '. The dedup keeps the header once globally (min (doc_id,
+    pos)), each footer once per source, and every unique body — the
+    oracle rebuilds the identical augmented text and expresses the same
+    keep-first window predicate. One hash-bucket shuffle on paragraph
+    content; explode and plant are zero-shuffle maps."""
+    from crawlray.ops.corpusprep import paragraph_dedup
 
-    return salted_session_windows(
-        _rd(sf_dir, "events", columns=["event_type", "ts"]),
-        key="event_type", ts_col="ts", gap_seconds=600,
-        bucket_seconds=3600.0,
-    )
+    def _plant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    "corpus header all rights reserved",
+                    b.column("text"),
+                    pc.binary_join_element_wise(
+                        "footer of", b.column("source"), " "
+                    ),
+                    " | ",
+                ),
+            }
+        )
+
+    planted = _rd(
+        sf_dir, "documents", columns=["doc_id", "source", "text"]
+    ).map_batches(_plant, batch_format="pyarrow")
+    return paragraph_dedup(planted, id_col="doc_id", text_col="text")
 
 
 def _distinct_types(sf_dir: str):
@@ -1338,7 +1384,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- skew-salted variants --------------------------------------
         "salted_grouped_topk": _salted_grouped_topk,
         "salted_shuffle_join": _salted_shuffle_join,
-        "salted_session_windows": _salted_session_windows,
         # -- sampling / quantiles / sketches ---------------------------
         "samples": _samples,
         "quantiles": _quantiles,
@@ -1360,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _pack_sequences,
         "decontaminate": _decontaminate,
         "redact_pii": _redact_pii,
+        "paragraph_dedup": _paragraph_dedup,
         # -- embeddings / similarity / graph ---------------------------
         "knn_ann": _knn_ann,
         "embedding_srp_dedup": _embedding_srp_dedup,
@@ -1648,10 +1694,32 @@ def oracle_sql() -> dict[str, str]:
                        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
                 FROM o
+            ),
+            o2 AS (
+                SELECT event_type, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 600 SECOND
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ),
+            s2 AS (
+                SELECT event_type, ts,
+                       SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                FROM o2
             )
-            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-                   COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS t_start,
+                   MAX(ts) AS t_end, 'plain' AS kind
             FROM s GROUP BY user_id, session_id
+            UNION ALL
+            SELECT event_type AS key,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS t_start,
+                   MAX(ts) AS t_end, 'salted' AS kind
+            FROM s2 GROUP BY event_type, session_id
         """,
         "salted_grouped_topk": """
             SELECT event_id, event_type, value FROM events
@@ -1667,24 +1735,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM events GROUP BY event_type) t
             USING (event_type)
         """,
-        "salted_session_windows": """
-            WITH o AS (
-                SELECT event_type, ts,
-                       CASE WHEN LAG(ts) OVER w IS NULL
-                                 OR ts - LAG(ts) OVER w > INTERVAL 600 SECOND
-                            THEN 1 ELSE 0 END AS is_new
-                FROM events
-                WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+        "paragraph_dedup": """
+            WITH aug AS (
+                SELECT doc_id,
+                       'corpus header all rights reserved | ' || text
+                       || ' | footer of ' || source AS text
+                FROM documents
             ),
-            s AS (
-                SELECT event_type, ts,
-                       SUM(is_new) OVER (PARTITION BY event_type ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
-                FROM o
+            ps AS (SELECT doc_id, str_split(text, ' | ') AS p FROM aug),
+            pars AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                       p[i] AS paragraph
+                FROM ps, UNNEST(range(1, LEN(p)+1)) AS u(i)
             )
-            SELECT event_type, CAST(session_id AS BIGINT) AS session_id,
-                   COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
-            FROM s GROUP BY event_type, session_id
+            SELECT doc_id, pos, paragraph FROM pars
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY paragraph
+                                       ORDER BY doc_id, pos) = 1
         """,
         "distinct_types": "SELECT DISTINCT event_type FROM events",
         "union_all": """

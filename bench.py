@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "grouped_topk",
     "salted_grouped_topk",
     "salted_shuffle_join",
-    "salted_session_windows",
+    "paragraph_dedup",
     "media_pipeline",
     "quantiles",
     "windowed_agg",

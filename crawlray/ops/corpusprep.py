@@ -23,6 +23,12 @@ partitioning stories for the 100 TB design point:
   benchmark side never needs to fit in one heap and only candidate
   grams reach the verification join.
 
+- `paragraph_dedup` — corpus-wide exact paragraph dedup (boilerplate
+  stripping): vectorized separator explode with per-doc positions, then
+  ONE murmur3 hash-bucket exchange on paragraph content with a local
+  keep-first — the cheapest shape for a global keep-first at 100 TB
+  (no global sort, no boundary repair).
+
 - `redact_pii` — regex PII scrubbing (emails / IPv4 / SSN-shaped ids
   by default), the Dolma/CCNet-style cleaning stage every public web
   corpus runs before training. Pure per-batch map — zero shuffle, the
@@ -240,6 +246,72 @@ def redact_pii(
         return out
 
     return ds.map_batches(_redact, batch_format="pyarrow")
+
+
+def explode_paragraphs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " | ",
+) -> ray.data.Dataset:
+    """(id, pos, paragraph) rows: documents split on a literal separator,
+    with the paragraph's 0-based position in its document. Vectorized:
+    one `split_pattern` (literal, not regex), `list_parent_indices` for
+    the id fan-out, and an arange-minus-offsets numpy pos column."""
+
+    def _ex(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, pattern=sep)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        parents = pc.list_parent_indices(parts)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            starts, lens
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(parents),
+                "pos": pa.array(pos, pa.int64()),
+                "paragraph": pc.list_flatten(parts),
+            }
+        )
+
+    return ds.map_batches(_ex, batch_format="pyarrow")
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " | ",
+) -> ray.data.Dataset:
+    """Corpus-wide exact paragraph-level dedup (the Dolma/CCNet stage that
+    strips boilerplate headers/footers repeated across documents): split
+    every document on `sep`, keep each distinct paragraph ONCE — at its
+    first occurrence in global (id, pos) order — and drop every repeat.
+    Output: the surviving (id, pos, paragraph) rows; callers reassemble
+    with a per-id sort-by-pos join or consume the rows directly.
+
+    Scale shape: the explode is a zero-shuffle vectorized map; the
+    dedup is ONE murmur3 hash-bucket exchange on paragraph content
+    (`dedup_keep_first_hash`) with a per-partition vectorized sort +
+    keep-first — no global sort, no boundary repair, no driver state.
+    Identical semantics to
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY paragraph
+                                 ORDER BY id, pos) = 1.
+    """
+    from crawlray.ops.dedup import dedup_keep_first_hash
+
+    return dedup_keep_first_hash(
+        explode_paragraphs(ds, id_col, text_col, sep),
+        key="paragraph",
+        order=[id_col, "pos"],
+    )
 
 
 def word_ngrams(

@@ -100,7 +100,7 @@ def dedup_keep_first(ds: ray.data.Dataset, key: str, order: str) -> ray.data.Dat
 def dedup_keep_first_hash(
     ds: ray.data.Dataset,
     key: str,
-    order: str,
+    order: str | list[str],
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Keep-first dedup via ONE hash-bucket shuffle (VERDICT r3 item 5).
@@ -150,10 +150,13 @@ def dedup_keep_first_hash(
             "_pk", pa.array((lo % num_partitions).astype("int32"))
         )
 
+    order_cols = [order] if isinstance(order, str) else list(order)
+
     def _kf(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             group,
-            sort_keys=[(key, "ascending"), (order, "ascending")],
+            sort_keys=[(key, "ascending")]
+            + [(c, "ascending") for c in order_cols],
         )
         return _keep_first_in_block(group.take(idx), key).drop_columns(
             ["_pk"]

@@ -87,6 +87,82 @@ def test_decontaminate_matches_join_oracle(ray_session):
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
 
 
+def test_paragraph_dedup_keeps_first_occurrence(ray_session):
+    from crawlray.ops.corpusprep import paragraph_dedup
+
+    rows = [
+        {"doc_id": 0, "text": "HEADER | body zero | FOOTER"},
+        {"doc_id": 1, "text": "HEADER | body one | FOOTER"},
+        {"doc_id": 2, "text": "HEADER | body two | FOOTER | body two"},
+        {"doc_id": 3, "text": "solo paragraph no separator"},
+    ]
+    got = sorted(
+        (r["doc_id"], r["pos"], r["paragraph"])
+        for r in paragraph_dedup(ray.data.from_items(rows)).take_all()
+    )
+    # HEADER survives once at its global-min (doc_id, pos); FOOTER too;
+    # the within-doc repeat of 'body two' (doc 2, pos 3) is dropped
+    assert got == [
+        (0, 0, "HEADER"),
+        (0, 1, "body zero"),
+        (0, 2, "FOOTER"),
+        (1, 1, "body one"),
+        (2, 1, "body two"),
+        (3, 0, "solo paragraph no separator"),
+    ]
+    # parallelism-invariant kept set
+    got2 = sorted(
+        (r["doc_id"], r["pos"], r["paragraph"])
+        for r in paragraph_dedup(
+            ray.data.from_items(rows).repartition(5)
+        ).take_all()
+    )
+    assert got2 == got
+
+
+def test_paragraph_dedup_matches_duckdb(ray_session):
+    """Planted boilerplate over the real corpus vs the keep-first window
+    oracle (the driver query in miniature)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawlray.ops.corpusprep import paragraph_dedup
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "source", "text"])
+
+    def _plant(b):
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pc.binary_join_element_wise(
+                    "BOILER", b.column("text"), b.column("source"), " | "
+                ),
+            }
+        )
+
+    got = (
+        paragraph_dedup(ds.map_batches(_plant, batch_format="pyarrow"))
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        f"""
+        WITH aug AS (SELECT doc_id,
+                            'BOILER | ' || text || ' | ' || source AS text
+                     FROM '{DOCS}'),
+        ps AS (SELECT doc_id, str_split(text, ' | ') AS p FROM aug),
+        pars AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, p[i] AS paragraph
+                 FROM ps, UNNEST(range(1, LEN(p)+1)) AS u(i))
+        SELECT doc_id, pos, paragraph FROM pars
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY paragraph
+                                   ORDER BY doc_id, pos) = 1
+        """
+    ).df()
+    n_docs = pq.read_metadata(DOCS).num_rows
+    assert len(got) == len(want) > 0
+    assert len(want) < 3 * n_docs  # dedup actually dropped repeats
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
 def test_redact_pii_counts_and_replaces(ray_session):
     from crawlray.ops.corpusprep import redact_pii
 
