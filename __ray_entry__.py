@@ -1352,7 +1352,9 @@ def _crawl_smoke(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness runs the FIRST 50
     # entries. All 50 SQL-oracled queries come first (VERDICT r3 item 1 —
-    # near-duplicate entries were merged into tagged multi-part results so
+    # near-duplicate entries were merged into tagged multi-part results
+    # [samples, set_ops, windowed_agg, quantiles, knn_ann, approx_distinct,
+    # doc_profile, media_pipeline, cdc, pivot_unpivot, session_windows] so
     # the whole oracled surface fits the window); the 8 rows-only queries
     # (pytest-parity instead of SQL) follow.
     return {

@@ -248,6 +248,56 @@ def test_redact_pii_matches_duckdb_regex_chain(ray_session):
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
 
 
+def test_corpus_prep_chain_end_to_end(ray_session):
+    """The full corpus-prep chain composes as one lazy Dataset pipeline:
+    mixture-downsample → PII-redact → paragraph-dedup → re-pack the
+    surviving paragraphs per doc. Asserts each stage's effect is visible
+    in the final output and the whole chain is parallelism-invariant."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from crawlray.ops.corpusprep import paragraph_dedup, redact_pii
+    from crawlray.ops.relational import mixture_sample
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "source", "text"])
+
+    def run(ds):
+        mixed = mixture_sample(
+            ds, source_col="source", key_col="doc_id",
+            rates={}, default_rate=0.5,
+        )
+
+        def _plant(b):
+            return pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "text": pc.binary_join_element_wise(
+                        "BOILER mail me at x@y.org",
+                        b.column("text"),
+                        " | ",
+                    ),
+                }
+            )
+
+        red = redact_pii(
+            mixed.map_batches(_plant, batch_format="pyarrow")
+        ).drop_columns(["n_ips", "n_ids"])
+        return paragraph_dedup(red, id_col="doc_id", text_col="text")
+
+    got = sorted(
+        (r["doc_id"], r["pos"], r["paragraph"]) for r in run(ds).take_all()
+    )
+    boiler_rows = [g for g in got if g[2].startswith("BOILER")]
+    assert len(boiler_rows) == 1  # dedup kept the planted boilerplate once
+    assert boiler_rows[0][2] == "BOILER mail me at <EMAIL>"  # redacted
+    assert {g[0] for g in got}  # mixture kept a nonempty subset
+    got2 = sorted(
+        (r["doc_id"], r["pos"], r["paragraph"])
+        for r in run(ds.repartition(7)).take_all()
+    )
+    assert got2 == got
+
+
 def test_hash_sample_invert_partitions_exactly(ray_session):
     from crawlray.ops.relational import hash_sample
 
