@@ -115,3 +115,43 @@ def test_mg_summary_merge_guarantee_property():
         for item, est in total.counts.items():
             assert est <= true[item]
             assert true[item] - est <= total.decremented
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab1.-@ <>" + "59",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_redact_pii_chain_idempotent(texts):
+    """Applying the sequential PII count-then-replace chain twice is a
+    no-op the second time: replacement tokens never complete or extend a
+    pattern (no '@' or digit-joining survives pass one), so counts are
+    all zero and text is unchanged. The alphabet is biased toward
+    pattern-forming chars to make hypothesis's search adversarial."""
+    import pyarrow.compute as pc
+
+    from crawlray.ops.corpusprep import DEFAULT_PII_PATTERNS
+
+    def chain(arr):
+        counts = []
+        for _, pattern, token in DEFAULT_PII_PATTERNS:
+            counts.append(
+                pc.count_substring_regex(arr, pattern=pattern).to_pylist()
+            )
+            arr = pc.replace_substring_regex(
+                arr, pattern=pattern, replacement=token
+            )
+        return arr, counts
+
+    arr = pa.array(texts, pa.string())
+    once, _ = chain(arr)
+    twice, counts2 = chain(once)
+    assert twice.to_pylist() == once.to_pylist()
+    assert all(c == 0 for cs in counts2 for c in cs)
