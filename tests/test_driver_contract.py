@@ -53,6 +53,22 @@ def con():
 QUERY_NAMES = sorted(entrymod.queries().keys())
 
 
+def test_all_oracled_queries_inside_driver_window():
+    """The driver's correctness harness runs only the FIRST 50 queries()
+    entries (VERDICT r3 item 1): every oracle_sql key must sit inside
+    that window, every oracle must have a query, and rows-only entries
+    must all come after."""
+    qs = list(entrymod.queries().keys())
+    oracled = set(entrymod.oracle_sql().keys())
+    assert oracled <= set(qs), f"orphan oracles: {oracled - set(qs)}"
+    outside = [q for q in qs[50:] if q in oracled]
+    assert not outside, f"oracled queries outside the 50-window: {outside}"
+    inside_rows_only = [q for q in qs[:50] if q not in oracled]
+    assert not inside_rows_only, (
+        f"rows-only entries wasting window slots: {inside_rows_only}"
+    )
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(name, con, ray_session):
     q = entrymod.queries()[name]
