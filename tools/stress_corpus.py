@@ -1,0 +1,167 @@
+"""Corpus-prep scale stress: parallelism-invariance checksums at ~1M docs.
+
+Replicates the sf documents table `--reps` times (remapped doc_ids,
+per-replica source suffixes) and runs each corpus-prep operator at two
+block counts, asserting the result checksum is IDENTICAL — correctness
+must not depend on partitioning (the property that makes the ops safe
+to re-block at 100 TB). Timings per op are printed for the BENCH log.
+
+Usage:
+  python tools/stress_corpus.py                  # sf0.1 x200 = 1M docs
+  python tools/stress_corpus.py --sf-dir /root/testdata/sf0.01 --reps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np  # noqa: F401 (kept for parity with op modules)
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def build_corpus(sf_dir: str, reps: int) -> pa.Table:
+    base = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    n = base.num_rows
+    parts = []
+    for r in range(reps):
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": pc.add(base["doc_id"], r * n),
+                    "source": pc.binary_join_element_wise(
+                        base["source"], pa.array([f"r{r}"] * n), "_"
+                    ),
+                    "text": base["text"],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _checksum(ds, exprs):
+    """Sum int64 expressions per block, fold on the driver (O(#blocks))."""
+
+    def _c(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or b.num_rows == 0:
+            return pa.table({f"v{i}": [0] for i in range(len(exprs))})
+        return pa.table(
+            {
+                f"v{i}": [int(pc.sum(e(b)).as_py() or 0)]
+                for i, e in enumerate(exprs)
+            }
+        )
+
+    rows = ds.map_batches(_c, batch_format="pyarrow").take_all()
+    return tuple(sum(r[f"v{i}"] for r in rows) for i in range(len(exprs)))
+
+
+def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
+    import ray.data
+
+    from crawlray.ops.corpusprep import (
+        pack_sequences,
+        paragraph_dedup,
+        redact_pii,
+    )
+    from crawlray.ops.relational import mixture_sample
+    import hashlib
+
+    n = big.num_rows
+
+    def stress(name, make, exprs):
+        results = []
+        for nb in (blocks_a, blocks_b):
+            ds = ray.data.from_arrow(big).repartition(nb)
+            t0 = time.time()
+            chk = _checksum(make(ds), exprs)
+            dt = time.time() - t0
+            print(
+                f"{name} blocks={nb}: {dt:.1f}s, {n / dt:,.0f} docs/s, "
+                f"chk={chk}"
+            )
+            results.append(chk)
+        assert results[0] == results[1], f"{name} NOT parallelism-invariant"
+
+    stress(
+        "pack_sequences",
+        lambda ds: pack_sequences(ds, budget=256),
+        [
+            lambda b: pc.multiply(b["pack_id"], pc.add(b["doc_id"], 1)),
+            lambda b: b["cum_tokens"],
+        ],
+    )
+    stress(
+        "redact_pii",
+        redact_pii,
+        [
+            lambda b: pc.add(pc.add(b["n_emails"], b["n_ips"]), b["n_ids"]),
+            lambda b: pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        ],
+    )
+
+    def _plant(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": pc.binary_join_element_wise(
+                    "HDR", b["text"], b["source"], " | "
+                ),
+            }
+        )
+
+    stress(
+        "paragraph_dedup",
+        lambda ds: paragraph_dedup(
+            ds.map_batches(_plant, batch_format="pyarrow")
+        ),
+        [
+            lambda b: pc.multiply(
+                pc.add(b["doc_id"], 1), pc.add(b["pos"], 7)
+            ),
+        ],
+    )
+
+    srcs = set(big.column("source").unique().to_pylist())
+    rates = {
+        s: int(hashlib.md5(s.encode()).hexdigest()[0], 16) * 17 / 256
+        for s in srcs
+    }
+    stress(
+        "mixture_sample",
+        lambda ds: mixture_sample(
+            ds, source_col="source", key_col="doc_id", rates=rates
+        ),
+        [lambda b: b["doc_id"]],
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=200)
+    ap.add_argument("--blocks", default="64:257")
+    ap.add_argument("--num-cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+        )
+    big = build_corpus(args.sf_dir, args.reps)
+    print("corpus rows:", big.num_rows)
+    a, b = (int(x) for x in args.blocks.split(":"))
+    run(big, a, b)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
