@@ -701,7 +701,9 @@ def _samples(sf_dir: str):
 
     from crawlray.ops.relational import mixture_sample
 
-    srcs = docs.unique("source")
+    # rates derivation reads ONLY the source column (prune-at-the-read);
+    # a production pipeline would know its domain weights up front
+    srcs = _rd(sf_dir, "documents", columns=["source"]).unique("source")
     rates = {
         s: int(_hl.md5(s.encode("utf-8")).hexdigest()[0], 16) * 17 / 256
         for s in srcs
