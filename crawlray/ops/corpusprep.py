@@ -204,6 +204,227 @@ DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def _nf_from(P: np.ndarray, m: int, budget: int):
+    """Memoized fresh-start next-fit walk over prefix sums P (P[0]=0,
+    docs 1-based): walk(c) = (bins, fill_out) for next-fit over docs
+    c..m starting with no open bin. A fresh bin opened at doc c ends at
+    e(c) = max{j >= c : P[j]-P[c-1] <= budget} (an oversize doc occupies
+    a bin alone), and walk(c) = (1 + walk(e(c)+1).bins, ...). Different
+    start points CONVERGE onto the same boundary chain, so computing
+    walk for every start in 1..budget+1 costs O(#bins + budget)
+    searchsorteds total, not O(budget · #bins)."""
+    memo: dict[int, tuple[int, int]] = {}
+
+    def _end(c: int) -> int:
+        limit = P[c - 1] + budget
+        j = int(np.searchsorted(P, limit, side="right")) - 1
+        return c if j < c else j
+
+    def walk(c: int) -> tuple[int, int]:
+        if c > m:
+            return (0, 0)
+        path = []
+        while c <= m and c not in memo:
+            path.append(c)
+            c = _end(c) + 1
+        for start in reversed(path):
+            e = _end(start)
+            if e == m:
+                memo[start] = (1, int(P[m] - P[start - 1]))
+            else:
+                b_next, f_next = memo[e + 1]
+                memo[start] = (1 + b_next, f_next)
+        return memo[path[0]] if path else memo[c]
+
+    return walk
+
+
+def pack_bins(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> ray.data.Dataset:
+    """Next-fit whole-document bin packing (the SFT-style packer that
+    never splits a document, complementing `pack_sequences`' concat-and-
+    chunk): within each source, docs in `order_col` order join the open
+    bin while its token total stays <= budget, else open a new bin; an
+    oversize doc occupies a bin alone. Output: (source, order, n_tokens,
+    bin_id) with bin_id 0-based per source — identical to the sequential
+    greedy
+        f = None
+        for t in sizes: f, b = (f+t, b) if f is not None and f+t<=budget
+                                 else (t, b+1)
+
+    Distributed shape — the O-33 pattern EXTENDED to non-additive state:
+    a bin can span block boundaries, and the greedy state entering a
+    block is (open-bin fill f, bins so far), which is NOT a sum. The key
+    structural fact: once a block opens its first fresh bin, the rest of
+    its packing is independent of f. So pass A emits per source-run a
+    COMPACT table — the leading prefix sums (at most the docs one bin
+    can absorb) plus (bins, fill_out) for every possible absorbed-prefix
+    length, computed via a memoized boundary chain in O(#bins + budget)
+    per run; the driver folds runs in O(1) lookups each (O(#runs) total,
+    never data rows); pass B assigns bin ids locally and vectorized.
+    `order_col` values must be unique, as in pack_sequences.
+    """
+    counted = _count_tokens(ds, source_col, order_col, text_col)
+    mat = counted.sort([source_col, order_col]).materialize()
+
+    empty_meta = pa.table(
+        {
+            "block_key": pa.array([], pa.int64()),
+            "run_source": pa.array([], pa.string()),
+            "run_first_order": pa.array([], pa.int64()),
+            "leading": pa.array([], pa.list_(pa.int64())),
+            "sim_bins": pa.array([], pa.list_(pa.int64())),
+            "sim_fill": pa.array([], pa.list_(pa.int64())),
+            "total": pa.array([], pa.int64()),
+            "m": pa.array([], pa.int64()),
+        }
+    )
+
+    def _runs(b: pa.Table):
+        src = np.asarray(b.column(source_col).to_pylist(), dtype=object)
+        change = np.empty(len(src), dtype=bool)
+        change[0] = True
+        change[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(src))
+        return src, starts, ends
+
+    def _meta(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or order_col not in b.column_names:
+            return empty_meta
+        src, starts, ends = _runs(b)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = b.column(order_col).to_numpy(zero_copy_only=False)
+        rows = {k: [] for k in empty_meta.column_names}
+        first = int(order[0])
+        for a, e in zip(starts, ends):
+            t = n[a:e].astype(np.int64)
+            m = len(t)
+            P = np.concatenate(([0], np.cumsum(t)))
+            k1 = int(np.searchsorted(P, budget, side="right")) - 1
+            W = min(m, max(k1, 0))
+            walk = _nf_from(P, m, budget)
+            sims_b, sims_f = [], []
+            for s in range(1, W + 2):
+                if s > m:
+                    sims_b.append(0)
+                    sims_f.append(0)
+                else:
+                    bins, fout = walk(s)
+                    sims_b.append(bins)
+                    sims_f.append(fout)
+            rows["block_key"].append(first)
+            rows["run_source"].append(src[a])
+            rows["run_first_order"].append(int(order[a]))
+            rows["leading"].append(P[1 : W + 1].tolist())
+            rows["sim_bins"].append(sims_b)
+            rows["sim_fill"].append(sims_f)
+            rows["total"].append(int(P[m]))
+            rows["m"].append(m)
+        return pa.table(
+            {
+                "block_key": pa.array(rows["block_key"], pa.int64()),
+                "run_source": pa.array(rows["run_source"], pa.string()),
+                "run_first_order": pa.array(
+                    rows["run_first_order"], pa.int64()
+                ),
+                "leading": pa.array(rows["leading"], pa.list_(pa.int64())),
+                "sim_bins": pa.array(
+                    rows["sim_bins"], pa.list_(pa.int64())
+                ),
+                "sim_fill": pa.array(
+                    rows["sim_fill"], pa.list_(pa.int64())
+                ),
+                "total": pa.array(rows["total"], pa.int64()),
+                "m": pa.array(rows["m"], pa.int64()),
+            }
+        )
+
+    meta = mat.map_batches(
+        _meta, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    meta.sort(key=lambda r: (r["run_source"], r["run_first_order"]))
+
+    # driver fold: O(#runs) lookups into the per-run sim tables; state
+    # per source = (open-bin fill, bins so far); never touches doc rows
+    fill: dict[str, int | None] = {}
+    nbins: dict[str, int] = {}
+    bases: dict[int, dict[str, tuple[int, int, int]]] = {}
+    for r in meta:
+        s0, f = r["run_source"], fill.get(r["run_source"])
+        base = nbins.get(s0, 0)
+        leading = r["leading"]
+        m = r["m"]
+        if f is None:
+            j = 0
+        else:
+            room = budget - f
+            j = 0
+            for p in leading:
+                if p <= room:
+                    j += 1
+                else:
+                    break
+        open_bin = base - 1  # valid only when j > 0 (then f was not None)
+        if j >= m:
+            run_bins = 0
+            f_out = (0 if f is None else f) + r["total"]
+        else:
+            run_bins = r["sim_bins"][j]
+            f_out = r["sim_fill"][j]
+        bases.setdefault(r["block_key"], {})[s0] = (j, open_bin, base)
+        nbins[s0] = base + run_bins
+        fill[s0] = f_out
+
+    out_schema = pa.schema(
+        [
+            (source_col, pa.string()),
+            (order_col, pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("bin_id", pa.int64()),
+        ]
+    )
+
+    def _assign(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or order_col not in b.column_names:
+            return out_schema.empty_table()
+        src, starts, ends = _runs(b)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = b.column(order_col).to_numpy(zero_copy_only=False)
+        blk = bases[int(order[0])]
+        bin_id = np.empty(len(src), np.int64)
+        for a, e in zip(starts, ends):
+            t = n[a:e].astype(np.int64)
+            m = len(t)
+            P = np.concatenate(([0], np.cumsum(t)))
+            j, open_bin, base = blk[src[a]]
+            bin_id[a : a + j] = open_bin
+            cur, nb = j + 1, 0
+            while cur <= m:
+                limit = P[cur - 1] + budget
+                end = int(np.searchsorted(P, limit, side="right")) - 1
+                if end < cur:
+                    end = cur
+                bin_id[a + cur - 1 : a + end] = base + nb
+                nb += 1
+                cur = end + 1
+        return pa.table(
+            {
+                source_col: b.column(source_col),
+                order_col: pc.cast(b.column(order_col), pa.int64()),
+                "n_tokens": b.column("n_tokens"),
+                "bin_id": pa.array(bin_id, pa.int64()),
+            }
+        )
+
+    return mat.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+
+
 def redact_pii(
     ds: ray.data.Dataset,
     text_col: str = "text",

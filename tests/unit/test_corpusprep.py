@@ -87,6 +87,119 @@ def test_decontaminate_matches_join_oracle(ray_session):
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
 
 
+def _next_fit_ref(sizes, budget):
+    """Sequential-greedy reference for pack_bins."""
+    out, f, b = [], None, -1
+    for t in sizes:
+        if f is not None and f + t <= budget:
+            f += t
+        else:
+            b += 1
+            f = t
+        out.append(b)
+    return out
+
+
+def test_pack_bins_crafted_cases(ray_session):
+    from crawlray.ops.corpusprep import pack_bins
+
+    rows = [
+        # source a: sizes 3,3,3 with budget 7 -> bins 0,0,1
+        {"doc_id": 0, "source": "a", "text": "x x x"},
+        {"doc_id": 1, "source": "a", "text": "x x x"},
+        {"doc_id": 2, "source": "a", "text": "x x x"},
+        # source b: oversize doc (9 > 7) alone, then 2+2 share
+        {"doc_id": 3, "source": "b", "text": "x x x x x x x x x"},
+        {"doc_id": 4, "source": "b", "text": "x x"},
+        {"doc_id": 5, "source": "b", "text": "x x"},
+        # source c: single doc
+        {"doc_id": 6, "source": "c", "text": "x"},
+    ]
+    got = (
+        pack_bins(ray.data.from_items(rows), budget=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.bin_id.tolist() == [0, 0, 1, 0, 1, 1, 0]
+    assert got.n_tokens.tolist() == [3, 3, 3, 9, 2, 2, 1]
+
+
+@pytest.mark.parametrize("override_blocks", [None, 1, 7, 33])
+def test_pack_bins_matches_sequential_reference(ray_session, override_blocks):
+    """Block-boundary state composition is the hard part: bins spanning
+    block boundaries must land exactly where the sequential greedy puts
+    them, at EVERY block count."""
+    from crawlray.ops.corpusprep import pack_bins
+
+    kwargs = {}
+    if override_blocks:
+        kwargs["override_num_blocks"] = override_blocks
+    ds = ray.data.read_parquet(
+        DOCS, columns=["source", "doc_id", "text"], **kwargs
+    )
+    got = (
+        pack_bins(ds, budget=256)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    base = (
+        duckdb.sql(
+            f"""SELECT source, doc_id,
+                       LEN(str_split(text, ' ')) AS n FROM '{DOCS}'
+                ORDER BY source, doc_id"""
+        )
+        .df()
+    )
+    want = []
+    for _, grp in base.groupby("source", sort=True):
+        want.extend(_next_fit_ref(grp.n.tolist(), 256))
+    assert got.bin_id.tolist() == want
+    assert got.n_tokens.tolist() == base.n.tolist()
+    assert max(want) >= 2  # multiple bins actually exercised
+
+
+def test_pack_bins_matches_recursive_cte_oracle(ray_session):
+    """The driver oracle in miniature: DuckDB recursive CTE walking the
+    same per-source greedy, one step per document."""
+    from crawlray.ops.corpusprep import pack_bins
+
+    ds = ray.data.read_parquet(DOCS, columns=["source", "doc_id", "text"])
+    got = pack_bins(ds, budget=256).to_pandas()
+    want = duckdb.sql(
+        f"""
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id, LEN(str_split(text, ' ')) AS n
+            FROM '{DOCS}'
+        ),
+        d AS (
+            SELECT source, list(n ORDER BY doc_id) AS sz,
+                   list(doc_id ORDER BY doc_id) AS ids
+            FROM toks GROUP BY source
+        ),
+        w AS (
+            SELECT source, sz, ids, 1 AS i, CAST(0 AS BIGINT) AS bin,
+                   CAST(sz[1] AS BIGINT) AS fill
+            FROM d WHERE len(sz) >= 1
+            UNION ALL
+            SELECT source, sz, ids, i + 1,
+                   CASE WHEN fill + sz[i+1] <= 256 THEN bin
+                        ELSE bin + 1 END,
+                   CAST(CASE WHEN fill + sz[i+1] <= 256
+                             THEN fill + sz[i+1]
+                             ELSE sz[i+1] END AS BIGINT)
+            FROM w WHERE i < len(sz)
+        )
+        SELECT source, ids[i] AS doc_id, CAST(sz[i] AS BIGINT) AS n_tokens,
+               bin AS bin_id
+        FROM w
+        """
+    ).df()
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
 def test_paragraph_dedup_keeps_first_occurrence(ray_session):
     from crawlray.ops.corpusprep import paragraph_dedup
 
