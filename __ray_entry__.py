@@ -951,6 +951,66 @@ def _heavy_hitters(sf_dir: str):
     return tbl
 
 
+def _sketches(sf_dir: str):
+    """HLL approx-distinct (global + per-group, ±2% bound asserted) AND
+    Misra-Gries heavy hitters in one tagged table (window-packing merge
+    that freed the slot for pack_bins): kind='hll' rows carry the exact
+    distinct user count per event_type with the sketch-accuracy boolean;
+    kind='mg' rows carry the frequent-items counts (exact at driver
+    scales since k >= distinct users — precondition enforced inside
+    _heavy_hitters). Both engine paths run unchanged."""
+    hll = _approx_distinct(sf_dir)
+    mg = _heavy_hitters(sf_dir)
+    return pa.table(
+        {
+            "kind": pa.array(
+                ["hll"] * hll.num_rows + ["mg"] * mg.num_rows
+            ),
+            "key": pa.concat_arrays(
+                [
+                    hll.column("event_type").combine_chunks(),
+                    pc.cast(
+                        mg.column("item").combine_chunks(), pa.string()
+                    ),
+                ]
+            ),
+            "n": pa.concat_arrays(
+                [
+                    pc.cast(
+                        hll.column("n_exact").combine_chunks(), pa.int64()
+                    ),
+                    pc.cast(
+                        mg.column("est_count").combine_chunks(), pa.int64()
+                    ),
+                ]
+            ),
+            "within_bound": pa.concat_arrays(
+                [
+                    hll.column("hll_within_2pct").combine_chunks(),
+                    pa.array([True] * mg.num_rows, pa.bool_()),
+                ]
+            ),
+        }
+    )
+
+
+def _pack_bins(sf_dir: str):
+    """Next-fit whole-document bin packing (SFT-style: never splits a
+    doc): per source in doc_id order, docs join the open bin while the
+    token total stays <= 256, else open a new bin. Distributed via the
+    O-33 pattern extended to NON-ADDITIVE greedy state (a bin spans
+    block boundaries): per-run compact absorbed-prefix tables, O(#runs)
+    driver fold, local vectorized assignment — see
+    corpusprep.pack_bins. The oracle walks the same greedy with a
+    recursive CTE, one step per document."""
+    from crawlray.ops.corpusprep import pack_bins
+
+    return pack_bins(
+        _rd(sf_dir, "documents", columns=["source", "doc_id", "text"]),
+        budget=256,
+    )
+
+
 def _tfidf(sf_dir: str):
     """TF-IDF per (doc, term): token explode → tf groupby → df groupby →
     term-keyed shuffle join; vocabulary never broadcast or driver-held."""
@@ -1392,8 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "samples": _samples,
         "quantiles": _quantiles,
         "approx_quantiles": _approx_quantiles,
-        "approx_distinct": _approx_distinct,
-        "heavy_hitters": _heavy_hitters,
+        "sketches": _sketches,
         # -- text / LLM-data pipeline ----------------------------------
         "json_props": _json_props,
         "flatten_tokens": _flatten_tokens,
@@ -1407,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _ngram_jaccard,
         "cdc": _cdc,
         "pack_sequences": _pack_sequences,
+        "pack_bins": _pack_bins,
         "decontaminate": _decontaminate,
         "redact_pii": _redact_pii,
         "paragraph_dedup": _paragraph_dedup,
@@ -1795,9 +1855,43 @@ def oracle_sql() -> dict[str, str]:
         "flatten_tokens": """
             SELECT doc_id, UNNEST(str_split(text, ' ')) AS token FROM documents
         """,
-        "heavy_hitters": """
-            SELECT user_id AS item, COUNT(*) AS est_count
+        "sketches": """
+            SELECT 'hll' AS kind, event_type AS key,
+                   COUNT(DISTINCT user_id) AS n, TRUE AS within_bound
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'hll', '(all)', COUNT(DISTINCT user_id), TRUE
+            FROM events
+            UNION ALL
+            SELECT 'mg', CAST(user_id AS VARCHAR), COUNT(*), TRUE
             FROM events GROUP BY user_id
+        """,
+        "pack_bins": """
+            WITH RECURSIVE toks AS (
+                SELECT source, doc_id, LEN(str_split(text, ' ')) AS n
+                FROM documents
+            ),
+            d AS (
+                SELECT source, list(n ORDER BY doc_id) AS sz,
+                       list(doc_id ORDER BY doc_id) AS ids
+                FROM toks GROUP BY source
+            ),
+            w AS (
+                SELECT source, sz, ids, 1 AS i, CAST(0 AS BIGINT) AS bin,
+                       CAST(sz[1] AS BIGINT) AS fill
+                FROM d WHERE len(sz) >= 1
+                UNION ALL
+                SELECT source, sz, ids, i + 1,
+                       CASE WHEN fill + sz[i+1] <= 256 THEN bin
+                            ELSE bin + 1 END,
+                       CAST(CASE WHEN fill + sz[i+1] <= 256
+                                 THEN fill + sz[i+1]
+                                 ELSE sz[i+1] END AS BIGINT)
+                FROM w WHERE i < len(sz)
+            )
+            SELECT source, ids[i] AS doc_id,
+                   CAST(sz[i] AS BIGINT) AS n_tokens, bin AS bin_id
+            FROM w
         """,
         "lang_id": _lang_id_sql(),
         "quality_score": """
@@ -2219,13 +2313,6 @@ def oracle_sql() -> dict[str, str]:
         # error-bound oracle for the HLL sketch: SQL reproduces the exact
         # distinct count and the bound claim; a hash match proves the
         # engine's exact distinct AND that its estimate was within ±2%
-        "approx_distinct": """
-            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
-                   TRUE AS hll_within_2pct
-            FROM events GROUP BY event_type
-            UNION ALL
-            SELECT '(all)', COUNT(DISTINCT user_id), TRUE FROM events
-        """,
         # rows-only (no SQL equivalent, parity proven in tests instead):
         # ann_sq8, minhash_signatures, minhash_lsh_dedup, simhash_docs,
         # simhash_dedup, ann_ivf_trained, ivf_pairs, crawl_smoke

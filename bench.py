@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "pivot_unpivot",
     "pack_sequences",
+    "pack_bins",
     "decontaminate",
     "redact_pii",
 ]
