@@ -64,6 +64,7 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
     import ray.data
 
     from crawlray.ops.corpusprep import (
+        pack_bins,
         pack_sequences,
         paragraph_dedup,
         redact_pii,
@@ -93,6 +94,14 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
         [
             lambda b: pc.multiply(b["pack_id"], pc.add(b["doc_id"], 1)),
             lambda b: b["cum_tokens"],
+        ],
+    )
+    stress(
+        "pack_bins",
+        lambda ds: pack_bins(ds, budget=256),
+        [
+            lambda b: pc.multiply(b["bin_id"], pc.add(b["doc_id"], 1)),
+            lambda b: b["bin_id"],
         ],
     )
     stress(
