@@ -595,10 +595,16 @@ def _asof_join(sf_dir: str):
     searchsorted kernel per group."""
     from crawlray.ops.temporal import asof_join
 
-    ev = _rd(sf_dir, "events")
-    left = ev.filter(expr="event_type != 'purchase'")
-    right = ev.filter(expr="event_type == 'purchase'").select_columns(
-        ["user_id", "ts", "event_id", "value"]
+    # two lazy branches each re-execute their read: prune the right
+    # branch's read to the 5 columns it touches (left is SELECT l.*).
+    left = _rd(sf_dir, "events").filter(expr="event_type != 'purchase'")
+    right = (
+        _rd(
+            sf_dir, "events",
+            columns=["user_id", "ts", "event_id", "value", "event_type"],
+        )
+        .filter(expr="event_type == 'purchase'")
+        .select_columns(["user_id", "ts", "event_id", "value"])
     )
     return asof_join(
         left, right, on="ts", by="user_id",
