@@ -359,6 +359,12 @@ def main() -> None:
             capture_output=True, text=True, cwd=REPO,
         )
         sys.stderr.write(p.stderr[-2000:])
+        if p.returncode != 0 or not p.stdout.strip():
+            raise RuntimeError(
+                f"crawl child exited rc={p.returncode} with "
+                f"{'no' if not p.stdout.strip() else 'partial'} stdout — "
+                "its stderr tail is above"
+            )
         crawl = json.loads(p.stdout.strip().splitlines()[-1])["crawl"]
     total = round(time.time() - t0, 2)
     if crawl is not None and not args.crawl_only:

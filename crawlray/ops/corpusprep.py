@@ -607,7 +607,7 @@ def decontaminate(
     moves the biggest shuffle (44M pairs → hit volume) behind the
     filter; at saturation (everything matches) cost is unchanged.
     """
-    from crawlray.ops.neardup import _drop_empty_blocks
+    from crawlray.ops.blocks import drop_empty_blocks as _drop_empty_blocks
     from crawlray.ops.relational import bloom_semi_join, grouped_count_hash
 
     bench_grams = _drop_empty_blocks(
@@ -621,7 +621,11 @@ def decontaminate(
         .materialize()
     )
     hits_raw = bloom_semi_join(
-        word_ngrams(docs, id_col, text_col, n), bench_grams, key="gram"
+        word_ngrams(docs, id_col, text_col, n), bench_grams, key="gram",
+        # bench_grams is already one row per gram (grouped_count_hash
+        # output) — skip bloom_semi_join's internal distinct() exchange,
+        # which would re-dedup it through the sort-based groupby path
+        right_is_distinct=True,
     )
     hits = _drop_empty_blocks(
         grouped_count_hash(hits_raw, [id_col, "gram"])

@@ -121,7 +121,7 @@ def dedup_keep_first_hash(
     Caveat: `groupby().map_groups()` emits zero-column empty blocks for
     empty hash partitions; they are harmless to scans/to_pandas/writes but
     poison Acero joins — a caller feeding this into `Dataset.join` should
-    scrub with `crawlray.ops.neardup._drop_empty_blocks(out.materialize())`.
+    scrub with `crawlray.ops.blocks.drop_empty_blocks(out.materialize())`.
     """
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -129,10 +129,18 @@ def dedup_keep_first_hash(
             size = ds.size_bytes() or 0
         except Exception:  # noqa: BLE001 — size unknown for this source
             size = 0
-        # ~64 MiB of input per partition, at least one per CPU for big
-        # inputs, floor 2 (mirrors shuffle_join's size-aware default)
+        # ~64 MiB of input per partition, floor 2; for big inputs never
+        # fewer than one per CPU and never MORE than ~256 MiB per
+        # partition (mirrors shuffle_join's size-aware default — the cap
+        # must scale with size, not pin at a constant, or per-partition
+        # bytes grow unboundedly and the per-partition sort heap OOMs)
         num_partitions = (
-            int(min(max(2, -(-size // (64 << 20))), max(cpus, 256)))
+            int(
+                min(
+                    max(2, -(-size // (64 << 20))),
+                    max(cpus, -(-size // (256 << 20))),
+                )
+            )
             if size
             else max(8, cpus)
         )

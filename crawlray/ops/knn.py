@@ -642,9 +642,10 @@ def srp_pairs_cosine(
         )
         order = np.argsort(all_ids, kind="stable")
         ids_sorted = all_ids[order]
-        mat_sorted = _normalize(
-            np.array(full.column(vec_col).to_pylist(), dtype=np.float64)[order]
-        )
+        # _batch_matrix flattens without boxing each element as a Python
+        # float — to_pylist here would transiently cost 5-10x the matrix
+        # bytes on the driver, right when n_vec*dim*8 is AT the budget
+        mat_sorted = _normalize(_batch_matrix(full, vec_col)[order])
         mat_ref = ray.put((ids_sorted, mat_sorted))
 
         def _verify_bcast(batch: pa.Table) -> pa.Table:

@@ -294,23 +294,9 @@ def _dedup_pairs(cand: ray.data.Dataset) -> tuple[ray.data.Dataset, int]:
     return _drop_empty_blocks(pairs.materialize()), n_dropped
 
 
-def _drop_empty_blocks(mat: ray.data.Dataset) -> ray.data.Dataset:
-    """Scrub the zero-column empty blocks `groupby().map_groups()` emits
-    for empty hash partitions (Ray writes them without calling the UDF, so
-    they carry NO schema and later poison Acero joins with "No match for
-    key field"). Metadata-only: walks the materialized block refs and
-    rebuilds from the non-empty ones — no block is fetched to the driver.
-    """
-    bundles = list(mat.iter_internal_ref_bundles())
-    refs, total = [], 0
-    for b in bundles:
-        for ref, meta in b.blocks:
-            total += 1
-            if (meta.num_rows or 0) > 0:
-                refs.append(ref)
-    if not refs or len(refs) == total:
-        return mat
-    return ray.data.from_arrow_refs(refs)
+# shared util (crawlray/ops/blocks.py); the old private name is kept as
+# an alias because half the operator library scrubs hash-shuffle output
+from crawlray.ops.blocks import drop_empty_blocks as _drop_empty_blocks
 
 
 def minhash_lsh_pairs(

@@ -139,7 +139,7 @@ def grouped_count_hash(
 
     Caveat (same as every `groupby().map_groups()` shape): empty hash
     partitions yield zero-column empty blocks — harmless to scans and
-    aggregations, but scrub with `neardup._drop_empty_blocks` before
+    aggregations, but scrub with `crawlray.ops.blocks.drop_empty_blocks` before
     feeding the output into a `Dataset.join`.
     """
     import numpy as np
@@ -225,7 +225,14 @@ def hash_sample(
     if not 0 <= buckets_kept <= 256:
         raise ValueError("buckets_kept must be in [0, 256]")
     if buckets_kept == 256:
-        return ds  # keep-all: '100' would compare lexicographically wrong
+        # keep-all: '100' would compare lexicographically wrong. The
+        # complement of keep-all is EMPTY — honor invert so the two
+        # calls still partition the input exactly at this edge.
+        if invert:
+            return ds.map_batches(
+                lambda b: b.slice(0, 0), batch_format="pyarrow"
+            )
+        return ds
     threshold = format(buckets_kept, "02x")
     cmp = pc.greater_equal if invert else pc.less
     import hashlib
@@ -941,6 +948,7 @@ def bloom_semi_join(
     anti: bool = False,
     num_bits: int = 1 << 23,
     num_hashes: int = 4,
+    right_is_distinct: bool = False,
 ) -> ray.data.Dataset:
     """EXACT semi/anti join with a Bloom-filter pre-filter — the at-scale
     middle ground between `broadcast_semi_anti` (needs the exact right key
@@ -1033,8 +1041,18 @@ def bloom_semi_join(
     )
     # no fixed repartition here (ADVICE r3): shuffle_join's size-aware
     # num_partitions default scales with the right key set; a hardcoded
-    # repartition(2) would funnel a large key set into 2 aggregators
-    rkeys = distinct(right.select_columns([key]), [key]).map_batches(
+    # repartition(2) would funnel a large key set into 2 aggregators.
+    # right_is_distinct skips the dedup exchange when the caller already
+    # guarantees one row per key (e.g. decontaminate feeds the output of
+    # grouped_count_hash) — the verify join is semi/anti-semantics-safe
+    # only under that guarantee, since duplicate right keys would fan out
+    # candidate rows.
+    rdist = (
+        right.select_columns([key])
+        if right_is_distinct
+        else distinct(right.select_columns([key]), [key])
+    )
+    rkeys = rdist.map_batches(
         lambda b: b.append_column(
             "_rhit", pa.array(np.ones(b.num_rows, np.int8))
         ),

@@ -331,7 +331,7 @@ def tfidf(
     metadata). Scores are rounded to `ndigits` so distributed float jitter
     can't flip an external oracle's value hash.
     """
-    from crawlray.ops.neardup import _drop_empty_blocks
+    from crawlray.ops.blocks import drop_empty_blocks as _drop_empty_blocks
     from crawlray.ops.relational import grouped_count_hash, shuffle_join
 
     n_docs = ds.count()

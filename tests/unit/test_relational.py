@@ -95,6 +95,13 @@ def test_hash_sample_edge_rates(ray_session):
     ds = ray.data.from_arrow(tbl)
     assert hash_sample(ds, "k", 0).count() == 0
     assert hash_sample(ds, "k", 256).count() == 50
+    # invert at both edges: the complement of keep-all is EMPTY and the
+    # complement of keep-none is everything (the keep/invert pair must
+    # partition the input exactly at every rate, including the edges)
+    assert hash_sample(ds, "k", 256, invert=True).count() == 0
+    assert hash_sample(ds, "k", 0, invert=True).count() == 50
+    # schema survives the empty-complement path
+    assert hash_sample(ds, "k", 256, invert=True).schema().names == ["k"]
 
 
 def test_hash_sample_fast_invariant_and_consistent(ray_session):
@@ -375,6 +382,15 @@ def test_bloom_semi_anti_exact(ray_session):
         anti = bloom_semi_join(left, right, "k", anti=True, num_bits=bits)
         got = sorted(r["payload"] for r in anti.take_all())
         assert got == want_anti, f"anti mismatch at num_bits={bits}"
+
+    # right_is_distinct skips the internal dedup exchange; with an
+    # already-distinct right side the results are identical
+    semi = bloom_semi_join(left, right, "k", right_is_distinct=True)
+    assert sorted(r["payload"] for r in semi.take_all()) == want_semi
+    anti = bloom_semi_join(
+        left, right, "k", anti=True, right_is_distinct=True
+    )
+    assert sorted(r["payload"] for r in anti.take_all()) == want_anti
 
 
 def test_weighted_sample_bias_and_determinism(ray_session):
