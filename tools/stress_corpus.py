@@ -14,7 +14,17 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+# self-sufficient launch: `python tools/stress_corpus.py` from anywhere —
+# the repo root must be importable on the driver AND on Ray workers
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 import numpy as np  # noqa: F401 (kept for parity with op modules)
 import pyarrow as pa
@@ -133,6 +143,33 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
                 pc.add(b["doc_id"], 1), pc.add(b["pos"], 7)
             ),
         ],
+    )
+
+    # decontaminate: a deterministic 1-in-97 slice of the corpus plays the
+    # benchmark (guaranteed overlap), at two block counts on BOTH sides —
+    # covers the bloom probe, the right_is_distinct fast path, and the
+    # hash-bucket exchanges end-to-end
+    from crawlray.ops.corpusprep import decontaminate
+
+    def _bench_side(ds):
+        # expr strings don't support BinOp left operands; vectorized batch
+        # filter keeps the slice deterministic and block-layout-independent
+        def _slice(b: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.subtract(
+                    b.column("doc_id"),
+                    pc.multiply(pc.divide(b.column("doc_id"), 97), 97),
+                ),
+                0,
+            )
+            return b.filter(keep)
+
+        return ds.map_batches(_slice, batch_format="pyarrow")
+
+    stress(
+        "decontaminate",
+        lambda ds: decontaminate(ds, _bench_side(ds), n=8),
+        [lambda b: pc.multiply(pc.add(b["doc_id"], 1), b["n_hits"])],
     )
 
     srcs = set(big.column("source").unique().to_pylist())
