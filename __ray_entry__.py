@@ -1303,6 +1303,22 @@ def _ivf_pairs(sf_dir: str):
     )
 
 
+def _semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (rows-only): spherical-k-means
+    clusters -> within-cluster greedy keep-first-by-id at cosine >= 0.45
+    (the same threshold the exact embedding ops use, so the gate corpora
+    actually exercise drops). One row per vector: (vec_id, keep, rep_id).
+    Exact-greedy parity vs a naive reference, planted-dup removal, and
+    parallelism invariance (incl. trained centroids) are asserted in
+    tests/unit/test_semantic_dedup.py."""
+    from crawlray.ops.knn import semantic_dedup
+
+    return semantic_dedup(
+        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        centroids="train", threshold=0.45, n_centroids=8,
+    )
+
+
 def _ann_ivf_trained(sf_dir: str):
     """IVF bucket assignment with TRAINED centroids (rows-only: k-means
     output has no SQL equivalent; recall-vs-naive-seed asserted in
@@ -1423,7 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # near-duplicate entries were merged into tagged multi-part results
     # [samples, set_ops, windowed_agg, quantiles, knn_ann, approx_distinct,
     # doc_profile, media_pipeline, cdc, pivot_unpivot, session_windows] so
-    # the whole oracled surface fits the window); the 8 rows-only queries
+    # the whole oracled surface fits the window); the 9 rows-only queries
     # (pytest-parity instead of SQL) follow.
     return {
         # -- relational core ------------------------------------------
@@ -1491,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _simhash_dedup,
         "ann_ivf_trained": _ann_ivf_trained,
         "ivf_pairs": _ivf_pairs,
+        "semantic_dedup": _semantic_dedup,
         "crawl_smoke": _crawl_smoke,
     }
 

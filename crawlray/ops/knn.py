@@ -854,3 +854,117 @@ def sq8_knn(
 
     cand = qds.map_batches(_scan, batch_format="pyarrow")
     return _merge_topk(cand, k)
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    centroids="train",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    chunk_rows: int = 512,
+    max_cluster_rows: int = 65536,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embeddings with spherical k-means, then WITHIN each cluster
+    run a deterministic greedy keep-first-by-id pass at a cosine threshold.
+
+    Output: one row per input — (id_col, keep: bool, rep_id: int64).
+    `keep` follows classic greedy dedup over the cluster's rows in
+    ascending-id order: a row is kept iff NO earlier KEPT row has cosine
+    similarity >= threshold. For dropped rows `rep_id` is the SMALLEST-id
+    kept row with sim >= threshold (its surviving representative); kept
+    rows carry rep_id = their own id. The caller semi-joins `keep` against
+    the corpus to drop semantic near-duplicates.
+
+    Shape at scale (the reason this beats all-pairs embedding dedup):
+    candidate comparisons happen only within a k-means cluster, so cost is
+    O(sum_c |c|·kept_c·dim) instead of O(n²·dim); the only exchange is the
+    bucket groupby. Centroid training is the existing
+    `train_ivf_centroids` (parallelism-invariant hash sample + map-side
+    combined Lloyd), so the whole op's output is a pure function of the
+    data — invariant to block layout (tested at two repartitions).
+
+    Inside a cluster the greedy pass is chunk-vectorized: each
+    `chunk_rows` slab is first screened against the running kept-matrix
+    with one matmul; only the slab's survivors pay the (small)
+    intra-slab sequential step. Clusters larger than `max_cluster_rows`
+    are split into consecutive id-sorted segments deduped independently —
+    a documented recall (never precision) trade mirroring SemDeDup's own
+    cluster-size cap; raise `n_centroids` so clusters stay under the cap
+    (the paper sizes k proportionally to n for the same reason).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+
+    assigned = ivf_bucket_assign(
+        ds, centroids, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids
+    )
+
+    def _greedy_segment(ids: np.ndarray, m: np.ndarray):
+        """Greedy keep-first-by-id over one id-sorted segment.
+
+        Returns (keep: bool[n], rep: int64[n]). Vectorized: slabs screen
+        against the kept-matrix with one matmul; intra-slab survivors run
+        the short sequential pass on a precomputed slab-local sim matrix.
+        """
+        n = len(ids)
+        keep = np.zeros(n, dtype=bool)
+        rep = ids.copy()
+        kept_rows: list[int] = []
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            slab = m[lo:hi]
+            base = len(kept_rows)  # kept rows preceding this slab
+            if base:
+                sims = slab @ m[kept_rows].T  # (slab, kept)
+                hit = sims >= threshold
+                dropped = hit.any(axis=1)
+                # representative = smallest-id qualifying kept row; kept
+                # rows are appended in ascending-id order, so the first
+                # True column IS the smallest id
+                first_hit = np.argmax(hit, axis=1)
+            else:
+                dropped = np.zeros(hi - lo, dtype=bool)
+                first_hit = None
+            for j in range(hi - lo):
+                i = lo + j
+                if dropped[j]:
+                    rep[i] = ids[kept_rows[first_hit[j]]]
+                    continue
+                # screen against slab-local rows kept AFTER the matmul
+                new_kept = kept_rows[base:]
+                if new_kept:
+                    s = m[i] @ m[new_kept].T
+                    loc = np.nonzero(s >= threshold)[0]
+                    if len(loc):
+                        rep[i] = ids[new_kept[loc[0]]]
+                        continue
+                keep[i] = True
+                kept_rows.append(i)
+        return keep, rep
+
+    def _dedup_cluster(group: pa.Table) -> pa.Table:
+        ids_raw = group.column(id_col).to_numpy(zero_copy_only=False)
+        ids = ids_raw.astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_batch_matrix(group, vec_col))[order]
+        keeps, reps = [], []
+        for lo in range(0, len(ids), max_cluster_rows):
+            hi = min(lo + max_cluster_rows, len(ids))
+            k_seg, r_seg = _greedy_segment(ids[lo:hi], m[lo:hi])
+            keeps.append(k_seg)
+            reps.append(r_seg)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "keep": pa.array(np.concatenate(keeps)),
+                "rep_id": pa.array(np.concatenate(reps), pa.int64()),
+            }
+        )
+
+    return assigned.groupby("bucket").map_groups(
+        _dedup_cluster, batch_format="pyarrow"
+    )
