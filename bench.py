@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "exact_dedup_docs",
     "knn_ann",
     "embedding_srp_dedup",
+    "semantic_dedup",
     "pagerank",
     "dedup_clusters",
     "asof_join",
