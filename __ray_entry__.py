@@ -1088,12 +1088,20 @@ def _knn_ann(sf_dir: str):
     10 vectors (broadcast queries, per-block top-k); kind='ivf_assign' —
     IVF nearest-centroid bucket per vector (centroids = first 8
     embeddings, deterministic); kind='ivf_knn' — IVF ANN end-to-end
-    (bucketing + nprobe=3 probe search, top-5 per query). Columns
-    (kind, id, other): brute/ivf_knn rows are (query_id, neighbor_id);
-    ivf_assign rows are (vec_id, bucket)."""
+    (bucketing + nprobe=3 probe search, top-5 per query); kind='cross' —
+    cross-dataset similarity join (corpus vs the vec_id%7==0 slice at
+    cosine >= 0.45, broadcast-right shape: the "dedup a new batch against
+    the corpus" primitive). Columns (kind, id, other): brute/ivf_knn rows
+    are (query_id, neighbor_id); ivf_assign rows are (vec_id, bucket);
+    cross rows are (left_id, right_id)."""
     import pyarrow.parquet as pq
 
-    from crawlray.ops.knn import ivf_bucket_assign, ivf_search_knn, knn_cosine
+    from crawlray.ops.knn import (
+        cross_similar_join,
+        ivf_bucket_assign,
+        ivf_search_knn,
+        knn_cosine,
+    )
 
     q = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -1120,10 +1128,27 @@ def _knn_ann(sf_dir: str):
             }
         )
 
+    # cross-dataset similarity join: right = the vec_id%7==0 slice (small
+    # -> broadcast path), left = the full corpus, streaming output
+    def _mod7(b: pa.Table) -> pa.Table:
+        v = b.column("vec_id")
+        return b.filter(
+            pc.equal(pc.subtract(v, pc.multiply(pc.divide(v, 7), 7)), 0)
+        )
+
+    right = emb.map_batches(_mod7, batch_format="pyarrow")
+    cross = cross_similar_join(
+        emb, right, threshold=0.45, exclude_equal_ids=True
+    )
+
     # assignment stays a streaming Dataset (one row per corpus vector —
     # never driver-materialized); the small top-k tables ride along
     assign_ds = assign.map_batches(
         lambda b: _sect("ivf_assign", b.column("vec_id"), b.column("bucket")),
+        batch_format="pyarrow",
+    )
+    cross_ds = cross.map_batches(
+        lambda b: _sect("cross", b.column("left_id"), b.column("right_id")),
         batch_format="pyarrow",
     )
     small = pa.concat_tables(
@@ -1132,7 +1157,7 @@ def _knn_ann(sf_dir: str):
             _sect("ivf_knn", ivf.column("query_id"), ivf.column("neighbor_id")),
         ]
     )
-    return assign_ds.union(ray.data.from_arrow(small))
+    return assign_ds.union(cross_ds).union(ray.data.from_arrow(small))
 
 
 
@@ -2323,6 +2348,12 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY sim DESC, neighbor_id ASC) AS rn
                     FROM cand
                 ) WHERE rn <= 5
+            ),
+            crossp AS (
+                SELECT l.vec_id AS id, r.vec_id AS other
+                FROM emb l JOIN emb r ON r.vec_id % 7 = 0
+                                     AND l.vec_id != r.vec_id
+                WHERE list_cosine_similarity(l.v, r.v) >= 0.45
             )
             SELECT 'brute' AS kind, CAST(query_id AS BIGINT) AS id,
                    CAST(neighbor_id AS BIGINT) AS other FROM brute
@@ -2332,6 +2363,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'ivf_knn', CAST(query_id AS BIGINT),
                    CAST(neighbor_id AS BIGINT) FROM ivfk
+            UNION ALL
+            SELECT 'cross', CAST(id AS BIGINT),
+                   CAST(other AS BIGINT) FROM crossp
         """,
         # error-bound oracle for the HLL sketch: SQL reproduces the exact
         # distinct count and the bound claim; a hash match proves the

@@ -968,3 +968,132 @@ def semantic_dedup(
     return assigned.groupby("bucket").map_groups(
         _dedup_cluster, batch_format="pyarrow"
     )
+
+
+@ray.remote
+def _cross_pair_task(
+    tbl_l: pa.Table,
+    tbl_r: pa.Table,
+    threshold: float,
+    left_id_col: str,
+    right_id_col: str,
+    vec_col: str,
+    exclude_equal_ids: bool,
+) -> pa.Table:
+    """Cross-side variant of `_block_pair_task`: every (left, right) pair
+    with cosine >= threshold between one left block and one right block,
+    ids kept DIRECTIONAL (left_id, right_id) — no min/max fold. Same
+    f32-scan / dimension-margined f64-rescore pattern, so output equals an
+    all-f64 scan."""
+    ids_l = tbl_l.column(left_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_r = tbl_r.column(right_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    m_l = _normalize(_batch_matrix(tbl_l, vec_col))
+    m_r = _normalize(_batch_matrix(tbl_r, vec_col))
+    sims32 = m_l.astype(np.float32) @ m_r.astype(np.float32).T
+    bi, bj = np.nonzero(sims32 >= np.float32(threshold) - _f32_margin(m_l.shape[1]))
+    if len(bi):
+        exact = np.einsum("ij,ij->i", m_l[bi], m_r[bj])
+        keep = exact >= threshold
+        bi, bj = bi[keep], bj[keep]
+    a, b = ids_l[bi], ids_r[bj]
+    if exclude_equal_ids and len(a):
+        keep = a != b
+        a, b = a[keep], b[keep]
+    return pa.table(
+        {"left_id": pa.array(a, pa.int64()), "right_id": pa.array(b, pa.int64())}
+    )
+
+
+def cross_similar_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    threshold: float,
+    left_id_col: str = "vec_id",
+    right_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_equal_ids: bool = False,
+    broadcast_rows: int = 100_000,
+    rows_per_block: int = 8192,
+) -> ray.data.Dataset:
+    """EXACT cross-dataset similarity join: every (left_id, right_id) pair
+    with cosine(left.vec, right.vec) >= threshold — the "dedup a new batch
+    against the existing corpus" primitive (directional output, unlike the
+    within-corpus `similar_pairs_cosine`).
+
+    Two shapes, chosen by the right side's row count:
+    - broadcast (right <= `broadcast_rows`): the slim right side is pulled
+      once, `ray.put` once, and probed inside ONE `map_batches` pass over
+      left — zero shuffle, left streams with backpressure, output is a
+      lazy Dataset. This is the production shape when deduping an
+      incremental batch (small right) against a huge corpus (left).
+    - block-pair (right larger): both slim sides stage as bounded
+      object-store blocks; one Ray task per (left_block x right_block)
+      does the f32-screen / f64-rescore matmul. O(|L|x|R|) flops — the
+      inherent exact cost; result blocks stay in the object store
+      (`from_arrow_refs`), never folded driver-side.
+
+    Both paths share `_cross_pair_task`'s kernel semantics, so the answer
+    is identical to an all-f64 scan (dimension-scaled f32 margin).
+    """
+    r_slim = right.select_columns([right_id_col, vec_col]).materialize()
+    n_right = r_slim.count()
+
+    if n_right <= broadcast_rows:
+        r_tbl = pa.concat_tables(
+            [pa.table(b) for b in r_slim.iter_batches(batch_format="pyarrow")]
+        )
+        ids_r = (
+            r_tbl.column(right_id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        m_r = _normalize(_batch_matrix(r_tbl, vec_col))
+        margin = _f32_margin(m_r.shape[1])
+        r_ref = ray.put((ids_r, m_r.astype(np.float32), m_r))
+
+        def _probe(batch: pa.Table) -> pa.Table:
+            rid, r32, r64 = ray.get(r_ref)
+            ids_l = (
+                batch.column(left_id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            m_l = _normalize(_batch_matrix(batch, vec_col))
+            sims32 = m_l.astype(np.float32) @ r32.T
+            bi, bj = np.nonzero(sims32 >= np.float32(threshold) - margin)
+            if len(bi):
+                exact = np.einsum("ij,ij->i", m_l[bi], r64[bj])
+                keep = exact >= threshold
+                bi, bj = bi[keep], bj[keep]
+            a, b = ids_l[bi], rid[bj]
+            if exclude_equal_ids and len(a):
+                keep = a != b
+                a, b = a[keep], b[keep]
+            return pa.table(
+                {
+                    "left_id": pa.array(a, pa.int64()),
+                    "right_id": pa.array(b, pa.int64()),
+                }
+            )
+
+        return left.select_columns([left_id_col, vec_col]).map_batches(
+            _probe, batch_format="pyarrow"
+        )
+
+    l_slim = left.select_columns([left_id_col, vec_col]).materialize()
+    n_left = l_slim.count()
+    refs_l = list(
+        l_slim.repartition(max(1, -(-n_left // rows_per_block))).to_arrow_refs()
+    )
+    refs_r = list(
+        r_slim.repartition(max(1, -(-n_right // rows_per_block))).to_arrow_refs()
+    )
+    out_refs = [
+        _cross_pair_task.remote(
+            ri, rj, threshold, left_id_col, right_id_col, vec_col,
+            exclude_equal_ids,
+        )
+        for ri in refs_l
+        for rj in refs_r
+    ]
+    return ray.data.from_arrow_refs(out_refs)

@@ -269,3 +269,59 @@ def test_sq8_quantized_knn_recall_and_compression(ray_session):
     for r in approx.to_pylist():
         true = float(norm[r["query_id"]] @ norm[r["neighbor_id"]])
         assert abs(r["sim"] - true) < 32 * (1 / 127.0)  # loose bound
+
+
+def test_cross_similar_join_both_paths_match_brute(ray_session):
+    from crawlray.ops.knn import cross_similar_join
+
+    m, _ = _vecs(n=150, seed=6)
+    mr, _ = _vecs(n=60, dim=16, seed=7)
+    ds_l, _ = _ds(m)
+    import ray.data
+    tbl_r = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mr), dtype=np.int64) + 1000),
+            "embedding": pa.array([r.tolist() for r in mr], pa.list_(pa.float64())),
+        }
+    )
+    ds_r = ray.data.from_arrow(tbl_r)
+
+    def _brute_cross(t):
+        nl = m / np.linalg.norm(m, axis=1, keepdims=True)
+        nr = mr / np.linalg.norm(mr, axis=1, keepdims=True)
+        s = nl @ nr.T
+        return {
+            (i, 1000 + j)
+            for i, j in zip(*np.nonzero(s >= t))
+        }
+
+    want = _brute_cross(0.8)
+    for kwargs in (
+        {"broadcast_rows": 100_000},           # broadcast path
+        {"broadcast_rows": 0, "rows_per_block": 32},  # block-pair path
+    ):
+        out = cross_similar_join(ds_l, ds_r, threshold=0.8, **kwargs)
+        got = {
+            (a, b)
+            for batch in out.iter_batches(batch_format="pyarrow")
+            for a, b in zip(
+                batch["left_id"].to_pylist(), batch["right_id"].to_pylist()
+            )
+        }
+        assert got == want, kwargs
+
+
+def test_cross_similar_join_exclude_equal_ids(ray_session):
+    from crawlray.ops.knn import cross_similar_join
+
+    m, _ = _vecs(n=40, seed=8)
+    ds_l, tbl = _ds(m)
+    import ray.data
+    ds_r = ray.data.from_arrow(tbl)  # identical table both sides
+    out = cross_similar_join(
+        ds_l, ds_r, threshold=0.999, exclude_equal_ids=True
+    )
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        a = np.asarray(batch["left_id"].to_pylist())
+        b = np.asarray(batch["right_id"].to_pylist())
+        assert (a != b).all()
