@@ -2372,5 +2372,6 @@ def oracle_sql() -> dict[str, str]:
         # engine's exact distinct AND that its estimate was within ±2%
         # rows-only (no SQL equivalent, parity proven in tests instead):
         # ann_sq8, minhash_signatures, minhash_lsh_dedup, simhash_docs,
-        # simhash_dedup, ann_ivf_trained, ivf_pairs, crawl_smoke
+        # simhash_dedup, ann_ivf_trained, ivf_pairs, semantic_dedup,
+        # crawl_smoke
     }
