@@ -1441,6 +1441,25 @@ def _cdc(sf_dir: str):
 
 
 
+def _corpus_semantic_dedup(sf_dir: str):
+    """Flagship text -> embed -> semantic-dedup chain (rows-only):
+    feature-hash document embeddings (ops/textqa.embed_documents — the
+    hashing trick, so exact text dups get cosine-1 vectors) into
+    SemDeDup-style cluster dedup (ops/knn.semantic_dedup). One row per
+    document: (doc_id, keep, rep_id). Both stages parity-tested
+    (tests/unit/test_embed.py, test_semantic_dedup.py), incl. the chain's
+    planted-text-dup removal."""
+    from crawlray.ops.knn import semantic_dedup
+    from crawlray.ops.textqa import embed_documents
+
+    emb = embed_documents(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]), dim=64
+    )
+    return semantic_dedup(
+        emb, centroids="train", threshold=0.9, id_col="doc_id", n_centroids=8
+    )
+
+
 def _crawl_smoke(sf_dir: str):
     """End-to-end distributed crawl on a deterministic synthetic web sized
     from the documents table (rows-only; bit-for-bit oracle equality is
@@ -1464,7 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # near-duplicate entries were merged into tagged multi-part results
     # [samples, set_ops, windowed_agg, quantiles, knn_ann, approx_distinct,
     # doc_profile, media_pipeline, cdc, pivot_unpivot, session_windows] so
-    # the whole oracled surface fits the window); the 9 rows-only queries
+    # the whole oracled surface fits the window); the 10 rows-only queries
     # (pytest-parity instead of SQL) follow.
     return {
         # -- relational core ------------------------------------------
@@ -1533,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_trained": _ann_ivf_trained,
         "ivf_pairs": _ivf_pairs,
         "semantic_dedup": _semantic_dedup,
+        "corpus_semantic_dedup": _corpus_semantic_dedup,
         "crawl_smoke": _crawl_smoke,
     }
 
@@ -2373,5 +2393,5 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (no SQL equivalent, parity proven in tests instead):
         # ann_sq8, minhash_signatures, minhash_lsh_dedup, simhash_docs,
         # simhash_dedup, ann_ivf_trained, ivf_pairs, semantic_dedup,
-        # crawl_smoke
+        # corpus_semantic_dedup, crawl_smoke
     }

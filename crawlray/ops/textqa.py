@@ -639,3 +639,62 @@ def quality_score(
         num_cpus=0.5,
         batch_format="pyarrow",
     )
+
+
+def embed_documents(
+    ds: ray.data.Dataset,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic document embeddings via the hashing trick (feature
+    hashing, Weinberger et al. 2009): lowercase whitespace tokens →
+    murmur3_x64_128 → bucket = lo mod dim, sign = ±1 from hi's top bit →
+    signed token counts, L2-normalized. Output (id_col, embedding:
+    list<double>), unit-norm (all-zero for token-free docs).
+
+    This is the embedding-generation stage of the text → embed →
+    semantic-dedup chain: a stateless zero-shuffle `map_batches` whose
+    output is a pure per-document function of the text, so identical texts
+    get IDENTICAL vectors (cosine 1 — exact dups always fall to the
+    downstream dedup) and near-identical texts land nearby. It stands in
+    for a model-inference embedder at the same pipeline position (swap the
+    batch fn for a real encoder actor pool — the schema, batch shape, and
+    downstream ops are unchanged; cf. QualityScorerStage for the
+    actor-pool pattern).
+
+    Fully vectorized: one murmur3 batch hash over the flattened token
+    stream, one np.add.at scatter per batch — no per-row Python.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+
+    from crawlray.murmur3 import murmur3_x64_128_batch
+
+    def _embed(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.utf8_lower(batch.column(text_col)), pattern=" "
+        ).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        emb = np.zeros((batch.num_rows, dim), dtype=np.float64)
+        if keep.any():
+            flat = flat.filter(pa.array(keep))
+            parents = parents[keep]
+            lo, hi = murmur3_x64_128_batch(flat, seed=seed)
+            bucket = (lo % np.uint64(dim)).astype(np.int64)
+            sign = np.where(hi >> np.uint64(63), 1.0, -1.0)
+            np.add.at(emb, (parents, bucket), sign)
+            n = np.linalg.norm(emb, axis=1)
+            n[n == 0] = 1.0
+            emb /= n[:, None]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "embedding": pa.array(emb.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(_embed, batch_format="pyarrow")
