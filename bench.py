@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "knn_ann",
     "embedding_srp_dedup",
     "semantic_dedup",
+    "corpus_semantic_dedup",
     "pagerank",
     "dedup_clusters",
     "asof_join",

@@ -123,6 +123,24 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
         ],
     )
 
+    # embed_documents: stateless feature-hash embedder — per-row output is
+    # a pure function of the text, so a doc_id-weighted quantized sum of
+    # the flattened vectors must be block-layout-invariant bit-for-bit
+    from crawlray.ops.textqa import embed_documents
+
+    def _emb_chk(b: pa.Table):
+        flat = pc.list_flatten(b["embedding"])
+        parents = pc.list_parent_indices(b["embedding"].combine_chunks())
+        ids = pc.add(b["doc_id"].combine_chunks().take(parents), 1)
+        q = pc.cast(pc.round(pc.multiply(flat, 1e6)), pa.int64())
+        return pc.multiply(q, ids)
+
+    stress(
+        "embed_documents",
+        lambda ds: embed_documents(ds, dim=64),
+        [_emb_chk],
+    )
+
     def _plant(b: pa.Table) -> pa.Table:
         return pa.table(
             {
