@@ -652,8 +652,11 @@ def _samples(sf_dir: str):
     md5(doc_id) per group — the 'equal representation per source'
     training-data sampler. kind='weighted': Efraimidis-Spirakis weighted
     sample of 100 orders, inclusion probability ∝ o_totalprice, rows
-    normalized to (doc_id=o_orderkey, source='orders') so all three
-    samplers share one schema and one driver row."""
+    normalized to (doc_id=o_orderkey, source='orders') so all the
+    samplers share one schema and one driver row. kind='split_<name>':
+    deterministic 80/10/10 train/val/test assignment (hash_split —
+    exhaustive + disjoint md5-bucket ranges, stable across runs/
+    parallelism/engines)."""
     from crawlray.ops.relational import (
         hash_sample,
         stratified_sample,
@@ -717,7 +720,29 @@ def _samples(sf_dir: str):
     m = mixture_sample(
         docs, source_col="source", key_col="doc_id", rates=rates
     ).map_batches(_tag("mixture"), batch_format="pyarrow")
-    return h.union(s).union(w).union(m)
+
+    # kind='split_<name>': deterministic 80/10/10 train/val/test
+    # assignment (hash_split) — every doc labeled, kind carries the label
+    from crawlray.ops.relational import hash_split
+
+    def _fold_split(batch: pa.Table) -> pa.Table:
+        kind = pc.binary_join_element_wise(
+            pa.array(["split"] * batch.num_rows, pa.string()),
+            batch.column("split"),
+            "_",
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "kind": kind,
+            }
+        )
+
+    sp = hash_split(
+        docs, key="doc_id", splits=[("train", 205), ("val", 25), ("test", 26)]
+    ).map_batches(_fold_split, batch_format="pyarrow")
+    return h.union(s).union(w).union(m).union(sp)
 
 
 def _salted_grouped_topk(sf_dir: str):
@@ -1789,6 +1814,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, 'mixture' AS kind FROM documents
             WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)
                   < REPEAT(SUBSTR(MD5(source), 1, 1), 2)
+            UNION ALL
+            SELECT doc_id, source,
+                   'split_' || CASE
+                       WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                           THEN 'train'
+                       WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                           THEN 'val'
+                       ELSE 'test' END AS kind
+            FROM documents
         """,
         "quantiles": """
             SELECT o_orderstatus,

@@ -247,6 +247,74 @@ def hash_sample(
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+def hash_split(
+    ds: ray.data.Dataset,
+    key: str,
+    splits: list[tuple[str, int]],
+    hash_fn: str = "md5",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split: append a `split` label column
+    assigning each row to one of the named bucket ranges — e.g.
+    [("train", 205), ("val", 25), ("test", 26)] ≈ 80/10/10. Bucket counts
+    must sum to 256, so the split is EXHAUSTIVE and DISJOINT by
+    construction; the label is a pure function of md5(key) (the same
+    2-hex-prefix bucketing as `hash_sample`, so split membership is
+    stable across runs / parallelism / engines, and any table keyed by
+    the same id lands in the same split — the property that keeps a
+    held-out set held out across every derived table).
+
+    hash_fn="md5" (default) keeps SQL-oracle parity (the oracle is a
+    CASE over `substr(md5(key), 1, 2)` thresholds); hash_fn="murmur3"
+    uses the repo's vectorized murmur3_x64_128 batch kernel (no per-row
+    Python) for production volume, same contract. Zero shuffle either
+    way — one stateless map_batches.
+    """
+    import numpy as np
+
+    if hash_fn not in ("md5", "murmur3"):
+        raise ValueError("hash_fn must be 'md5' or 'murmur3'")
+    names = [n for n, _ in splits]
+    sizes = [b for _, b in splits]
+    if any(b < 0 for b in sizes) or sum(sizes) != 256:
+        raise ValueError("split bucket counts must be >= 0 and sum to 256")
+    cum = np.cumsum(sizes)
+    import hashlib
+
+    if hash_fn == "md5":
+        # hex-string boundaries, compared against the 2-char md5 prefix
+        bounds = np.array(
+            [format(c, "02x") if c < 256 else "g0" for c in cum[:-1]]
+        )
+    else:
+        bounds = cum[:-1].astype(np.uint64)
+    name_arr = np.array(names)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("split", pa.array([], pa.string()))
+        if hash_fn == "md5":
+            h = np.array(
+                [
+                    hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+                    for v in batch.column(key).to_pylist()
+                ]
+            )
+        else:
+            from crawlray.murmur3 import murmur3_x64_128_batch
+
+            col = batch.column(key)
+            if not pa.types.is_string(col.type):
+                col = pc.cast(col, pa.string())
+            lo, _ = murmur3_x64_128_batch(col)
+            h = lo % np.uint64(256)
+        idx = np.searchsorted(bounds, h, side="right")
+        return batch.append_column(
+            "split", pa.array(name_arr[idx], pa.string())
+        )
+
+    return ds.map_batches(_split, batch_format="pyarrow")
+
+
 def mixture_sample(
     ds: ray.data.Dataset,
     source_col: str,

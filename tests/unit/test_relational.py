@@ -488,3 +488,69 @@ def test_grouped_count_hash_equals_ray_groupby(ray_session):
             for r in ds.groupby("tok").aggregate(Count(alias_name="cnt")).take_all()
         }
         assert got1 == want1
+
+
+def test_hash_split_is_exhaustive_disjoint_and_matches_hash_sample(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from crawlray.ops.relational import hash_sample, hash_split
+
+    tbl = pa.table({"k": pa.array(range(2000), pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    out = hash_split(ds, key="k", splits=[("train", 205), ("val", 25), ("test", 26)])
+    t = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    assert t.num_rows == 2000  # exhaustive: every row labeled exactly once
+    lab = dict(zip(t.column("k").to_pylist(), t.column("split").to_pylist()))
+    assert len(lab) == 2000
+    # split[0] must equal hash_sample's kept set at the same bucket count
+    kept = {
+        r["k"]
+        for b in hash_sample(ds, key="k", buckets_kept=205).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in pa.table(b).to_pylist()
+    }
+    assert {k for k, v in lab.items() if v == "train"} == kept
+    # all three labels occur at realistic proportions
+    from collections import Counter
+
+    c = Counter(lab.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_hash_split_murmur3_variant_and_validation(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from crawlray.ops.relational import hash_split
+
+    tbl = pa.table({"k": pa.array(range(500), pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    a = hash_split(ds, "k", [("a", 128), ("b", 128)], hash_fn="murmur3")
+    b = hash_split(
+        ray.data.from_arrow(tbl).repartition(11),
+        "k",
+        [("a", 128), ("b", 128)],
+        hash_fn="murmur3",
+    )
+    la = sorted(
+        (r["k"], r["split"])
+        for batch in a.iter_batches(batch_format="pyarrow")
+        for r in pa.table(batch).to_pylist()
+    )
+    lb = sorted(
+        (r["k"], r["split"])
+        for batch in b.iter_batches(batch_format="pyarrow")
+        for r in pa.table(batch).to_pylist()
+    )
+    assert la == lb and len(la) == 500  # parallelism-invariant
+    assert {s for _, s in la} == {"a", "b"}
+    with pytest.raises(ValueError):
+        hash_split(ds, "k", [("a", 100)])  # doesn't sum to 256
+    with pytest.raises(ValueError):
+        hash_split(ds, "k", [("a", 256)], hash_fn="sha1")
