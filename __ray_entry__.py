@@ -1466,6 +1466,27 @@ def _cdc(sf_dir: str):
 
 
 
+def _srp_cross_dedup(sf_dir: str):
+    """Large×large cross-dataset near-dup via SRP-LSH (rows-only): corpus
+    vs the vec_id%7==0 slice at cosine >= 0.45 — the sub-quadratic scale
+    path of knn_ann's kind='cross' arm (same pair semantics, LSH-bucketed
+    instead of exact block-pair; precision 1.0 by exact verify, recall
+    tested vs the exact join in tests/unit/test_knn_ivf.py)."""
+    from crawlray.ops.knn import srp_cross_join
+
+    emb = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _mod7(b: pa.Table) -> pa.Table:
+        v = b.column("vec_id")
+        return b.filter(
+            pc.equal(pc.subtract(v, pc.multiply(pc.divide(v, 7), 7)), 0)
+        )
+
+    right = emb.map_batches(_mod7, batch_format="pyarrow")
+    out = srp_cross_join(emb, right, threshold=0.45, n_bits=128, bands=32)
+    return out.select(["left_id", "right_id"])
+
+
 def _corpus_semantic_dedup(sf_dir: str):
     """Flagship text -> embed -> semantic-dedup chain (rows-only):
     feature-hash document embeddings (ops/textqa.embed_documents — the
@@ -1508,7 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # near-duplicate entries were merged into tagged multi-part results
     # [samples, set_ops, windowed_agg, quantiles, knn_ann, approx_distinct,
     # doc_profile, media_pipeline, cdc, pivot_unpivot, session_windows] so
-    # the whole oracled surface fits the window); the 10 rows-only queries
+    # the whole oracled surface fits the window); the 11 rows-only queries
     # (pytest-parity instead of SQL) follow.
     return {
         # -- relational core ------------------------------------------
@@ -1578,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_pairs": _ivf_pairs,
         "semantic_dedup": _semantic_dedup,
         "corpus_semantic_dedup": _corpus_semantic_dedup,
+        "srp_cross_dedup": _srp_cross_dedup,
         "crawl_smoke": _crawl_smoke,
     }
 
@@ -2427,5 +2449,5 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (no SQL equivalent, parity proven in tests instead):
         # ann_sq8, minhash_signatures, minhash_lsh_dedup, simhash_docs,
         # simhash_dedup, ann_ivf_trained, ivf_pairs, semantic_dedup,
-        # corpus_semantic_dedup, crawl_smoke
+        # corpus_semantic_dedup, srp_cross_dedup, crawl_smoke
     }

@@ -548,6 +548,7 @@ def srp_pairs_cosine(
     seed: int = 7,
     max_bucket: int = 4096,
     broadcast_bytes: int = 256 << 20,
+    cross_base: int | None = None,
 ) -> pa.Table:
     """Embedding near-dup pairs via signed-random-projection (SRP) LSH —
     the sub-quadratic scale path alongside `ivf_pairs_cosine`.
@@ -624,6 +625,24 @@ def srp_pairs_cosine(
             f"# srp_pairs_cosine: {n_dropped} ids dropped from oversize SRP "
             f"buckets (max_bucket={max_bucket}) — recall is bounded, not exact"
         )
+    if cross_base is not None:
+        # srp_cross_join support: keep only cross-side candidates (exactly
+        # one id below the base) BEFORE the exact verify, so same-side
+        # candidate pairs never pay vector shipping / einsum. id_a < id_b
+        # always, so cross pairs are precisely id_a < base <= id_b.
+        import pyarrow.compute as pc
+
+        _cb = int(cross_base)
+
+        def _cross_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.and_(
+                    pc.less(batch.column("id_a"), _cb),
+                    pc.greater_equal(batch.column("id_b"), _cb),
+                )
+            )
+
+        pairs = pairs.map_batches(_cross_only, batch_format="pyarrow")
     if pairs.count() == 0:
         return empty
 
@@ -768,6 +787,84 @@ def srp_pairs_cosine(
         schema=pa.schema(
             [("id_a", pa.int64()), ("id_b", pa.int64()), ("sim", pa.float64())]
         ),
+    )
+
+
+def srp_cross_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    threshold: float,
+    left_id_col: str = "vec_id",
+    right_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 7,
+    max_bucket: int = 4096,
+) -> pa.Table:
+    """Sub-quadratic LARGE×LARGE cross-dataset similarity join via SRP-LSH
+    — the scale path of `cross_similar_join` when NEITHER side fits a
+    broadcast and the exact O(|L|·|R|) block-pair sweep is too expensive.
+
+    Shape: right ids are offset above left's max id (one cheap max-agg on
+    the slim left projection), the tagged sides UNION into one stream, and
+    the whole `srp_pairs_cosine` machinery runs unchanged — one signature
+    scan under shared hyperplanes, one (band, bucket) groupby, candidate
+    dedup — EXCEPT that candidates are filtered to cross-side pairs
+    (exactly one id below the offset) BEFORE the exact-verify stage, so
+    same-side near-dups never ship vectors or pay the einsum. Output
+    (left_id, right_id, sim) with exact f64 sims: precision 1.0 by
+    construction, recall governed by (n_bits, bands) as in
+    `srp_pairs_cosine`. Requires non-negative left ids (the offset trick).
+    """
+    import pyarrow.compute as pc
+
+    l_slim = left.select_columns([left_id_col, vec_col]).materialize()
+    lmax = l_slim.max(left_id_col)
+    if lmax is None:
+        return pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    if lmax < 0:
+        raise ValueError("srp_cross_join requires non-negative left ids")
+    base = int(lmax) + 1
+
+    def _lift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                left_id_col: pc.add(
+                    pc.cast(batch.column(right_id_col), pa.int64()), base
+                ),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    lifted = right.select_columns([right_id_col, vec_col]).map_batches(
+        _lift, batch_format="pyarrow"
+    )
+    uni = l_slim.union(lifted)
+    pairs = srp_pairs_cosine(
+        uni,
+        threshold,
+        id_col=left_id_col,
+        vec_col=vec_col,
+        n_bits=n_bits,
+        bands=bands,
+        seed=seed,
+        max_bucket=max_bucket,
+        cross_base=base,
+    )
+    # cross pairs are (id_a < base <= id_b); map the right side back down
+    return pa.table(
+        {
+            "left_id": pairs.column("id_a"),
+            "right_id": pc.subtract(pairs.column("id_b"), base),
+            "sim": pairs.column("sim"),
+        }
     )
 
 

@@ -325,3 +325,40 @@ def test_cross_similar_join_exclude_equal_ids(ray_session):
         a = np.asarray(batch["left_id"].to_pylist())
         b = np.asarray(batch["right_id"].to_pylist())
         assert (a != b).all()
+
+
+def test_srp_cross_join_precision_exact_and_planted_recall(ray_session):
+    import ray.data
+
+    from crawlray.ops.knn import cross_similar_join, srp_cross_join
+
+    m, _ = _vecs(n=120, seed=13)
+    mr, _ = _vecs(n=50, dim=16, seed=14)
+    # plant cross dups: right rows 40..49 are positive scalings of left rows
+    mr[40:50] = m[10:20] * 1.7
+    ds_l, _ = _ds(m)
+    tbl_r = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mr), dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in mr], pa.list_(pa.float64())),
+        }
+    )
+    ds_r = ray.data.from_arrow(tbl_r)
+
+    got = srp_cross_join(
+        ds_l, ds_r, threshold=0.8, n_bits=128, bands=32
+    )
+    got_pairs = set(
+        zip(got.column("left_id").to_pylist(), got.column("right_id").to_pylist())
+    )
+    want = cross_similar_join(ds_l, ds_r, threshold=0.8)
+    want_pairs = {
+        (a, b)
+        for batch in want.iter_batches(batch_format="pyarrow")
+        for a, b in zip(batch["left_id"].to_pylist(), batch["right_id"].to_pylist())
+    }
+    assert got_pairs <= want_pairs          # precision 1.0 (exact verify)
+    for k in range(10):                     # identical-direction dups: every
+        assert (10 + k, 40 + k) in got_pairs  # band collides -> recall 1.0
+    # no same-side pair leaks through the cross filter
+    assert all(0 <= a < 120 and 0 <= b < 50 for a, b in got_pairs)
