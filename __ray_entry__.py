@@ -1466,6 +1466,20 @@ def _cdc(sf_dir: str):
 
 
 
+def _fuzzy_dedup_corpus(sf_dir: str):
+    """End-to-end fuzzy corpus dedup (rows-only): MinHash+LSH verified
+    pairs -> connected components -> keep the smallest-id doc per dup
+    cluster, returning the SURVIVING corpus (ops/dedup.fuzzy_dedup_keep) —
+    the MinHash counterpart of corpus_semantic_dedup. Cluster-correctness
+    and identity-on-clean-corpus tested in tests/unit/test_dedup.py."""
+    from crawlray.ops.dedup import fuzzy_dedup_keep
+
+    return fuzzy_dedup_keep(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]),
+        jaccard_threshold=0.5,
+    ).select_columns(["doc_id"])
+
+
 def _srp_cross_dedup(sf_dir: str):
     """Large×large cross-dataset near-dup via SRP-LSH (rows-only): corpus
     vs the vec_id%7==0 slice at cosine >= 0.45 — the sub-quadratic scale
@@ -1529,7 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # near-duplicate entries were merged into tagged multi-part results
     # [samples, set_ops, windowed_agg, quantiles, knn_ann, approx_distinct,
     # doc_profile, media_pipeline, cdc, pivot_unpivot, session_windows] so
-    # the whole oracled surface fits the window); the 11 rows-only queries
+    # the whole oracled surface fits the window); the 12 rows-only queries
     # (pytest-parity instead of SQL) follow.
     return {
         # -- relational core ------------------------------------------
@@ -1600,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _semantic_dedup,
         "corpus_semantic_dedup": _corpus_semantic_dedup,
         "srp_cross_dedup": _srp_cross_dedup,
+        "fuzzy_dedup_corpus": _fuzzy_dedup_corpus,
         "crawl_smoke": _crawl_smoke,
     }
 
@@ -2449,5 +2464,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (no SQL equivalent, parity proven in tests instead):
         # ann_sq8, minhash_signatures, minhash_lsh_dedup, simhash_docs,
         # simhash_dedup, ann_ivf_trained, ivf_pairs, semantic_dedup,
-        # corpus_semantic_dedup, srp_cross_dedup, crawl_smoke
+        # corpus_semantic_dedup, srp_cross_dedup, fuzzy_dedup_corpus,
+        # crawl_smoke
     }

@@ -199,3 +199,53 @@ def dedup_min_pack(ds: ray.data.Dataset, key: str, pack: str) -> ray.data.Datase
         return pa.table({key: b.column(key), pack: b.column(f"min({pack})")})
 
     return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def fuzzy_dedup_keep(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 8192,
+) -> ray.data.Dataset:
+    """End-to-end fuzzy corpus dedup — the composition every near-dup
+    pipeline ships: MinHash+LSH verified pairs (ops/neardup) → connected
+    components (ops/graph, min-label propagation) → keep exactly ONE
+    document per duplicate cluster (the smallest id), return the surviving
+    corpus with all input columns, streaming.
+
+    Scale shape: the pair and CC stages never materialize the corpus
+    driver-side (see their docstrings); the only driver state here is the
+    DROP id set — cluster members minus representatives, i.e. O(#near-dup
+    docs), which is the small side of the final anti-join by the usual
+    corpus statistics (dup fraction ≪ 1). The drop set broadcasts once
+    (`ray.put` inside broadcast_semi_anti) and the corpus streams through
+    one vectorized membership filter — no shuffle. For a pathological
+    corpus that is MOSTLY duplicates, invert the composition: broadcast
+    the (smaller) keep set instead (`anti=False` on the representatives).
+    """
+    from crawlray.ops.neardup import minhash_lsh_pairs
+    from crawlray.ops.relational import broadcast_semi_anti
+
+    # pairs pass + final anti-join both consume the corpus: pin blocks once
+    ds = ds.materialize()
+    pairs = minhash_lsh_pairs(
+        ds, id_col, text_col, num_perm, bands, jaccard_threshold, max_bucket
+    )
+    if pairs.num_rows == 0:
+        return ds
+    from crawlray.ops.graph import connected_components
+
+    cc = connected_components(ray.data.from_arrow(pairs))
+    drop_tbls = []
+    for b in cc.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        drop_tbls.append(
+            t.filter(pc.not_equal(t.column("node"), t.column("component")))
+        )
+    drop = pa.concat_tables(drop_tbls).column("node").combine_chunks()
+    if len(drop) == 0:
+        return ds
+    return broadcast_semi_anti(ds, id_col, drop, anti=True)

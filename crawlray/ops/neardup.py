@@ -388,8 +388,10 @@ def _verify_jaccard(
     from ray.data.aggregate import Count, Sum
 
     pairs = pairs.materialize()
-    need_a = pairs.unique("id_a")
-    need_b = pairs.unique("id_b")
+    # Dataset.unique returns None (not []) on a zero-row dataset — a
+    # candidate-free corpus must yield zero pairs, not a TypeError
+    need_a = pairs.unique("id_a") or []
+    need_b = pairs.unique("id_b") or []
     need = np.array(sorted(set(need_a) | set(need_b)), dtype=np.int64)
     empty = pa.table(
         {
