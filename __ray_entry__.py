@@ -306,8 +306,15 @@ def _quantiles(sf_dir: str):
     lineitem.l_extendedprice globally via the sort + O(#blocks)
     rank-select path (no driver rows), plus per-order-status quantiles of
     orders.o_totalprice via the grouped shuffle path, each over the SAME
-    quantile list. Global rows carry o_orderstatus='(all)'."""
+    quantile list. Global rows carry o_orderstatus='(all)'. A third arm
+    (the window-packing merge that freed the slot for the oracled
+    minhash_signatures): KMV bottom-k APPROXIMATE quantiles of
+    events.value — the sample is a pure function of the data, so even the
+    approximate answer is SQL-oracled (quantile_cont over ORDER BY md5
+    LIMIT k); its row carries o_orderstatus='(kmv:events.value)'.
+    Error-vs-exact bounds ride tests/unit/test_sketch.py."""
     from crawlray.ops.seqassign import exact_quantiles, grouped_quantiles
+    from crawlray.ops.sketch import approx_quantiles
 
     qs = [0.25, 0.5, 0.75, 0.95]
     grouped = grouped_quantiles(
@@ -319,14 +326,26 @@ def _quantiles(sf_dir: str):
         _rd(sf_dir, "lineitem", columns=["l_extendedprice"]),
         "l_extendedprice", qs,
     )
+    kmv = approx_quantiles(
+        _rd(sf_dir, "events", columns=["event_id", "value"]),
+        value_col="value", key_col="event_id", qs=qs, k=2000,
+    )
     glob = ray.data.from_arrow(
         pa.table(
             {
-                "o_orderstatus": pa.array(["(all)"]),
-                "q25": pa.array([round(g25, 4)]),
-                "q50": pa.array([round(g50, 4)]),
-                "q75": pa.array([round(g75, 4)]),
-                "q95": pa.array([round(g95, 4)]),
+                "o_orderstatus": pa.array(["(all)", "(kmv:events.value)"]),
+                "q25": pa.array(
+                    [round(g25, 4), round(kmv.column("q0_25")[0].as_py(), 4)]
+                ),
+                "q50": pa.array(
+                    [round(g50, 4), round(kmv.column("q0_5")[0].as_py(), 4)]
+                ),
+                "q75": pa.array(
+                    [round(g75, 4), round(kmv.column("q0_75")[0].as_py(), 4)]
+                ),
+                "q95": pa.array(
+                    [round(g95, 4), round(kmv.column("q0_95")[0].as_py(), 4)]
+                ),
             }
         )
     )
@@ -942,22 +961,6 @@ def _approx_distinct(sf_dir: str):
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["event_type"]))
 
 
-def _approx_quantiles(sf_dir: str):
-    """Approximate quantiles from a deterministic KMV bottom-k sample —
-    the sample is a pure function of the data, so the ORACLE reproduces
-    the same approximate answer (quantile_cont over ORDER BY md5 LIMIT k).
-    Error-vs-exact bounds ride tests/unit/test_sketch.py."""
-    from crawlray.ops.sketch import approx_quantiles
-
-    out = approx_quantiles(
-        _rd(sf_dir, "events", columns=["event_id", "value"]),
-        value_col="value", key_col="event_id", qs=[0.5, 0.9, 0.99], k=2000,
-    )
-    return _round_cols(
-        ray.data.from_arrow(out), {"q0_5": 6, "q0_9": 6, "q0_99": 6}
-    )
-
-
 def _heavy_hitters(sf_dir: str):
     """Misra-Gries frequent-items sketch over events.user_id. With
     k=4096 >= the distinct-user count at driver scales the summary is
@@ -1302,10 +1305,41 @@ def _lang_id_sql() -> str:
 
 
 def _minhash_signatures(sf_dir: str):
-    """MinHash signatures per doc (rows-only; the LSH dedup building block)."""
+    """MinHash signatures per doc — SQL-ORACLED (VERDICT r3 item 7): the
+    md5 hash_mode makes the shingle hash the DuckDB-reproducible
+    ('0x'||SUBSTR(MD5(gram),1,8))::BIGINT, and the fixed seed-7 universal
+    permutations (a·x + b mod 2^61−1) are inlined into the oracle as
+    HUGEINT arithmetic, so every signature value is checked end-to-end.
+    Emitted LONG (doc_id, perm, minhash) so the driver's value-hash sees
+    scalars, not lists. The LSH dedup pipeline itself keeps the vectorized
+    crc32mix mode (same dual-path convention as weighted_sample)."""
     from crawlray.ops.neardup import minhash_signatures
 
-    return minhash_signatures(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
+    sigs = minhash_signatures(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]),
+        num_perm=16, hash_mode="md5",
+    )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        flat = batch.column("sig").combine_chunks().flatten()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(
+                    pa.array(
+                        np.repeat(np.arange(n, dtype=np.int64), 16), pa.int64()
+                    )
+                ),
+                "perm": pa.array(
+                    np.tile(np.arange(16, dtype=np.int64), n), pa.int64()
+                ),
+                "minhash": pc.cast(flat, pa.int64()),
+            }
+        )
+
+    return sigs.map_batches(_explode, batch_format="pyarrow")
 
 
 def _minhash_lsh_dedup(sf_dir: str):
@@ -1577,8 +1611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sampling / quantiles / sketches ---------------------------
         "samples": _samples,
         "quantiles": _quantiles,
-        "approx_quantiles": _approx_quantiles,
         "sketches": _sketches,
+        "minhash_signatures": _minhash_signatures,
         # -- text / LLM-data pipeline ----------------------------------
         "json_props": _json_props,
         "flatten_tokens": _flatten_tokens,
@@ -1605,7 +1639,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": _media_pipeline,
         # ================ rows-only (pytest parity) below ==============
         "ann_sq8": _ann_sq8,
-        "minhash_signatures": _minhash_signatures,
         "minhash_lsh_dedup": _minhash_lsh_dedup,
         "simhash_docs": _simhash_docs,
         "simhash_dedup": _simhash_dedup,
@@ -1875,6 +1908,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_extendedprice, 0.75), 4),
                    ROUND(quantile_cont(l_extendedprice, 0.95), 4)
             FROM lineitem
+            UNION ALL
+            SELECT '(kmv:events.value)',
+                   ROUND(QUANTILE_CONT(value, 0.25), 4),
+                   ROUND(QUANTILE_CONT(value, 0.50), 4),
+                   ROUND(QUANTILE_CONT(value, 0.75), 4),
+                   ROUND(QUANTILE_CONT(value, 0.95), 4)
+            FROM (SELECT value FROM events
+                  ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id
+                  LIMIT 2000)
         """,
         "grouped_topk": """
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -2047,16 +2089,50 @@ def oracle_sql() -> dict[str, str]:
                    ))), 6) AS quality
             FROM documents
         """,
-        "approx_quantiles": """
-            WITH s AS (
-                SELECT value FROM events
-                ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id
-                LIMIT 2000
-            )
-            SELECT ROUND(QUANTILE_CONT(value, 0.5), 6) AS q0_5,
-                   ROUND(QUANTILE_CONT(value, 0.9), 6) AS q0_9,
-                   ROUND(QUANTILE_CONT(value, 0.99), 6) AS q0_99
-            FROM s
+        # the 16 (a, b) pairs are np.random.RandomState(7) draws — the
+        # engine's _perm_params(16); the shingle hash is the repo's
+        # standard md5 idiom (engine hash_mode="md5"); the permutation
+        # runs in HUGEINT so a·x (< 2^93) never overflows
+        "minhash_signatures": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(str_split(text, ' '), t -> t <> '') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, tk, LEAST(3, len(tk)) AS w,
+                       UNNEST(range(1, len(tk) - LEAST(3, len(tk)) + 2)) AS i
+                FROM toks WHERE len(tk) >= 1
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x' || SUBSTR(MD5(
+                           array_to_string(tk[i : i + w - 1], ' ')
+                       ), 1, 8)) AS BIGINT) AS x
+                FROM pos
+            ),
+            perms(perm, a, b) AS (VALUES
+                (0,  1407639518939636933, 1630422002828422847),
+                (1,  551904368352831991,  1422685883315097400),
+                (2,  1169693746941186260, 1036818128723030199),
+                (3,  1816361973745530472, 459309668489100400),
+                (4,  1899821249326607546, 1854800229375720637),
+                (5,  710123494352685592,  1385894553171423522),
+                (6,  20668929189138778,   1942495339429673161),
+                (7,  1329108821600893483, 894481085146036774),
+                (8,  340139256470221705,  629557289527310830),
+                (9,  2303675491809990631, 150699654041190231),
+                (10, 1000366761065432497, 431885845465162947),
+                (11, 991310334879981960,  7560552725577555),
+                (12, 109594561920622081,  811901033415426305),
+                (13, 1216310873990163256, 1710988252442831248),
+                (14, 703662130126978055,  1472955763471030175),
+                (15, 638137941648739773,  2135503771371547564))
+            SELECT s.doc_id, CAST(p.perm AS BIGINT) AS perm,
+                   CAST(MIN((CAST(p.a AS HUGEINT) * s.x + p.b)
+                            % 2305843009213693951) AS BIGINT) AS minhash
+            FROM sh s CROSS JOIN perms p
+            GROUP BY s.doc_id, p.perm
         """,
         "tfidf": """
             WITH toks AS (

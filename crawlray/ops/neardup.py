@@ -141,6 +141,42 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return _shingle_hashes_batch([text], n)[0]
 
 
+def _shingle_hashes_batch_md5(texts: list[str], n: int = 3) -> list[np.ndarray]:
+    """Oracle-parity shingle hashes: x = first 4 bytes of md5 of the
+    space-joined n-gram — exactly DuckDB's
+    ('0x' || SUBSTR(MD5(gram), 1, 8))::BIGINT, the idiom the repo's SQL
+    oracles already use for hash_sample / weighted_sample. Same tokenizer
+    (whitespace split, empty tokens dropped) and short-doc semantics
+    (0 < tokens < n → one shingle over all tokens; empty → none) as the
+    vectorized crc32mix kernel. Hashing is one Python md5 per UNIQUE gram
+    per batch — use the default crc32mix mode for production volume (the
+    same dual-path convention as relational.weighted_sample's md5/murmur3).
+    """
+    import hashlib
+
+    out: list[np.ndarray] = []
+    cache: dict[str, int] = {}
+    arr = pa.array([t or "" for t in texts], pa.string())
+    tok = pc.utf8_split_whitespace(arr)
+    for i in range(len(texts)):
+        toks = [t for t in tok[i].as_py() if t != ""]
+        k = len(toks)
+        if k == 0:
+            out.append(np.empty(0, np.uint64))
+            continue
+        w = min(n, k)
+        hs: set[int] = set()
+        for j in range(k - w + 1):
+            g = " ".join(toks[j : j + w])
+            v = cache.get(g)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big")
+                cache[g] = v
+            hs.add(v)
+        out.append(np.fromiter(sorted(hs), np.uint64, len(hs)))
+    return out
+
+
 def _perm_params(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)  # seeded → deterministic
     a = rng.randint(1, _P61, size=k, dtype=np.uint64)
@@ -153,13 +189,27 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
+    hash_mode: str = "crc32mix",
 ) -> ray.data.Dataset:
-    """Per-doc minhash signature: (id, sig: list<uint64>[num_perm])."""
+    """Per-doc minhash signature: (id, sig: list<uint64>[num_perm]).
+
+    hash_mode="crc32mix" (default) is the fully vectorized production
+    shingle hash; hash_mode="md5" swaps in the SQL-reproducible md5 gram
+    hash (see _shingle_hashes_batch_md5) so the signatures themselves are
+    DuckDB-oracle-able — the permutation math (a·x + b mod 2^61−1) is
+    identical in both modes and expressible in HUGEINT SQL.
+    """
+    if hash_mode not in ("crc32mix", "md5"):
+        raise ValueError("hash_mode must be 'crc32mix' or 'md5'")
+    shingle_fn = (
+        _shingle_hashes_batch if hash_mode == "crc32mix"
+        else _shingle_hashes_batch_md5
+    )
     a, b = _perm_params(num_perm)
 
     def _sig(batch: pa.Table) -> pa.Table:
         sigs = np.empty((batch.num_rows, num_perm), dtype=np.uint64)
-        shs = _shingle_hashes_batch(batch.column(text_col).to_pylist())
+        shs = shingle_fn(batch.column(text_col).to_pylist())
         for i, sh in enumerate(shs):
             if len(sh) == 0:
                 sigs[i] = 0

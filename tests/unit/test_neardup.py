@@ -104,6 +104,46 @@ def test_minhash_signature_determinism(ray_session):
     assert len(a[0]) == 64
 
 
+def test_minhash_md5_mode_matches_pure_python(ray_session):
+    """hash_mode='md5' reproduces a from-scratch reference: shingle hash =
+    int(md5(gram).hexdigest()[:8], 16), sig[j] = min (a_j·x + b_j) mod
+    2^61−1 — the exact arithmetic the SQL oracle inlines as HUGEINT."""
+    import hashlib
+
+    import ray.data
+
+    from crawlray.ops.neardup import _perm_params
+
+    tbl = _corpus()
+    ds = ray.data.from_arrow(tbl)
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(ds, num_perm=16, hash_mode="md5").take_all()
+    }
+    a, b = _perm_params(16)
+    p = (1 << 61) - 1
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        toks = [t for t in (text or "").split() if t]
+        if not toks:
+            continue
+        w = min(3, len(toks))
+        xs = {
+            int(hashlib.md5(" ".join(toks[j : j + w]).encode()).hexdigest()[:8], 16)
+            for j in range(len(toks) - w + 1)
+        }
+        want = [
+            min((int(a[j]) * x + int(b[j])) % p for x in xs) for j in range(16)
+        ]
+        assert got[doc_id] == want, f"doc {doc_id}"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        minhash_signatures(ds, hash_mode="sha1")
+
+
 def test_simhash_dups(ray_session):
     import ray.data
 
