@@ -1263,36 +1263,44 @@ def _embedding_srp_dedup(sf_dir: str):
     return out.select(["id_a", "id_b"])
 
 
-def _lang_id(sf_dir: str):
-    """Language-ID heuristic — SQL-oracled: DuckDB list functions express
-    the same stopword-overlap argmax (first-max tie order en/de/fr/es)."""
-    from crawlray.ops.textqa import lang_id
+def _dup_spans(sf_dir: str):
+    """Corpus-level exact duplicate-span detection (the Lee et al.
+    substring-dedup pass): maximal token spans covered by word 5-grams
+    occurring >= 2 times anywhere in the corpus. Oracle: positional gram
+    explode + HAVING COUNT >= 2 + gaps-and-islands window merge."""
+    from crawlray.ops.corpusprep import dup_spans
 
-    return lang_id(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
+    return dup_spans(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]), n=5
+    )
 
 
-def _lang_id_sql() -> str:
+def _lang_cte() -> str:
+    """CTE fragment computing (doc_id, lang_pred, lang_score) — the DuckDB
+    rendering of the stopword-overlap argmax (first-max tie order
+    en/de/fr/es) that `crawlray.ops.textqa.lang_arrays` computes. Spliced
+    into the fused doc_profile oracle."""
     from crawlray.ops.textqa import _STOPWORDS
 
     def lst(lang: str) -> str:
         return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
 
     return f"""
-        WITH toks AS (
+        ltoks AS (
           SELECT doc_id,
                  list_distinct(list_filter(
                      string_split_regex(lower(text), '\\s+'),
-                     x -> x <> '')[1:200]) AS tk
+                     x -> x <> '')[1:200]) AS ltk
           FROM documents
-        ), sc AS (
+        ), lsc AS (
           SELECT doc_id,
-                 len(list_intersect(tk, {lst('en')})) AS s_en,
-                 len(list_intersect(tk, {lst('de')})) AS s_de,
-                 len(list_intersect(tk, {lst('fr')})) AS s_fr,
-                 len(list_intersect(tk, {lst('es')})) AS s_es
-          FROM toks
-        )
-        SELECT doc_id,
+                 len(list_intersect(ltk, {lst('en')})) AS s_en,
+                 len(list_intersect(ltk, {lst('de')})) AS s_de,
+                 len(list_intersect(ltk, {lst('fr')})) AS s_fr,
+                 len(list_intersect(ltk, {lst('es')})) AS s_es
+          FROM ltoks
+        ), lang AS (
+          SELECT doc_id,
                CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr
                          AND s_en >= s_es THEN 'en'
                     WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
@@ -1300,7 +1308,8 @@ def _lang_id_sql() -> str:
                     WHEN s_es > 0 THEN 'es'
                     ELSE 'und' END AS lang_pred,
                CAST(GREATEST(s_en, s_de, s_fr, s_es) AS BIGINT) AS lang_score
-        FROM sc
+          FROM lsc
+        )
     """
 
 
@@ -1620,7 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _quality_score,
         "doc_profile": _doc_profile,
         "token_count_by_source": _token_count_by_source,
-        "lang_id": _lang_id,
+        "dup_spans": _dup_spans,
         "exact_dedup_docs": _exact_dedup_docs,
         "clean_corpus": _clean_corpus,
         "ngram_jaccard": _ngram_jaccard,
@@ -2074,7 +2083,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sz[i] AS BIGINT) AS n_tokens, bin AS bin_id
             FROM w
         """,
-        "lang_id": _lang_id_sql(),
+        "dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, str_split(text, ' ') AS t FROM documents
+            ), grams AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     array_to_string(t[i:i+4], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t) - 3)) u(i)
+            ), dup AS (
+              SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+            ), hits AS (
+              SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos) <= 5
+                          THEN 0 ELSE 1 END AS isl
+              FROM hits
+            ), grp AS (
+              SELECT doc_id, pos,
+                     SUM(isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM marked
+            )
+            SELECT doc_id, MIN(pos) AS span_start,
+                   MAX(pos) + 5 AS span_end,
+                   COUNT(*) AS n_dup_grams
+            FROM grp GROUP BY doc_id, g
+        """,
         "quality_score": """
             SELECT doc_id,
                    ROUND(1.0 / (1.0 + EXP(-(
@@ -2150,8 +2185,9 @@ def oracle_sql() -> dict[str, str]:
                                     / CAST(df.df AS DOUBLE)), 6) AS tfidf
             FROM tf JOIN df USING (token)
         """,
-        "doc_profile": """
-            WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t
+        "doc_profile": f"""
+            WITH {_lang_cte().strip().rstrip()},
+            toks AS (SELECT doc_id, str_split(text, ' ') AS t
                           FROM documents),
             tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
             tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok
@@ -2173,10 +2209,12 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS n_bpe_tokens,
                    MD5(text) AS fp,
                    rep1.top_token_frac,
-                   COALESCE(rep2.dup_2gram_frac, 0.0) AS dup_2gram_frac
+                   COALESCE(rep2.dup_2gram_frac, 0.0) AS dup_2gram_frac,
+                   lang.lang_pred, lang.lang_score
             FROM documents d
             JOIN rep1 USING (doc_id)
             LEFT JOIN rep2 ON rep2.doc_id = d.doc_id
+            JOIN lang USING (doc_id)
         """,
         "token_count_by_source": """
             SELECT source, CAST(SUM(LEN(str_split(text, ' '))) AS BIGINT) AS n_tokens,

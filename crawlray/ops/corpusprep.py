@@ -540,10 +540,13 @@ def word_ngrams(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    with_pos: bool = False,
 ) -> ray.data.Dataset:
     """(id, gram) rows: every word n-gram (single-space tokens joined by a
     single space) of every document, in document order — the oracle is
-    array_to_string(t[i:i+n-1], ' ') over UNNEST(range(...)).
+    array_to_string(t[i:i+n-1], ' ') over UNNEST(range(...)). With
+    `with_pos=True` a third column `pos:int64` carries the 0-based token
+    index of the gram's first word (for span-level consumers: dup_spans).
 
     Fully vectorized: tokens are flattened once per batch; the n shifted
     views of the flat token array are joined with ONE
@@ -563,12 +566,13 @@ def word_ngrams(
         total = int(g_per.sum())
         ids = batch.column(id_col)
         if total == 0:
-            return pa.table(
-                {
-                    id_col: ids.slice(0, 0),
-                    "gram": pa.array([], pa.string()),
-                }
-            )
+            cols = {
+                id_col: ids.slice(0, 0),
+                "gram": pa.array([], pa.string()),
+            }
+            if with_pos:
+                cols["pos"] = pa.array([], pa.int64())
+            return pa.table(cols)
         doc_idx = np.repeat(np.arange(len(lens)), g_per)
         gram_starts = np.concatenate(([0], np.cumsum(g_per)))[:-1]
         within = np.arange(total) - np.repeat(gram_starts, g_per)
@@ -577,11 +581,119 @@ def word_ngrams(
             flat.take(pa.array(starts + k, pa.int64())) for k in range(n)
         ]
         gram = pc.binary_join_element_wise(*shifted, " ")
-        return pa.table(
-            {id_col: ids.take(pa.array(doc_idx, pa.int64())), "gram": gram}
-        )
+        cols = {id_col: ids.take(pa.array(doc_idx, pa.int64())), "gram": gram}
+        if with_pos:
+            cols["pos"] = pa.array(within.astype(np.int64))
+        return pa.table(cols)
 
     return ds.map_batches(_grams, batch_format="pyarrow")
+
+
+def dup_spans(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Corpus-level EXACT duplicate-span detection (the substring-dedup
+    pass of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): find every maximal token span covered by word
+    n-grams that occur >= min_count times ANYWHERE in the corpus
+    (including repeats within the same document). Output one row per
+    merged span: (id, span_start, span_end, n_dup_grams) — token indices,
+    0-based, end-exclusive; span_end - span_start >= n. Callers cut these
+    spans out of the text (or drop the doc) to remove boilerplate and
+    templated repetition that whole-doc dedup can't see.
+
+    Distributed shape (mirrors `decontaminate` — no driver rows, no
+    all-pairs work):
+      1. gram frequency: `grouped_count_hash` over the gram stream —
+         map-side Arrow hash partials + ONE hash exchange whose volume is
+         distinct-grams-per-block, not the raw token stream;
+      2. the duplicated-gram set (count >= min_count — a small fraction of
+         distinct grams at realistic dup rates) is materialized as a
+         distributed Dataset, never collected to the driver;
+      3. positional grams are re-derived (recomputing the vectorized
+         split is deliberately cheaper at 100 TB than pinning a
+         larger-than-input exploded gram stream in the object store) and
+         probed with `bloom_semi_join`: O(#blocks) bitmap partials,
+         broadcast probe, exact hash-join verify of candidates only — the
+         overwhelmingly-unique grams cross the wire zero times;
+      4. surviving (id, pos) hits take ONE hash exchange on id; the
+         per-partition island merge (sort by (id, pos), merge intervals
+         [pos, pos+n) when the gap <= n) is a pure numpy kernel.
+    """
+    from crawlray.murmur3 import murmur3_x64_128_batch
+    from crawlray.ops.blocks import drop_empty_blocks
+    from crawlray.ops.relational import bloom_semi_join, grouped_count_hash
+
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    pruned = ds.select_columns([id_col, text_col])
+    dup_grams = drop_empty_blocks(
+        grouped_count_hash(
+            word_ngrams(pruned, id_col, text_col, n).select_columns(
+                ["gram"]
+            ),
+            ["gram"],
+        )
+        .filter(expr=f"n >= {int(min_count)}")
+        .select_columns(["gram"])
+        .materialize()
+    )
+    hits = bloom_semi_join(
+        word_ngrams(pruned, id_col, text_col, n, with_pos=True),
+        dup_grams,
+        key="gram",
+        right_is_distinct=True,  # grouped_count_hash output: 1 row/gram
+    ).select_columns([id_col, "pos"])
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col).combine_chunks()
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        lo, _hi = murmur3_x64_128_batch(col)
+        return batch.append_column(
+            "_pk", pa.array((lo % num_partitions).astype("int32"))
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(id_col, "ascending"), ("pos", "ascending")],
+        )
+        t = group.take(idx)
+        ids = t.column(id_col).combine_chunks()
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = ids.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        new_isl = np.ones(len(pos), bool)
+        if len(pos) > 1:
+            same_doc = codes[1:] == codes[:-1]
+            close = (pos[1:] - pos[:-1]) <= n
+            new_isl[1:] = ~(same_doc & close)
+        starts = np.flatnonzero(new_isl)
+        ends = np.append(starts[1:], len(pos))
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(starts, pa.int64())),
+                "span_start": pa.array(pos[starts]),
+                "span_end": pa.array(pos[ends - 1] + n),
+                "n_dup_grams": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return (
+        hits.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
 
 
 def decontaminate(

@@ -118,12 +118,13 @@ def fingerprint(
 def doc_profile(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
-    """Fused per-doc profile: the doc_stats, bpe_token_count, fingerprint
-    and Gopher repetition kernels in ONE map_batches pass (one read, one
-    stream — the shape four separate passes over a 100 TB corpus should
-    fuse into). Columns: (id, n_chars2, n_tokens, n_bpe_tokens, fp,
-    top_token_frac, dup_2gram_frac). The individual operators remain
-    available (and unit-tested) for callers that need just one of them.
+    """Fused per-doc profile: the doc_stats, bpe_token_count, fingerprint,
+    Gopher repetition AND language-ID kernels in ONE map_batches pass (one
+    read, one stream — the shape five separate passes over a 100 TB corpus
+    should fuse into). Columns: (id, n_chars2, n_tokens, n_bpe_tokens, fp,
+    top_token_frac, dup_2gram_frac, lang_pred, lang_score). The individual
+    operators remain available (and unit-tested) for callers that need
+    just one of them.
     """
 
     def _profile(batch: pa.Table) -> pa.Table:
@@ -135,6 +136,7 @@ def doc_profile(
             for t in text.to_pylist()
         ]
         top, dup = repetition_arrays(text)
+        preds, scores = lang_arrays(text)
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -144,6 +146,8 @@ def doc_profile(
                 "fp": pa.array(fps),
                 "top_token_frac": top,
                 "dup_2gram_frac": dup,
+                "lang_pred": preds,
+                "lang_score": scores,
             }
         )
 
@@ -242,64 +246,73 @@ def repetition_stats(
     return ds.map_batches(_rep, batch_format="pyarrow")
 
 
+def lang_arrays(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+    """Stopword-overlap language ID over one text array →
+    (lang_pred: string, lang_score: int64) arrays, row-aligned with `col`.
+
+    Batch-vectorized (same dictionary-encode pattern as the crawl
+    enrichment kernel): lowercase + whitespace-split + stopword membership
+    run as Arrow C kernels over the whole array; per document only a
+    distinct-code lookup over its first 200 tokens remains. Semantics are
+    identical to the scalar form `set(text.lower().split()[:200]) ∩
+    stopwords`. Shared by `lang_id` and the fused `doc_profile` pass."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    arr = pc.utf8_lower(pc.fill_null(col, ""))
+    tok = pc.utf8_split_whitespace(arr)
+    offs = tok.offsets.to_numpy().astype(np.int64)
+    flat = tok.values
+    keep = pc.not_equal(flat, "")  # split() drops empties; this does too
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    cum = np.zeros(len(keep_np) + 1, np.int64)
+    np.cumsum(keep_np, out=cum[1:])
+    o = cum[offs]
+    enc = flat.filter(keep).dictionary_encode()
+    uniq = enc.dictionary
+    idx = enc.indices.to_numpy() if len(enc) else np.empty(0, np.int32)
+    lang_names = list(_STOPWORDS)
+    if len(uniq):
+        lb = np.stack(
+            [
+                pc.is_in(
+                    uniq, value_set=pa.array(sorted(_STOPWORDS[ln]))
+                ).to_numpy(zero_copy_only=False)
+                for ln in lang_names
+            ]
+        )
+    else:
+        lb = np.zeros((len(lang_names), 0), bool)
+    preds, scores = [], []
+    for i in range(n):
+        a, b = int(o[i]), int(o[i + 1])
+        codes = np.unique(idx[a : min(b, a + 200)])
+        best, best_n = "und", 0
+        for j, ln in enumerate(lang_names):
+            k = int(lb[j, codes].sum())
+            if k > best_n:
+                best, best_n = ln, k
+        preds.append(best)
+        scores.append(best_n)
+    return pa.array(preds, pa.string()), pa.array(scores, pa.int64())
+
+
 def lang_id(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> ray.data.Dataset:
     """Stopword-overlap language ID heuristic → (id, lang_pred, lang_score).
-
-    Batch-vectorized (same dictionary-encode pattern as the crawl
-    enrichment kernel): lowercase + whitespace-split + stopword membership
-    run as Arrow C kernels over the whole batch; per document only a
-    distinct-code lookup over its first 200 tokens remains. Semantics are
-    identical to the scalar form `set(text.lower().split()[:200]) ∩
-    stopwords`."""
-    import numpy as np
+    Thin Dataset wrapper over the `lang_arrays` kernel (which the fused
+    `doc_profile` pass also calls — one corpus stream instead of two)."""
 
     def _lid(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        arr = pc.utf8_lower(pc.fill_null(col, ""))
-        tok = pc.utf8_split_whitespace(arr)
-        offs = tok.offsets.to_numpy().astype(np.int64)
-        flat = tok.values
-        keep = pc.not_equal(flat, "")  # split() drops empties; this does too
-        keep_np = keep.to_numpy(zero_copy_only=False)
-        cum = np.zeros(len(keep_np) + 1, np.int64)
-        np.cumsum(keep_np, out=cum[1:])
-        o = cum[offs]
-        enc = flat.filter(keep).dictionary_encode()
-        uniq = enc.dictionary
-        idx = enc.indices.to_numpy() if len(enc) else np.empty(0, np.int32)
-        lang_names = list(_STOPWORDS)
-        if len(uniq):
-            lb = np.stack(
-                [
-                    pc.is_in(
-                        uniq, value_set=pa.array(sorted(_STOPWORDS[ln]))
-                    ).to_numpy(zero_copy_only=False)
-                    for ln in lang_names
-                ]
-            )
-        else:
-            lb = np.zeros((len(lang_names), 0), bool)
-        preds, scores = [], []
-        for i in range(n):
-            a, b = int(o[i]), int(o[i + 1])
-            codes = np.unique(idx[a : min(b, a + 200)])
-            best, best_n = "und", 0
-            for j, ln in enumerate(lang_names):
-                k = int(lb[j, codes].sum())
-                if k > best_n:
-                    best, best_n = ln, k
-            preds.append(best)
-            scores.append(best_n)
+        preds, scores = lang_arrays(batch.column(text_col))
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "lang_pred": pa.array(preds),
-                "lang_score": pa.array(scores, pa.int64()),
+                "lang_pred": preds,
+                "lang_score": scores,
             }
         )
 

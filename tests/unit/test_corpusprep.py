@@ -422,3 +422,93 @@ def test_hash_sample_invert_partitions_exactly(ray_session):
     ).count()
     assert kept + dropped == total
     assert kept > 0 and dropped > 0
+
+
+def test_dup_spans_hand_cases(ray_session):
+    """Within-doc repeats, cross-doc repeats, overlapping-island merge and
+    clean docs, each hand-checked. n=3, min_count=2."""
+    from crawlray.ops.corpusprep import dup_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                # within-doc repeat of "a b c": grams at pos 0 and 4 (gap 4
+                # > n=3 would split; here gap is 4-0=4 > 3 → two islands?
+                # tokens: a b c x a b c  → gram "a b c" at pos 0 and 4,
+                # gap 4 > 3 → two separate spans [0,3) and [4,7)
+                "a b c x a b c",
+                # cross-doc: shares "p q r" with doc 3 at pos 1
+                "z p q r z2",
+                # overlapping islands: "p q r" (pos 0) dup'd with doc 2;
+                # "q r s" unique; "m m m" grams: tokens m m m m m →
+                # grams at 0,1,2 all "m m m" (count 3) → merged [0,5)
+                "p q r s t",
+                "m m m m m",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in dup_spans(ds, n=3).take_all()
+    )
+    assert got == [
+        (1, 0, 3, 1),
+        (1, 4, 7, 1),
+        (2, 1, 4, 1),
+        (3, 0, 3, 1),
+        (4, 0, 5, 3),
+    ]
+
+
+def test_dup_spans_matches_brute_force_on_corpus(ray_session):
+    """dup_spans over the driver's documents table == a single-process
+    brute-force reference (global gram counts + interval merge), and is
+    invariant under repartitioning."""
+    import collections
+
+    from crawlray.ops.corpusprep import dup_spans
+
+    n = 5
+    t = pq.read_table(DOCS, columns=["doc_id", "text"]).to_pydict()
+    cnt: collections.Counter = collections.Counter()
+    grams = {}
+    for d, txt in zip(t["doc_id"], t["text"]):
+        tk = (txt or "").split(" ")
+        g = (
+            [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+            if len(tk) >= n
+            else []
+        )
+        grams[d] = g
+        cnt.update(g)
+    exp = []
+    for d, g in grams.items():
+        pos = [i for i, x in enumerate(g) if cnt[x] >= 2]
+        if not pos:
+            continue
+        start = prev = pos[0]
+        k = 1
+        for p in pos[1:]:
+            if p - prev <= n:
+                prev = p
+                k += 1
+            else:
+                exp.append((d, start, prev + n, k))
+                start = prev = p
+                k = 1
+        exp.append((d, start, prev + n, k))
+    assert len(exp) > 0  # fixture actually contains duplicated 5-grams
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in dup_spans(ds, n=n).take_all()
+    )
+    assert got == sorted(exp)
+    got7 = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in dup_spans(ds.repartition(7), n=n).take_all()
+    )
+    assert got7 == got
