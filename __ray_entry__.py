@@ -1264,15 +1264,58 @@ def _embedding_srp_dedup(sf_dir: str):
 
 
 def _dup_spans(sf_dir: str):
-    """Corpus-level exact duplicate-span detection (the Lee et al.
-    substring-dedup pass): maximal token spans covered by word 5-grams
-    occurring >= 2 times anywhere in the corpus. Oracle: positional gram
-    explode + HAVING COUNT >= 2 + gaps-and-islands window merge."""
-    from crawlray.ops.corpusprep import dup_spans
-
-    return dup_spans(
-        _rd(sf_dir, "documents", columns=["doc_id", "text"]), n=5
+    """Corpus-level exact substring dedup (Lee et al.) — BOTH halves in
+    one tagged table so each keeps a driver row inside the 50-entry
+    window. kind='span': maximal token spans covered by word 5-grams
+    occurring >= 2 times anywhere in the corpus, as (a=doc_id,
+    b=span_start, v='span_end:n_dup_grams'). kind='clean': the corpus
+    with every covered token CUT, as (a=doc_id, b=n_removed,
+    v=text_clean). Oracle: positional gram explode + HAVING COUNT >= 2,
+    then a gaps-and-islands window merge (spans) and an anti-join token
+    filter + ordered string_agg (clean)."""
+    from crawlray.ops.corpusprep import (
+        dup_gram_hits,
+        dup_spans,
+        remove_dup_spans,
     )
+
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    # ONE gram-count exchange + bloom probe feeds both halves
+    hits = dup_gram_hits(docs, "doc_id", "text", n=5, min_count=2)
+    hits = hits.materialize()
+
+    def _norm_spans(batch: pa.Table) -> pa.Table:
+        v = pc.binary_join_element_wise(
+            pc.cast(batch.column("span_end"), pa.string()),
+            pc.cast(batch.column("n_dup_grams"), pa.string()),
+            ":",
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["span"] * batch.num_rows, pa.string()),
+                "a": pc.cast(batch.column("doc_id"), pa.int64()),
+                "b": pc.cast(batch.column("span_start"), pa.int64()),
+                "v": v,
+            }
+        )
+
+    def _norm_clean(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["clean"] * batch.num_rows, pa.string()),
+                "a": pc.cast(batch.column("doc_id"), pa.int64()),
+                "b": pc.cast(batch.column("n_removed"), pa.int64()),
+                "v": batch.column("text_clean"),
+            }
+        )
+
+    spans = dup_spans(docs, n=5, hits=hits).map_batches(
+        _norm_spans, batch_format="pyarrow"
+    )
+    clean = remove_dup_spans(docs, n=5, hits=hits).map_batches(
+        _norm_clean, batch_format="pyarrow"
+    )
+    return spans.union(clean)
 
 
 def _lang_cte() -> str:
@@ -2104,11 +2147,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, pos,
                      SUM(isl) OVER (PARTITION BY doc_id ORDER BY pos) AS g
               FROM marked
+            ), cover AS (
+              SELECT DISTINCT doc_id, pos + k AS i
+              FROM hits, UNNEST(range(0, 5)) w(k)
+            ), tok2 AS (
+              SELECT doc_id, unnest(t) AS w,
+                     CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS i
+              FROM toks
+            ), keep AS (
+              SELECT t2.doc_id, t2.w, t2.i FROM tok2 t2
+              WHERE NOT EXISTS (SELECT 1 FROM cover c
+                                WHERE c.doc_id = t2.doc_id AND c.i = t2.i)
             )
-            SELECT doc_id, MIN(pos) AS span_start,
-                   MAX(pos) + 5 AS span_end,
-                   COUNT(*) AS n_dup_grams
+            SELECT 'span' AS kind, doc_id AS a, MIN(pos) AS b,
+                   CAST(MAX(pos) + 5 AS VARCHAR) || ':' ||
+                       CAST(COUNT(*) AS VARCHAR) AS v
             FROM grp GROUP BY doc_id, g
+            UNION ALL
+            SELECT 'clean' AS kind, d.doc_id AS a,
+                   CAST(len(str_split(d.text, ' ')) - COUNT(k.i)
+                        AS BIGINT) AS b,
+                   COALESCE(string_agg(k.w, ' ' ORDER BY k.i), '') AS v
+            FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+            GROUP BY d.doc_id, d.text
         """,
         "quality_score": """
             SELECT doc_id,

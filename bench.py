@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "json_props",
     "flatten_tokens",
     "doc_profile",
+    "dup_spans",
     "clean_corpus",
     "exact_dedup_docs",
     "knn_ann",

@@ -596,6 +596,7 @@ def dup_spans(
     n: int = 5,
     min_count: int = 2,
     num_partitions: int | None = None,
+    hits: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Corpus-level EXACT duplicate-span detection (the substring-dedup
     pass of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -625,42 +626,16 @@ def dup_spans(
          per-partition island merge (sort by (id, pos), merge intervals
          [pos, pos+n) when the gap <= n) is a pure numpy kernel.
     """
-    from crawlray.murmur3 import murmur3_x64_128_batch
-    from crawlray.ops.blocks import drop_empty_blocks
-    from crawlray.ops.relational import bloom_semi_join, grouped_count_hash
-
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
-    pruned = ds.select_columns([id_col, text_col])
-    dup_grams = drop_empty_blocks(
-        grouped_count_hash(
-            word_ngrams(pruned, id_col, text_col, n).select_columns(
-                ["gram"]
-            ),
-            ["gram"],
-        )
-        .filter(expr=f"n >= {int(min_count)}")
-        .select_columns(["gram"])
-        .materialize()
-    )
-    hits = bloom_semi_join(
-        word_ngrams(pruned, id_col, text_col, n, with_pos=True),
-        dup_grams,
-        key="gram",
-        right_is_distinct=True,  # grouped_count_hash output: 1 row/gram
-    ).select_columns([id_col, "pos"])
-
-    def _bucket(batch: pa.Table) -> pa.Table:
-        col = batch.column(id_col).combine_chunks()
-        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
-            col.type
-        ):
-            col = pc.cast(col, pa.string())
-        lo, _hi = murmur3_x64_128_batch(col)
-        return batch.append_column(
-            "_pk", pa.array((lo % num_partitions).astype("int32"))
-        )
+    if hits is None:
+        # callers running BOTH halves (dup_spans + remove_dup_spans over
+        # one corpus) should precompute dup_gram_hits(...) once,
+        # materialize it, and pass it to both — halving the gram-count
+        # exchange and bloom probe
+        hits = dup_gram_hits(ds, id_col, text_col, n, min_count)
+    _bucket = _bucket_fn(id_col, num_partitions)
 
     def _merge(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -693,6 +668,179 @@ def dup_spans(
         hits.map_batches(_bucket, batch_format="pyarrow")
         .groupby("_pk")
         .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
+def dup_gram_hits(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_count: int,
+) -> ray.data.Dataset:
+    """(id, pos) of every positional word n-gram whose gram occurs >=
+    min_count times corpus-wide — the shared discovery stage of dup_spans
+    and remove_dup_spans (see dup_spans' docstring for the scale shape:
+    hash-partial gram counts, bloom-probed semi-join, unique-gram traffic
+    is zero)."""
+    from crawlray.ops.blocks import drop_empty_blocks
+    from crawlray.ops.relational import bloom_semi_join, grouped_count_hash
+
+    pruned = ds.select_columns([id_col, text_col])
+    dup_grams = drop_empty_blocks(
+        grouped_count_hash(
+            word_ngrams(pruned, id_col, text_col, n).select_columns(
+                ["gram"]
+            ),
+            ["gram"],
+        )
+        .filter(expr=f"n >= {int(min_count)}")
+        .select_columns(["gram"])
+        .materialize()
+    )
+    return bloom_semi_join(
+        word_ngrams(pruned, id_col, text_col, n, with_pos=True),
+        dup_grams,
+        key="gram",
+        right_is_distinct=True,  # grouped_count_hash output: 1 row/gram
+    ).select_columns([id_col, "pos"])
+
+
+def _bucket_fn(id_col: str, num_partitions: int):
+    """map_batches fn appending _pk = murmur3(id) % P (string-cast ids so
+    int and string keys route identically)."""
+    from crawlray.murmur3 import murmur3_x64_128_batch
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        col = batch.column(id_col).combine_chunks()
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        lo, _hi = murmur3_x64_128_batch(col)
+        return batch.append_column(
+            "_pk", pa.array((lo % num_partitions).astype("int32"))
+        )
+
+    return _bucket
+
+
+def remove_dup_spans(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    num_partitions: int | None = None,
+    hits: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """The CUT half of Lee et al.'s substring dedup: drop every token
+    covered by a corpus-duplicated word n-gram (>= min_count occurrences
+    anywhere, same-doc repeats included) and rejoin the survivors with
+    single spaces. Output one row per input document:
+    (id, text_clean, n_removed) — n_removed = tokens cut; clean documents
+    pass through with n_removed = 0, fully-covered documents come back as
+    ''.
+
+    Distributed shape: the duplicated-gram discovery is `dup_gram_hits`
+    (shared with dup_spans — see its scale notes); then documents and hit
+    positions are CO-GROUPED WITHOUT A JOIN — both normalize to one
+    (id, pos, text) schema (docs: pos = -1; hits: text = null), union, and
+    take ONE murmur3(id) hash exchange, so each partition holds every doc
+    of its id range next to all its hits. The per-partition cut is fully
+    vectorized: one Arrow split over the partition's texts, one flat
+    boolean mask scatter over token indices (hit coverage [pos, pos+n) is
+    always in-bounds by gram construction), one ListArray rebuild + one
+    binary_join — no Python loop over tokens or docs.
+    """
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    if hits is None:
+        # callers running BOTH halves (dup_spans + remove_dup_spans over
+        # one corpus) should precompute dup_gram_hits(...) once,
+        # materialize it, and pass it to both — halving the gram-count
+        # exchange and bloom probe
+        hits = dup_gram_hits(ds, id_col, text_col, n, min_count)
+
+    def _norm_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": pa.array(
+                    np.full(batch.num_rows, -1, np.int64)
+                ),
+                text_col: batch.column(text_col),
+            }
+        )
+
+    def _norm_hits(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": pc.cast(batch.column("pos"), pa.int64()),
+                text_col: pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    tagged = ds.select_columns([id_col, text_col]).map_batches(
+        _norm_docs, batch_format="pyarrow"
+    ).union(hits.map_batches(_norm_hits, batch_format="pyarrow"))
+
+    _bucket = _bucket_fn(id_col, num_partitions)
+
+    def _cut(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(id_col, "ascending"), ("pos", "ascending")],
+        )
+        t = group.take(idx)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        is_doc = pos == -1
+        docs_t = t.filter(pa.array(is_doc))
+        hits_t = t.filter(pa.array(~is_doc))
+        text = docs_t.column(text_col).combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        doc_ids = docs_t.column(id_col).combine_chunks()
+        keep = np.ones(len(flat), bool)
+        if hits_t.num_rows:
+            hit_doc = pc.index_in(
+                hits_t.column(id_col).combine_chunks(), value_set=doc_ids
+            ).to_numpy(zero_copy_only=False)
+            # every hit's doc hashes to this partition with it
+            hit_pos = hits_t.column("pos").to_numpy(zero_copy_only=False)
+            base = doc_starts[hit_doc.astype(np.int64)] + hit_pos
+            cover = (base[:, None] + np.arange(n)[None, :]).ravel()
+            keep[cover] = False
+        kept_per_doc = np.add.reduceat(
+            keep, doc_starts, dtype=np.int64
+        ) if len(lens) else np.zeros(0, np.int64)
+        # reduceat misbehaves on zero-length segments; lens >= 1 always
+        # (split of "" yields [""]), so doc_starts are strictly increasing
+        kept_flat = flat.filter(pa.array(keep))
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_flat
+        )
+        clean = pc.binary_join(kept_lists, " ")
+        return pa.table(
+            {
+                id_col: doc_ids,
+                "text_clean": clean,
+                "n_removed": pa.array(lens - kept_per_doc, pa.int64()),
+            }
+        )
+
+    return (
+        tagged.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_cut, batch_format="pyarrow")
     )
 
 

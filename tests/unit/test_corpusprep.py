@@ -512,3 +512,75 @@ def test_dup_spans_matches_brute_force_on_corpus(ray_session):
         for r in dup_spans(ds.repartition(7), n=n).take_all()
     )
     assert got7 == got
+
+
+def test_remove_dup_spans_hand_case(ray_session):
+    """Planted boilerplate shared by two docs is cut from both; clean doc
+    passes through with n_removed=0; all-duplicate doc empties out."""
+    from crawlray.ops.corpusprep import remove_dup_spans
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "intro one SIGN UP FOR OUR NEWSLETTER tail1",
+                "other words SIGN UP FOR OUR NEWSLETTER tail2 x",
+                "totally unique document body here",
+                # 6 tokens -> grams at pos 0 and 1, both "m m m m m"
+                # (count 2) -> coverage [0,6) cuts the whole doc
+                "m m m m m m",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_dup_spans(ds, n=5).take_all()
+    }
+    assert got[1] == ("intro one tail1", 5)
+    assert got[2] == ("other words tail2 x", 5)
+    assert got[3] == ("totally unique document body here", 0)
+    assert got[4] == ("", 6)
+
+
+def test_remove_dup_spans_matches_brute_force(ray_session):
+    """Cut over the driver's documents table == single-process reference;
+    invariant under repartitioning; token conservation holds."""
+    import collections
+
+    from crawlray.ops.corpusprep import remove_dup_spans
+
+    n = 5
+    t = pq.read_table(DOCS, columns=["doc_id", "text"]).to_pydict()
+    cnt: collections.Counter = collections.Counter()
+    toks = {}
+    for d, txt in zip(t["doc_id"], t["text"]):
+        tk = (txt or "").split(" ")
+        toks[d] = tk
+        cnt.update(
+            " ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)
+        )
+    exp = {}
+    for d, tk in toks.items():
+        keep = [True] * len(tk)
+        for i in range(len(tk) - n + 1):
+            if cnt[" ".join(tk[i : i + n])] >= 2:
+                for j in range(i, i + n):
+                    keep[j] = False
+        exp[d] = (
+            " ".join(w for w, k in zip(tk, keep) if k),
+            sum(not k for k in keep),
+        )
+    assert any(v[1] > 0 for v in exp.values())  # fixture has dup spans
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_dup_spans(ds, n=n).take_all()
+    }
+    assert got == exp
+    got7 = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_dup_spans(ds.repartition(7), n=n).take_all()
+    }
+    assert got7 == got
