@@ -190,6 +190,32 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
         [lambda b: pc.multiply(pc.add(b["doc_id"], 1), b["n_hits"])],
     )
 
+    # substring dedup at adversarial saturation: every replica repeats
+    # every text, so EVERY positional gram is corpus-duplicated — the
+    # bloom probe passes everything and the full hit stream (≈ one row
+    # per token) takes the id exchange; worst-case volume for both the
+    # island merge and the co-grouped cut
+    from crawlray.ops.corpusprep import dup_spans, remove_dup_spans
+
+    stress(
+        "dup_spans",
+        lambda ds: dup_spans(ds, n=5),
+        [
+            lambda b: pc.multiply(
+                pc.add(b["doc_id"], 1), pc.add(b["span_start"], 3)
+            ),
+            lambda b: pc.multiply(b["span_end"], b["n_dup_grams"]),
+        ],
+    )
+    stress(
+        "remove_dup_spans",
+        lambda ds: remove_dup_spans(ds, n=5),
+        [
+            lambda b: pc.multiply(pc.add(b["doc_id"], 1), b["n_removed"]),
+            lambda b: pc.cast(pc.utf8_length(b["text_clean"]), pa.int64()),
+        ],
+    )
+
     srcs = set(big.column("source").unique().to_pylist())
     rates = {
         s: int(hashlib.md5(s.encode()).hexdigest()[0], 16) * 17 / 256
