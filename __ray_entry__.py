@@ -592,19 +592,57 @@ def _pack_sequences(sf_dir: str):
 
 
 def _decontaminate(sf_dir: str):
-    """Benchmark decontamination: corpus docs sharing >= 1 word 8-gram
-    with a held-out benchmark set (16/256 md5 buckets of doc_id — the
-    same deterministic split the oracle expresses), with the count of
-    distinct shared grams. Gram explode is one vectorized
-    binary_join_element_wise per batch; the membership test rides the
-    Bloom semi-join (bitmap partials + broadcast probe + exact verify)."""
-    from crawlray.ops.corpusprep import decontaminate
+    """Benchmark decontamination, BOTH granularities in one tagged table
+    (benchmark = 16/256 md5 buckets of doc_id — the same deterministic
+    split the oracle expresses). kind='doc': contaminated docs with their
+    distinct-shared-gram count as (a=doc_id, b=n_hits, v=''). kind='span':
+    the merged token spans the shared grams cover (the cut list), as
+    (a=doc_id, b=span_start, v='span_end:n_grams'). One benchmark gram
+    set feeds both; the corpus gram streams ride the Bloom semi-join."""
+    from crawlray.ops.corpusprep import (
+        benchmark_grams,
+        decontaminate,
+        decontaminate_spans,
+    )
     from crawlray.ops.relational import hash_sample
 
     docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
     bench = hash_sample(docs, key="doc_id", buckets_kept=16)
     cand = hash_sample(docs, key="doc_id", buckets_kept=16, invert=True)
-    return decontaminate(cand, bench, n=8)
+    bg = benchmark_grams(bench, n=8)
+
+    def _norm_docs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["doc"] * batch.num_rows, pa.string()),
+                "a": pc.cast(batch.column("doc_id"), pa.int64()),
+                "b": pc.cast(batch.column("n_hits"), pa.int64()),
+                "v": pa.array([""] * batch.num_rows, pa.string()),
+            }
+        )
+
+    def _norm_spans(batch: pa.Table) -> pa.Table:
+        v = pc.binary_join_element_wise(
+            pc.cast(batch.column("span_end"), pa.string()),
+            pc.cast(batch.column("n_grams"), pa.string()),
+            ":",
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["span"] * batch.num_rows, pa.string()),
+                "a": pc.cast(batch.column("doc_id"), pa.int64()),
+                "b": pc.cast(batch.column("span_start"), pa.int64()),
+                "v": v,
+            }
+        )
+
+    flagged = decontaminate(cand, None, n=8, bench_grams=bg).map_batches(
+        _norm_docs, batch_format="pyarrow"
+    )
+    spans = decontaminate_spans(
+        cand, None, n=8, bench_grams=bg
+    ).map_batches(_norm_spans, batch_format="pyarrow")
+    return flagged.union(spans)
 
 
 def _asof_join(sf_dir: str):
@@ -2441,7 +2479,8 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t
                           FROM documents),
             grams AS (
-              SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                     array_to_string(t[i:i+7], ' ') AS g
               FROM toks, UNNEST(range(1, GREATEST(LEN(t)-7, 0)+1)) AS u(i)
             ),
             bench AS (SELECT DISTINCT g FROM grams
@@ -2449,10 +2488,32 @@ def oracle_sql() -> dict[str, str]:
                             < '10'),
             cand AS (SELECT DISTINCT doc_id, g FROM grams
                      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                           >= '10')
-            SELECT cand.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                           >= '10'),
+            cand_pos AS (SELECT doc_id, pos, g FROM grams
+                         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                               >= '10'),
+            hits AS (
+              SELECT cp.doc_id, cp.pos FROM cand_pos cp JOIN bench USING (g)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (
+                              PARTITION BY doc_id ORDER BY pos) <= 8
+                          THEN 0 ELSE 1 END AS isl
+              FROM hits
+            ), grp AS (
+              SELECT doc_id, pos,
+                     SUM(isl) OVER (PARTITION BY doc_id ORDER BY pos) AS gi
+              FROM marked
+            )
+            SELECT 'doc' AS kind, cand.doc_id AS a,
+                   CAST(COUNT(*) AS BIGINT) AS b, '' AS v
             FROM cand JOIN bench USING (g)
             GROUP BY cand.doc_id
+            UNION ALL
+            SELECT 'span' AS kind, doc_id AS a, MIN(pos) AS b,
+                   CAST(MAX(pos) + 8 AS VARCHAR) || ':' ||
+                       CAST(COUNT(*) AS VARCHAR) AS v
+            FROM grp GROUP BY doc_id, gi
         """,
         "ngram_jaccard": """
             WITH toks AS (

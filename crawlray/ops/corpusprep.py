@@ -635,6 +635,23 @@ def dup_spans(
         # materialize it, and pass it to both — halving the gram-count
         # exchange and bloom probe
         hits = dup_gram_hits(ds, id_col, text_col, n, min_count)
+    return _island_merge(hits, id_col, n, num_partitions)
+
+
+def _island_merge(
+    hits: ray.data.Dataset,
+    id_col: str,
+    n: int,
+    num_partitions: int,
+    count_col: str = "n_dup_grams",
+) -> ray.data.Dataset:
+    """(id, pos) gram hits → merged maximal spans (id, span_start,
+    span_end, count_col): one murmur3(id) hash exchange, then a
+    per-partition vectorized gaps-and-islands merge (sort by (id, pos),
+    new island when the doc changes or the gap exceeds n — equal-length
+    intervals [pos, pos+n) merge exactly when the next start is at or
+    before the previous end). Shared by dup_spans and
+    decontaminate_spans."""
     _bucket = _bucket_fn(id_col, num_partitions)
 
     def _merge(group: pa.Table) -> pa.Table:
@@ -660,7 +677,7 @@ def dup_spans(
                 id_col: ids.take(pa.array(starts, pa.int64())),
                 "span_start": pa.array(pos[starts]),
                 "span_end": pa.array(pos[ends - 1] + n),
-                "n_dup_grams": pa.array(ends - starts, pa.int64()),
+                count_col: pa.array(ends - starts, pa.int64()),
             }
         )
 
@@ -844,12 +861,37 @@ def remove_dup_spans(
     )
 
 
-def decontaminate(
-    docs: ray.data.Dataset,
+def benchmark_grams(
     benchmark: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+) -> ray.data.Dataset:
+    """The benchmark's DISTINCT word-n-gram set as a materialized Dataset
+    (one row per gram) — the shared probe side of `decontaminate` and
+    `decontaminate_spans`; callers running both should build it once."""
+    from crawlray.ops.blocks import drop_empty_blocks as _drop_empty_blocks
+    from crawlray.ops.relational import grouped_count_hash
+
+    return _drop_empty_blocks(
+        grouped_count_hash(
+            word_ngrams(benchmark, id_col, text_col, n).select_columns(
+                ["gram"]
+            ),
+            ["gram"],
+        )
+        .select_columns(["gram"])
+        .materialize()
+    )
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    bench_grams: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Benchmark decontamination: (id, n_hits) for every corpus document
     sharing >= 1 word n-gram with the benchmark set, n_hits = the number
@@ -870,16 +912,8 @@ def decontaminate(
     from crawlray.ops.blocks import drop_empty_blocks as _drop_empty_blocks
     from crawlray.ops.relational import bloom_semi_join, grouped_count_hash
 
-    bench_grams = _drop_empty_blocks(
-        grouped_count_hash(
-            word_ngrams(benchmark, id_col, text_col, n).select_columns(
-                ["gram"]
-            ),
-            ["gram"],
-        )
-        .select_columns(["gram"])
-        .materialize()
-    )
+    if bench_grams is None:
+        bench_grams = benchmark_grams(benchmark, id_col, text_col, n)
     hits_raw = bloom_semi_join(
         word_ngrams(docs, id_col, text_col, n), bench_grams, key="gram",
         # bench_grams is already one row per gram (grouped_count_hash
@@ -893,3 +927,49 @@ def decontaminate(
         .materialize()
     )
     return grouped_count_hash(hits, [id_col], alias="n_hits")
+
+
+def decontaminate_spans(
+    docs: ray.data.Dataset,
+    benchmark: ray.data.Dataset | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    num_partitions: int | None = None,
+    bench_grams: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Positional benchmark decontamination — the CUT-LIST form of
+    `decontaminate`: for every corpus document sharing word n-grams with
+    the benchmark set, the merged maximal token spans those shared grams
+    cover, as (id, span_start, span_end, n_grams) — 0-based token
+    indices, end-exclusive. Callers excise the spans (feed them to the
+    same span-cut machinery as remove_dup_spans) instead of dropping the
+    whole document — the surgical decontamination large corpora prefer
+    when benchmark overlap is a few sentences inside long documents.
+
+    Scale shape: the benchmark gram set dedupes once (`benchmark_grams`,
+    shareable with `decontaminate`); the corpus's POSITIONAL gram stream
+    is probed by the Bloom semi-join (non-matching grams — the
+    overwhelming majority — never cross the wire), and only the hits pay
+    the one murmur3(id) exchange of the shared `_island_merge` stage."""
+    from crawlray.ops.relational import bloom_semi_join
+
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if bench_grams is None:
+        bench_grams = benchmark_grams(benchmark, id_col, text_col, n)
+    hits = bloom_semi_join(
+        word_ngrams(
+            docs.select_columns([id_col, text_col]),
+            id_col,
+            text_col,
+            n,
+            with_pos=True,
+        ),
+        bench_grams,
+        key="gram",
+        right_is_distinct=True,
+    ).select_columns([id_col, "pos"])
+    return _island_merge(
+        hits, id_col, n, num_partitions, count_col="n_grams"
+    )

@@ -584,3 +584,43 @@ def test_remove_dup_spans_matches_brute_force(ray_session):
         for r in remove_dup_spans(ds.repartition(7), n=n).take_all()
     }
     assert got7 == got
+
+
+def test_decontaminate_spans_hand_case(ray_session):
+    """Planted benchmark sentence inside a long doc -> exactly the
+    covered token span comes back; overlapping shared grams merge; a
+    clean doc emits nothing; shared bench_grams path == internal path."""
+    from crawlray.ops.corpusprep import (
+        benchmark_grams,
+        decontaminate_spans,
+    )
+
+    bench = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps over it"]}
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                # tokens 2..8 = "the quick brown fox jumps over it":
+                # 8-grams? n=3 grams shared at pos 2..6 -> span [2, 9)
+                "aa bb the quick brown fox jumps over it zz",
+                "completely different words in this one here",
+            ],
+        }
+    )
+    bds = ray.data.from_pandas(bench)
+    dds = ray.data.from_pandas(docs).repartition(2)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in decontaminate_spans(dds, bds, n=3).take_all()
+    )
+    assert got == [(1, 2, 9, 5)]
+    bg = benchmark_grams(bds, n=3)
+    got2 = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in decontaminate_spans(
+            dds, None, n=3, bench_grams=bg
+        ).take_all()
+    )
+    assert got2 == got
