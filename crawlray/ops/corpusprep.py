@@ -780,29 +780,109 @@ def remove_dup_spans(
         # exchange and bloom probe
         hits = dup_gram_hits(ds, id_col, text_col, n, min_count)
 
-    def _norm_docs(batch: pa.Table) -> pa.Table:
+    def _norm_hits(batch: pa.Table) -> pa.Table:
+        pos = pc.cast(batch.column("pos"), pa.int64())
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "pos": pa.array(
-                    np.full(batch.num_rows, -1, np.int64)
-                ),
+                "pos": pos,
+                "end": pc.add(pos, n),
+            }
+        )
+
+    return _cut_cover(
+        ds,
+        hits.map_batches(_norm_hits, batch_format="pyarrow"),
+        id_col,
+        text_col,
+        num_partitions,
+    )
+
+
+def cut_spans(
+    ds: ray.data.Dataset,
+    spans: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_start_col: str = "span_start",
+    span_end_col: str = "span_end",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Apply an arbitrary CUT LIST to a corpus: drop every token whose
+    0-based index falls in any [span_start, span_end) row of `spans` for
+    its document, rejoin survivors with single spaces. Output one row per
+    input document: (id, text_clean, n_removed). Composes with every
+    span producer — `cut_spans(docs, dup_spans(docs))` equals
+    `remove_dup_spans(docs)` (tested), and
+    `cut_spans(docs, decontaminate_spans(docs, bench))` is surgical
+    benchmark decontamination. Out-of-range spans are clipped to the
+    document's token count; overlapping spans union.
+
+    Same distributed shape as remove_dup_spans: no join — docs and span
+    rows co-group through ONE murmur3(id) hash exchange and the
+    per-partition cut is fully vectorized.
+    """
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _norm_spans(batch: pa.Table) -> pa.Table:
+        # clip starts at 0 HERE: pos == -1 is the doc-row sentinel in the
+        # shared schema, so a negative caller span must never reach it
+        start = pc.max_element_wise(
+            pc.cast(batch.column(span_start_col), pa.int64()), 0
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": start,
+                "end": pc.cast(batch.column(span_end_col), pa.int64()),
+            }
+        )
+
+    return _cut_cover(
+        ds,
+        spans.map_batches(_norm_spans, batch_format="pyarrow"),
+        id_col,
+        text_col,
+        num_partitions,
+    )
+
+
+def _cut_cover(
+    ds: ray.data.Dataset,
+    cover: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Shared cut engine of remove_dup_spans / cut_spans. `cover` rows are
+    (id, pos, end) half-open token-index intervals. Docs normalize into
+    the same schema (pos = end = -1, text carried in a fourth column),
+    union with cover, ONE murmur3(id) hash exchange co-locates each doc
+    with all its intervals, and the per-partition kernel scatters one
+    flat boolean mask (variable-length ranges via the repeat/arange
+    trick), filters, and rebuilds the strings — no Python loop over
+    tokens or docs."""
+
+    def _norm_docs(batch: pa.Table) -> pa.Table:
+        m1 = pa.array(np.full(batch.num_rows, -1, np.int64))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": m1,
+                "end": m1,
                 text_col: batch.column(text_col),
             }
         )
 
-    def _norm_hits(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "pos": pc.cast(batch.column("pos"), pa.int64()),
-                text_col: pa.nulls(batch.num_rows, pa.string()),
-            }
+    def _widen(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            text_col, pa.nulls(batch.num_rows, pa.string())
         )
 
     tagged = ds.select_columns([id_col, text_col]).map_batches(
         _norm_docs, batch_format="pyarrow"
-    ).union(hits.map_batches(_norm_hits, batch_format="pyarrow"))
+    ).union(cover.map_batches(_widen, batch_format="pyarrow"))
 
     _bucket = _bucket_fn(id_col, num_partitions)
 
@@ -829,12 +909,21 @@ def remove_dup_spans(
         if hits_t.num_rows:
             hit_doc = pc.index_in(
                 hits_t.column(id_col).combine_chunks(), value_set=doc_ids
-            ).to_numpy(zero_copy_only=False)
-            # every hit's doc hashes to this partition with it
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            # every interval's doc hashes to this partition with it
             hit_pos = hits_t.column("pos").to_numpy(zero_copy_only=False)
-            base = doc_starts[hit_doc.astype(np.int64)] + hit_pos
-            cover = (base[:, None] + np.arange(n)[None, :]).ravel()
-            keep[cover] = False
+            hit_end = hits_t.column("end").to_numpy(zero_copy_only=False)
+            # clip to the doc's token range (arbitrary caller spans)
+            hit_pos = np.maximum(hit_pos, 0)
+            hit_end = np.minimum(hit_end, lens[hit_doc])
+            seg = np.maximum(hit_end - hit_pos, 0)
+            total = int(seg.sum())
+            if total:
+                base = doc_starts[hit_doc] + hit_pos
+                seg_starts = np.concatenate(([0], np.cumsum(seg)))[:-1]
+                within = np.arange(total) - np.repeat(seg_starts, seg)
+                cover_idx = np.repeat(base, seg) + within
+                keep[cover_idx] = False
         kept_per_doc = np.add.reduceat(
             keep, doc_starts, dtype=np.int64
         ) if len(lens) else np.zeros(0, np.int64)

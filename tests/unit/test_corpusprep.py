@@ -624,3 +624,49 @@ def test_decontaminate_spans_hand_case(ray_session):
         ).take_all()
     )
     assert got2 == got
+
+
+def test_cut_spans_equals_remove_dup_spans(ray_session):
+    """The composable cut list applied to dup_spans' output == the fused
+    remove_dup_spans path over the full fixture corpus (overlap union,
+    clipping, empty-span docs all exercised by real data)."""
+    from crawlray.ops.corpusprep import cut_spans, dup_spans, remove_dup_spans
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    via_spans = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in cut_spans(ds, dup_spans(ds, n=5)).take_all()
+    }
+    fused = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_dup_spans(ds, n=5).take_all()
+    }
+    assert via_spans == fused
+    assert any(v[1] > 0 for v in fused.values())
+
+
+def test_cut_spans_clipping_and_overlap(ray_session):
+    """Arbitrary caller spans: negative start clips to 0, end beyond the
+    doc clips to its token count, overlapping spans union, a doc with no
+    spans passes through."""
+    from crawlray.ops.corpusprep import cut_spans
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["a b c d e f", "x y z"]}
+        )
+    )
+    spans = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 1],
+                "span_start": [-3, 1],   # clip to 0; overlaps [0,2)
+                "span_end": [2, 100],    # clip to 6
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in cut_spans(docs, spans).take_all()
+    }
+    assert got == {1: ("", 6), 2: ("x y z", 0)}
