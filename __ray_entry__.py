@@ -550,14 +550,37 @@ def _window_functions(sf_dir: str):
 
 
 def _rollup(sf_dir: str):
-    """GROUP BY ROLLUP over lineitem flags: per-level aggregates + grand
-    total, rolled-up keys carrying the '(all)' sentinel."""
-    from crawlray.ops.relational import rollup_agg
+    """GROUP BY ROLLUP and CUBE over lineitem flags in one tagged result
+    (kind='rollup'/'cube'), rolled-up keys carrying the '(all)' sentinel.
+    ONE engine pass: cube_agg takes a single data exchange (coarser sets
+    re-aggregate the materialized finest level — grouping_sets_agg), and
+    the rollup rows are the cube rows minus the linestatus-only set
+    (sentinel test is unambiguous: real flags are single letters)."""
+    from crawlray.ops.relational import cube_agg
 
-    out = rollup_agg(
+    cube = cube_agg(
         _rd(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus",
                                          "l_quantity"]),
         keys=["l_returnflag", "l_linestatus"], value_col="l_quantity",
+    ).materialize()
+
+    def _tag(kind: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * batch.num_rows, pa.string()),
+                    **{c: batch.column(c) for c in batch.column_names},
+                }
+            )
+
+        return _t
+
+    # De Morgan spelling: Ray's expr parser has no `not`
+    rollup = cube.filter(
+        expr="l_returnflag != '(all)' or l_linestatus == '(all)'"
+    )
+    out = cube.map_batches(_tag("cube"), batch_format="pyarrow").union(
+        rollup.map_batches(_tag("rollup"), batch_format="pyarrow")
     )
     return _round_cols(out, {"sum_v": 2})
 
@@ -1921,11 +1944,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "rollup": """
-            SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
-                   COALESCE(l_linestatus, '(all)') AS l_linestatus,
-                   COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_v
-            FROM lineitem
-            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            WITH cube_t AS (
+              SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+                     COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                     COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_v
+              FROM lineitem
+              GROUP BY CUBE(l_returnflag, l_linestatus)
+            )
+            SELECT 'cube' AS kind, * FROM cube_t
+            UNION ALL
+            SELECT 'rollup' AS kind, * FROM cube_t
+            WHERE NOT (l_returnflag = '(all)'
+                       AND l_linestatus <> '(all)')
         """,
         "bloom_semi_join": """
             SELECT * FROM customer

@@ -958,30 +958,61 @@ def window_shift_cum(
     return ds.groupby(key).map_groups(_kernel, batch_format="pyarrow")
 
 
-def rollup_agg(
+def grouping_sets_agg(
     ds: ray.data.Dataset,
     keys: list[str],
     value_col: str,
+    sets: list[tuple[str, ...]] | list[list[str]],
     all_label: str = "(all)",
 ) -> ray.data.Dataset:
-    """GROUP BY ROLLUP(keys): count + sum at every key-prefix level, from
-    the full key down to the grand total. Rolled-up key columns carry
-    `all_label` (a sentinel instead of SQL's NULL so downstream
-    value-hash comparisons are unambiguous; the oracle COALESCEs its
-    NULLs to the same label).
+    """GROUP BY GROUPING SETS(sets): count + sum at every requested key
+    subset. Absent key columns carry `all_label` (a sentinel instead of
+    SQL's NULL so downstream value-hash comparisons are unambiguous; the
+    oracle COALESCEs its NULLs to the same label).
 
-    One groupby shuffle per level (levels = len(keys)+1, each with Ray's
-    map-side partial aggregation) + a union — no driver rows except the
-    grand-total scalar."""
+    Scale shape: the DATA takes exactly ONE groupby exchange — at the
+    finest granularity (all of `keys`) — and every coarser set is
+    re-aggregated from that materialized result, which is one row per
+    distinct key tuple (cardinality of the domain, not of the data).
+    Count and sum are distributive, so the re-aggregation is exact for
+    counts and integer-valued sums; float sums can differ from a direct
+    single-level GROUP BY only by summation order, same as any
+    distributed aggregation. The previous one-shuffle-PER-LEVEL shape
+    cost len(sets) passes over the raw input.
+    """
     from ray.data.aggregate import Count, Sum
 
+    key_order = {k: i for i, k in enumerate(keys)}
+    fine = (
+        ds.groupby(keys)
+        .aggregate(Count(alias_name="n"), Sum(value_col, alias_name="sum_v"))
+        .materialize()
+    )
     out = None
-    for i in range(len(keys), 0, -1):
-        sub = keys[:i]
-        level = ds.groupby(sub).aggregate(
-            Count(alias_name="n"), Sum(value_col, alias_name="sum_v")
-        )
-        pad = keys[i:]
+    for raw in sets:
+        sub = sorted(set(raw), key=key_order.__getitem__)
+        assert all(k in key_order for k in sub), f"unknown keys in {raw}"
+        if sub == list(keys):
+            level = fine
+        elif sub:
+            g = fine.groupby(sub).aggregate(
+                Sum("n", alias_name="_n2"), Sum("sum_v", alias_name="_s2")
+            )
+
+            def _rn(batch: pa.Table, _sub=tuple(sub)) -> pa.Table:
+                cols = {c: batch.column(c) for c in _sub}
+                cols["n"] = batch.column("_n2")
+                cols["sum_v"] = batch.column("_s2")
+                return pa.table(cols)
+
+            level = g.map_batches(_rn, batch_format="pyarrow")
+        else:
+            total = single_row_agg(
+                fine,
+                [Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v")],
+            )
+            level = ray.data.from_arrow(total)
+        pad = [k for k in keys if k not in sub]
 
         def _pad(batch: pa.Table, _pad_cols=tuple(pad)) -> pa.Table:
             cols = {}
@@ -996,17 +1027,37 @@ def rollup_agg(
 
         level = level.map_batches(_pad, batch_format="pyarrow")
         out = level if out is None else out.union(level)
-    total = single_row_agg(
-        ds, [Count(alias_name="n"), Sum(value_col, alias_name="sum_v")]
-    )
-    grand = pa.table(
-        {
-            **{c: pa.array([all_label]) for c in keys},
-            "n": total.column("n"),
-            "sum_v": total.column("sum_v"),
-        }
-    )
-    return out.union(ray.data.from_arrow(grand))
+    return out
+
+
+def rollup_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    all_label: str = "(all)",
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): the key-prefix grouping sets, from the full
+    key down to the grand total — `grouping_sets_agg` with prefixes (one
+    data exchange total; see its scale note)."""
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, value_col, sets, all_label)
+
+
+def cube_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    all_label: str = "(all)",
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(keys): every key subset — `grouping_sets_agg` with
+    the powerset (2^len(keys) sets over the one materialized finest
+    aggregate; keep `keys` short, exactly as in SQL)."""
+    from itertools import combinations
+
+    sets: list[tuple[str, ...]] = []
+    for r in range(len(keys), -1, -1):
+        sets.extend(combinations(keys, r))
+    return grouping_sets_agg(ds, keys, value_col, sets, all_label)
 
 
 def bloom_semi_join(

@@ -554,3 +554,69 @@ def test_hash_split_murmur3_variant_and_validation(ray_session):
         hash_split(ds, "k", [("a", 100)])  # doesn't sum to 256
     with pytest.raises(ValueError):
         hash_split(ds, "k", [("a", 256)], hash_fn="sha1")
+
+
+def test_grouping_sets_cube_rollup_match_duckdb(ray_session):
+    """cube_agg / rollup_agg / an arbitrary GROUPING SETS selection vs
+    DuckDB on the driver's lineitem parquet (integer-valued sums, so the
+    distributive re-aggregation is exact)."""
+    import duckdb
+
+    from crawlray.ops.relational import (
+        cube_agg,
+        grouping_sets_agg,
+        rollup_agg,
+    )
+
+    P = "/root/testdata/sf0.001/lineitem.parquet"
+    ds = ray.data.read_parquet(
+        P, columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def norm(rows):
+        return sorted(
+            (
+                r["l_returnflag"],
+                r["l_linestatus"],
+                r["n"],
+                round(r["sum_v"], 2),
+            )
+            for r in rows
+        )
+
+    def oracle(clause):
+        return norm(
+            duckdb.sql(
+                f"""
+                SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+                       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_v
+                FROM '{P}' GROUP BY {clause}
+                """
+            ).df().to_dict("records")
+        )
+
+    keys = ["l_returnflag", "l_linestatus"]
+    assert norm(cube_agg(ds, keys, "l_quantity").take_all()) == oracle(
+        "CUBE(l_returnflag, l_linestatus)"
+    )
+    assert norm(rollup_agg(ds, keys, "l_quantity").take_all()) == oracle(
+        "ROLLUP(l_returnflag, l_linestatus)"
+    )
+    # arbitrary sets: neither includes l_returnflag, so the oracle pads
+    # it directly (DuckDB forbids selecting an ungrouped column)
+    want_sets = norm(
+        duckdb.sql(
+            f"""
+            SELECT '(all)' AS l_returnflag,
+                   COALESCE(l_linestatus, '(all)') AS l_linestatus,
+                   COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_v
+            FROM '{P}' GROUP BY GROUPING SETS ((l_linestatus), ())
+            """
+        ).df().to_dict("records")
+    )
+    assert norm(
+        grouping_sets_agg(
+            ds, keys, "l_quantity", [("l_linestatus",), ()]
+        ).take_all()
+    ) == want_sets
