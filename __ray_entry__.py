@@ -822,7 +822,36 @@ def _samples(sf_dir: str):
     sp = hash_split(
         docs, key="doc_id", splits=[("train", 205), ("val", 25), ("test", 26)]
     ).map_batches(_fold_split, batch_format="pyarrow")
-    return h.union(s).union(w).union(m).union(sp)
+
+    # kind='epoch<k>': fractional-epoch repeat mixing (epoch_mixture) —
+    # e_source = 0.5 + hex(md5(source)[0])·0.25 ∈ [0.5, 4.25], so some
+    # sources downsample and some repeat 4×; frac(e)·256 is exact
+    # (multiples of 64) so the oracle threshold is exact hex
+    from crawlray.ops.relational import epoch_mixture
+
+    eps = {
+        s: 0.5 + int(_hl.md5(s.encode("utf-8")).hexdigest()[0], 16) * 0.25
+        for s in srcs
+    }
+
+    def _fold_epoch(batch: pa.Table) -> pa.Table:
+        kind = pc.binary_join_element_wise(
+            pa.array(["epoch"] * batch.num_rows, pa.string()),
+            pc.cast(batch.column("epoch"), pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "kind": kind,
+            }
+        )
+
+    ep = epoch_mixture(
+        docs, source_col="source", key_col="doc_id", epochs=eps
+    ).map_batches(_fold_epoch, batch_format="pyarrow")
+    return h.union(s).union(w).union(m).union(sp).union(ep)
 
 
 def _salted_grouped_topk(sf_dir: str):
@@ -2013,6 +2042,18 @@ def oracle_sql() -> dict[str, str]:
                            THEN 'val'
                        ELSE 'test' END AS kind
             FROM documents
+            UNION ALL
+            SELECT doc_id, source, 'epoch' || CAST(k AS VARCHAR) AS kind
+            FROM (
+              SELECT doc_id, source,
+                     (('0x' || SUBSTR(MD5(source), 1, 1))::BIGINT + 2) // 4
+                     + CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                 < printf('%02x',
+                                     64 * ((('0x' || SUBSTR(MD5(source), 1, 1))
+                                            ::BIGINT + 2) % 4))
+                            THEN 1 ELSE 0 END AS copies
+              FROM documents
+            ), UNNEST(range(copies)) u(k)
         """,
         "quantiles": """
             SELECT o_orderstatus,

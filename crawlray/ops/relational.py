@@ -373,6 +373,78 @@ def mixture_sample(
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+def epoch_mixture(
+    ds: ray.data.Dataset,
+    source_col: str,
+    key_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> ray.data.Dataset:
+    """Fractional-EPOCH data mixing — the upsampling counterpart of
+    `mixture_sample` ('2.3 epochs of books, 0.5 of web'): every row of
+    source s is emitted floor(e_s) or ceil(e_s) times, getting the extra
+    copy iff md5(key) falls in the first round(frac(e_s)·256) of 256
+    hex-prefix buckets — so the copy multiset is a pure function of
+    (key, source→epochs): stable across runs, parallelism and engines,
+    and the SAME keys get the extra copy in every table mixed with the
+    same spec. e < 1 downsamples (0-or-1 copies, ≡ mixture_sample);
+    e = 0 drops the source. Output appends `epoch:int64` (0-based copy
+    index) so downstream shuffles/packing can tell copies apart.
+
+    Shape: zero shuffle — one dict-encode of the source column per batch
+    (floor + threshold per DISTINCT source), one md5 prefix per row (the
+    oracle-parity hash, as in mixture_sample/hash_sample), then one
+    vectorized np.repeat/take to emit copies. Output volume is
+    sum(e_s · rows_s); the repeat is per-batch so blocks grow by at most
+    max(ceil(e)) — re-block downstream if epochs are large.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def _parts(e: float) -> tuple[int, str]:
+        e = max(0.0, float(e))
+        base = int(np.floor(e))
+        b = int(round((e - base) * 256))
+        if b >= 256:  # frac rounds up to a whole extra copy
+            return base + 1, "00"
+        # every md5 prefix is [0-9a-f]{2}; '00' keeps nothing extra
+        return base, format(b, "02x")
+
+    by_source = {s: _parts(e) for s, e in epochs.items()}
+    default_parts = _parts(default_epochs)
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("epoch", pa.array([], pa.int64()))
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        uniq = [
+            by_source.get(s, default_parts)
+            for s in enc.dictionary.to_pylist()
+        ]
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.array([u[0] for u in uniq], np.int64)[idx]
+        thr = pa.array([u[1] for u in uniq], pa.string()).take(enc.indices)
+        prefixes = pa.array(
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+            for v in batch.column(key_col).to_pylist()
+        )
+        extra = pc.less(prefixes, thr).to_numpy(zero_copy_only=False)
+        copies = base + extra.astype(np.int64)
+        total = int(copies.sum())
+        take = np.repeat(np.arange(n), copies)
+        starts = np.concatenate(([0], np.cumsum(copies)))[:-1]
+        epoch = np.arange(total) - np.repeat(starts, copies)
+        out = batch.take(pa.array(take, pa.int64()))
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(_expand, batch_format="pyarrow")
+
+
 def hash_sample_fast(
     ds: ray.data.Dataset,
     key: str,

@@ -620,3 +620,44 @@ def test_grouping_sets_cube_rollup_match_duckdb(ray_session):
             ds, keys, "l_quantity", [("l_linestatus",), ()]
         ).take_all()
     ) == want_sets
+
+
+def test_epoch_mixture_deterministic_copies(ray_session):
+    """Fractional-epoch repeat: e=2.0 -> exactly 2 copies of every row
+    (epochs 0,1); e=0.0 drops; e=2.5 -> a deterministic ~half get a 3rd
+    copy; copy sets are parallelism-invariant and key-consistent."""
+    import hashlib
+
+    from crawlray.ops.relational import epoch_mixture
+
+    rows = [
+        {"k": i, "src": s}
+        for i in range(400)
+        for s in ("whole", "none", "frac")
+    ]
+    eps = {"whole": 2.0, "none": 0.0, "frac": 2.5}
+    ds = ray.data.from_items(rows)
+
+    def collect(d):
+        out = {}
+        for r in epoch_mixture(
+            d, source_col="src", key_col="k", epochs=eps
+        ).take_all():
+            out.setdefault((r["src"], r["k"]), []).append(r["epoch"])
+        return {k: sorted(v) for k, v in out.items()}
+
+    got = collect(ds)
+    assert all(v == [0, 1] for (s, _), v in got.items() if s == "whole")
+    assert len([1 for (s, _) in got if s == "whole"]) == 400
+    assert not any(s == "none" for (s, _) in got)
+    fr = [v for (s, _), v in got.items() if s == "frac"]
+    assert len(fr) == 400
+    n3 = sum(1 for v in fr if v == [0, 1, 2])
+    assert all(v in ([0, 1], [0, 1, 2]) for v in fr)
+    assert 120 < n3 < 280  # ~50% of 400, md5-bucket spread
+    # exact per-key rule: 3rd copy iff md5(k) prefix < '80'
+    for (s, k), v in got.items():
+        if s == "frac":
+            want = hashlib.md5(str(k).encode()).hexdigest()[:2] < "80"
+            assert (len(v) == 3) == want
+    assert collect(ds.repartition(7)) == got
