@@ -536,16 +536,26 @@ def _group_rank(sf_dir: str):
 
 
 def _window_functions(sf_dir: str):
-    """SQL window functions (LAG / LEAD / running SUM over a partition):
-    one groupby(user) shuffle, vectorized per-group kernel."""
+    """SQL window functions (LAG / LEAD / running SUM / ROW_NUMBER /
+    PERCENT_RANK / CUME_DIST / NTILE over a partition): one groupby(user)
+    shuffle, vectorized per-group kernel — the unique (ts, event_id)
+    order makes the rank family exact."""
     from crawlray.ops.relational import window_shift_cum
 
     out = window_shift_cum(
         _rd(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"]),
         key="user_id", order_cols=["ts", "event_id"], value_col="value",
+        ntile_k=4,
     )
     return _round_cols(
-        out, {"lag_value": 6, "lead_value": 6, "running_sum": 6}
+        out,
+        {
+            "lag_value": 6,
+            "lead_value": 6,
+            "running_sum": 6,
+            "pct_rank": 6,
+            "cume_dist": 6,
+        },
     )
 
 
@@ -1928,7 +1938,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LEAD(value) OVER w, 6) AS lead_value,
                    ROUND(SUM(value) OVER (PARTITION BY user_id
                          ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+                         ROWS UNBOUNDED PRECEDING), 6) AS running_sum,
+                   ROW_NUMBER() OVER w AS row_num,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS cume_dist,
+                   NTILE(4) OVER w AS ntile
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,

@@ -980,10 +980,15 @@ def window_shift_cum(
     key: str,
     order_cols: list[str],
     value_col: str,
+    ntile_k: int = 4,
 ) -> ray.data.Dataset:
-    """SQL window functions over a partition: LAG(value), LEAD(value) and
-    the running SUM(value) (ROWS UNBOUNDED PRECEDING), all ordered by
-    `order_cols` within each `key` group.
+    """SQL window functions over a partition: LAG(value), LEAD(value),
+    the running SUM(value) (ROWS UNBOUNDED PRECEDING), plus the rank
+    family — ROW_NUMBER, PERCENT_RANK, CUME_DIST and NTILE(ntile_k) —
+    all ordered by `order_cols` within each `key` group. The rank family
+    assumes `order_cols` ends with a unique tie-break (as the docstring
+    below already requires for determinism), under which RANK ==
+    ROW_NUMBER and CUME_DIST == row/n, exactly the SQL values.
 
     One groupby shuffle co-locates each partition; the per-group kernel is
     one vectorized Arrow sort + numpy shifted views + cumsum — group sizes
@@ -1018,12 +1023,29 @@ def window_shift_cum(
         lead_mask = np.concatenate((null_mask[1:], [True])) if n else null_mask
         rs = np.cumsum(v_filled)
         rs_mask = np.cumsum(~null_mask) == 0  # NULL until a value appears
+        r = np.arange(1, n + 1, dtype=np.int64)
+        pct = (r - 1) / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        cume = r / n if n else np.zeros(0, np.float64)
+        # NTILE(k): the first n % k buckets take ceil(n/k) rows (SQL)
+        q, rem = divmod(n, ntile_k)
+        i0 = r - 1
+        if q == 0:
+            nt = r.copy()  # n < k: one row per bucket
+        else:
+            head = rem * (q + 1)
+            nt = np.where(
+                i0 < head, i0 // (q + 1), rem + (i0 - head) // q
+            ) + 1
         return pa.table(
             {
                 **{c: g.column(c) for c in g.column_names},
                 "lag_value": pa.array(lag, mask=lag_mask),
                 "lead_value": pa.array(lead, mask=lead_mask),
                 "running_sum": pa.array(rs, mask=rs_mask),
+                "row_num": pa.array(r),
+                "pct_rank": pa.array(pct, pa.float64()),
+                "cume_dist": pa.array(cume, pa.float64()),
+                "ntile": pa.array(nt.astype(np.int64)),
             }
         )
 
