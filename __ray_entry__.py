@@ -224,11 +224,14 @@ def _shuffle_join(sf_dir: str):
 
 
 def _left_outer_join(sf_dir: str):
-    """O-27 join-type coverage: LEFT OUTER shuffle join — every customer
-    row survives; customers with no completed ('F') orders get null order
-    columns (71 of them at sf0.01 — the anti_join population), coalesced
-    to sentinels identically on both engine and oracle so the value-hash
-    is null-stable."""
+    """O-27 join-type coverage, LEFT and FULL OUTER in one tagged result.
+    kind='left': every customer row survives; customers with no completed
+    ('F') orders get null order columns (71 of them at sf0.01 — the
+    anti_join population). kind='full': the left side restricted to the
+    BUILDING segment so BOTH null directions occur — null order columns
+    for building customers without F orders AND null customer columns
+    for F orders of other segments. Nulls coalesced to sentinels
+    identically on engine and oracle so the value-hash is null-stable."""
     from crawlray.ops.relational import shuffle_join
 
     cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
@@ -240,26 +243,46 @@ def _left_outer_join(sf_dir: str):
         .filter(expr="o_orderstatus == 'F'")
         .select_columns(["o_custkey", "o_orderkey", "o_totalprice"])
     )
-    out = shuffle_join(
+
+    def _fill(kind: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            # Ray's outer joins already coalesce on/right_on into the
+            # left key column, so c_custkey is complete in both kinds
+            return pa.table(
+                {
+                    "kind": pa.array(
+                        [kind] * batch.num_rows, pa.string()
+                    ),
+                    "c_custkey": pc.cast(
+                        batch.column("c_custkey"), pa.int64()
+                    ),
+                    "c_mktsegment": pc.fill_null(
+                        batch.column("c_mktsegment"), "(none)"
+                    ),
+                    "o_orderkey": pc.fill_null(
+                        pc.cast(batch.column("o_orderkey"), pa.int64()), -1
+                    ),
+                    "o_totalprice": pc.fill_null(
+                        pc.cast(batch.column("o_totalprice"), pa.float64()),
+                        -1.0,
+                    ),
+                }
+            )
+
+        return _f
+
+    left = shuffle_join(
         cust, f_orders, on=["c_custkey"], right_on=["o_custkey"],
         join_type="left_outer",
-    )
-
-    def _fill(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": batch.column("c_custkey"),
-                "c_mktsegment": batch.column("c_mktsegment"),
-                "o_orderkey": pc.fill_null(
-                    pc.cast(batch.column("o_orderkey"), pa.int64()), -1
-                ),
-                "o_totalprice": pc.fill_null(
-                    pc.cast(batch.column("o_totalprice"), pa.float64()), -1.0
-                ),
-            }
-        )
-
-    return out.map_batches(_fill, batch_format="pyarrow")
+    ).map_batches(_fill("left"), batch_format="pyarrow")
+    full = shuffle_join(
+        cust.filter(expr="c_mktsegment == 'BUILDING'"),
+        f_orders,
+        on=["c_custkey"],
+        right_on=["o_custkey"],
+        join_type="full_outer",
+    ).map_batches(_fill("full"), batch_format="pyarrow")
+    return left.union(full)
 
 
 def _pagerank(sf_dir: str):
@@ -1848,12 +1871,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         """,
         "left_outer_join": """
-            SELECT c.c_custkey, c.c_mktsegment,
+            WITH f AS (SELECT * FROM orders WHERE o_orderstatus = 'F')
+            SELECT 'left' AS kind, c.c_custkey, c.c_mktsegment,
                    COALESCE(o.o_orderkey, -1) AS o_orderkey,
                    COALESCE(o.o_totalprice, -1.0) AS o_totalprice
             FROM customer c
-            LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
-              ON c.c_custkey = o.o_custkey
+            LEFT JOIN f o ON c.c_custkey = o.o_custkey
+            UNION ALL
+            SELECT 'full' AS kind,
+                   COALESCE(c.c_custkey, o.o_custkey) AS c_custkey,
+                   COALESCE(c.c_mktsegment, '(none)') AS c_mktsegment,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(o.o_totalprice, -1.0) AS o_totalprice
+            FROM (SELECT * FROM customer
+                  WHERE c_mktsegment = 'BUILDING') c
+            FULL JOIN f o ON c.c_custkey = o.o_custkey
         """,
         "pagerank": """
             WITH e AS (
