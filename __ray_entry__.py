@@ -119,8 +119,12 @@ def _groupby_counts(sf_dir: str):
 
 
 def _global_agg(sf_dir: str):
-    """O-29: global (non-grouped) aggregate over lineitem."""
-    from crawlray.ops.relational import single_row_agg
+    """O-29: global (non-grouped) aggregate over lineitem, now including
+    the statistical moments (AVG / STDDEV_SAMP / CORR) via the
+    Chan-combine distributed moments kernel (ops/relational.moments) —
+    per-block Welford partials, bit-deterministic driver fold, one
+    streaming pass shared across all three moment columns."""
+    from crawlray.ops.relational import moments, single_row_agg
 
     ds = _rd(
         sf_dir, "lineitem",
@@ -135,12 +139,18 @@ def _global_agg(sf_dir: str):
             Min("l_discount", alias_name="min_disc"),
         ],
     )
+    mo = moments(ds, "l_quantity", "l_extendedprice")
     return pa.table(
         {
             "n": tbl.column("n"),
             "sum_qty": pc.round(tbl.column("sum_qty"), ndigits=2),
             "max_price": tbl.column("max_price"),
             "min_disc": tbl.column("min_disc"),
+            "avg_price": pa.array([round(mo["mean_y"], 4)], pa.float64()),
+            "std_price": pa.array([round(mo["std_y"], 4)], pa.float64()),
+            "corr_qty_price": pa.array(
+                [round(mo["corr_xy"], 6)], pa.float64()
+            ),
         }
     )
 
@@ -1843,7 +1853,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "global_agg": """
             SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   MAX(l_extendedprice) AS max_price, MIN(l_discount) AS min_disc
+                   MAX(l_extendedprice) AS max_price, MIN(l_discount) AS min_disc,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+                   ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price
             FROM lineitem
         """,
         "dedup_first": """

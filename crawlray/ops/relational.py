@@ -1513,3 +1513,99 @@ def unpivot(
         return pa.concat_tables(parts)
 
     return ds.map_batches(_melt, batch_format="pyarrow")
+
+
+def moments(
+    ds: ray.data.Dataset, x_col: str, y_col: str | None = None
+) -> dict[str, float]:
+    """Numerically stable distributed second moments: count, mean and
+    SAMPLE variance/stddev of `x_col`, plus (when `y_col` is given) the
+    same for y and the sample covariance / Pearson correlation of (x, y).
+
+    Statistical aggregates DuckDB exposes as STDDEV_SAMP / VAR_SAMP /
+    COVAR_SAMP / CORR. The naive sum-of-squares identity
+    E[x²]−E[x]² catastrophically cancels when stddev ≪ mean (for
+    lineitem prices, sum(x²) ≈ 1e15 eats the low-order digits the
+    variance lives in), so each block computes a Chan/Welford partial
+    (n, mean, M2, and the comoment C2 for pairs) and the driver folds
+    the O(#blocks) partials pairwise with Chan's update:
+
+        delta = mean_b − mean_a
+        M2    = M2_a + M2_b + delta² · n_a·n_b/(n_a+n_b)
+
+    Partials are folded in sorted block order so the float result is
+    bit-deterministic run to run regardless of task completion order
+    (the same trick as the distributed k-means reduce in ops/knn.py).
+    Rows where x (or y, when given) is NULL are skipped, matching SQL
+    aggregate semantics. Scale: one streaming map pass; only one tiny
+    partial row per block ever reaches the driver.
+    """
+    import numpy as np
+
+    two = y_col is not None
+    cols = [x_col] + ([y_col] if two else [])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column(x_col), pa.float64())
+        if two:
+            y = pc.cast(batch.column(y_col), pa.float64())
+            valid = pc.and_(x.is_valid(), y.is_valid())
+            x, y = x.filter(valid), y.filter(valid)
+            ya = y.to_numpy(zero_copy_only=False)
+        else:
+            x = x.drop_null()
+        xa = x.to_numpy(zero_copy_only=False)
+        n = len(xa)
+        mx = float(xa.mean()) if n else 0.0
+        m2x = float(((xa - mx) ** 2).sum()) if n else 0.0
+        row = {"n": n, "mean_x": mx, "m2_x": m2x, "key": ""}
+        if two:
+            my = float(ya.mean()) if n else 0.0
+            row["mean_y"] = my
+            row["m2_y"] = float(((ya - my) ** 2).sum()) if n else 0.0
+            row["c2"] = float(((xa - mx) * (ya - my)).sum()) if n else 0.0
+        # tag with a content-derived sort key so the driver fold order is
+        # independent of which block finishes first
+        row["key"] = f"{n:020d}:{mx!r}:{m2x!r}"
+        return pa.Table.from_pylist([row])
+
+    parts = (
+        ds.select_columns(cols)
+        .map_batches(_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    parts.sort(key=lambda r: r["key"])
+
+    n = 0
+    mx = m2x = my = m2y = c2 = 0.0
+    for p in parts:
+        nb = p["n"]
+        if nb == 0:
+            continue
+        if n == 0:
+            n, mx, m2x = nb, p["mean_x"], p["m2_x"]
+            if two:
+                my, m2y, c2 = p["mean_y"], p["m2_y"], p["c2"]
+            continue
+        tot = n + nb
+        dx = p["mean_x"] - mx
+        m2x += p["m2_x"] + dx * dx * n * nb / tot
+        if two:
+            dy = p["mean_y"] - my
+            m2y += p["m2_y"] + dy * dy * n * nb / tot
+            c2 += p["c2"] + dx * dy * n * nb / tot
+            my += dy * nb / tot
+        mx += dx * nb / tot
+        n = tot
+
+    out: dict[str, float] = {"n": float(n), "mean_x": mx}
+    out["var_x"] = m2x / (n - 1) if n > 1 else float("nan")
+    out["std_x"] = float(np.sqrt(out["var_x"]))
+    if two:
+        out["mean_y"] = my
+        out["var_y"] = m2y / (n - 1) if n > 1 else float("nan")
+        out["std_y"] = float(np.sqrt(out["var_y"]))
+        out["covar_xy"] = c2 / (n - 1) if n > 1 else float("nan")
+        denom = np.sqrt(m2x) * np.sqrt(m2y)
+        out["corr_xy"] = float(c2 / denom) if denom > 0 else float("nan")
+    return out

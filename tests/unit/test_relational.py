@@ -661,3 +661,47 @@ def test_epoch_mixture_deterministic_copies(ray_session):
             want = hashlib.md5(str(k).encode()).hexdigest()[:2] < "80"
             assert (len(v) == 3) == want
     assert collect(ds.repartition(7)) == got
+
+
+def test_moments_matches_numpy_and_is_block_invariant(ray_session):
+    """Distributed Chan-combine moments == numpy's exact single-pass
+    answer (rtol 1e-12) regardless of block layout; NULL rows skipped
+    pairwise like SQL aggregates; repeated runs bit-identical (sorted
+    partial fold)."""
+    import numpy as np
+
+    from crawlray.ops.relational import moments
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    x = rng.normal(50_000.0, 30_000.0, n)
+    y = 0.3 * x + rng.normal(0.0, 10_000.0, n)
+    xl = [None if i % 97 == 0 else float(v) for i, v in enumerate(x)]
+    yl = [float(v) for v in y]
+    mask = np.array([v is not None for v in xl])
+    xv, yv = x[mask], y[mask]
+
+    want_std_x = float(np.std(xv, ddof=1))
+    want_std_y = float(np.std(yv, ddof=1))
+    want_corr = float(np.corrcoef(xv, yv)[0, 1])
+
+    outs = []
+    for blocks in (1, 7, 64):
+        ds = ray.data.from_arrow(
+            pa.table({"x": pa.array(xl, pa.float64()), "y": yl})
+        ).repartition(blocks)
+        mo = moments(ds, "x", "y")
+        assert mo["n"] == mask.sum()
+        np.testing.assert_allclose(mo["std_x"], want_std_x, rtol=1e-12)
+        np.testing.assert_allclose(mo["std_y"], want_std_y, rtol=1e-12)
+        np.testing.assert_allclose(mo["corr_xy"], want_corr, rtol=1e-12)
+        outs.append(moments(ds, "x", "y"))
+        assert outs[-1] == mo, "same layout must be bit-identical"
+
+    # single-column form
+    mo1 = moments(
+        ray.data.from_arrow(pa.table({"x": pa.array(xl, pa.float64())})),
+        "x",
+    )
+    np.testing.assert_allclose(mo1["std_x"], want_std_x, rtol=1e-12)
+    assert "mean_y" not in mo1
