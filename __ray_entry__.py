@@ -1039,14 +1039,55 @@ def _flatten_tokens(sf_dir: str):
 
 
 def _quality_score(sf_dir: str):
-    """Model-inference pattern: logistic quality scorer as an actor-pool
-    map_batches stage (weights loaded once per actor in __init__,
-    vectorized logistic per batch). Fixed deterministic weights make the
-    score SQL-expressible, so even the inference gets a DuckDB oracle."""
-    from crawlray.ops.textqa import quality_score
+    """Quality scoring, BOTH forms in one tagged table: kind='model' —
+    logistic scorer as an actor-pool map_batches stage (weights loaded
+    once per actor in __init__, vectorized logistic per batch; fixed
+    deterministic weights make even the inference SQL-expressible);
+    kind='gopher_*' — the Gopher rule signals (token count, mean word
+    length, distinct-stopword hits, repetition fractions) plus the
+    combined keep verdict, every value an exact integer count or exact
+    IEEE division so the oracle matches bit-for-bit. Schema:
+    (doc_id, kind, score)."""
+    from crawlray.ops.textqa import gopher_signals, quality_score
 
-    return quality_score(
-        _rd(sf_dir, "documents", columns=["doc_id", "text"]), concurrency=2
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    model = quality_score(docs, concurrency=2)
+
+    def _melt_model(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kind": pa.array(["model"] * batch.num_rows),
+                "score": batch.column("quality"),
+            }
+        )
+
+    sig = gopher_signals(docs)
+    arms = [
+        ("gopher_n_tokens", "n_tokens"),
+        ("gopher_mean_wlen", "mean_wlen"),
+        ("gopher_stop_hits", "stop_hits"),
+        ("gopher_top_token_frac", "top_token_frac"),
+        ("gopher_dup_2gram_frac", "dup_2gram_frac"),
+        ("gopher_keep", "keep"),
+    ]
+
+    def _melt_sig(batch: pa.Table) -> pa.Table:
+        parts = []
+        for kind, col in arms:
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": batch.column("doc_id"),
+                        "kind": pa.array([kind] * batch.num_rows),
+                        "score": pc.cast(batch.column(col), pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return model.map_batches(_melt_model, batch_format="pyarrow").union(
+        sig.map_batches(_melt_sig, batch_format="pyarrow")
     )
 
 
@@ -2339,8 +2380,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
             GROUP BY d.doc_id, d.text
         """,
+        # gopher_* arms reuse the doc_profile repetition CTEs; mean_wlen is
+        # list_avg = (exact int sum)/(exact int count), the same IEEE
+        # division the engine computes as (len(text)-(n_tok-1))/n_tok —
+        # bit-identical, no rounding anywhere in the gopher arms
         "quality_score": """
-            SELECT doc_id,
+            WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t
+                          FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok
+                   GROUP BY doc_id, w),
+            rep1 AS (SELECT doc_id,
+                            MAX(c) / CAST(SUM(c) AS BIGINT) AS tt
+                     FROM tc GROUP BY doc_id),
+            grams AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                      FROM toks,
+                           UNNEST(range(1, GREATEST(LEN(t)-1, 0)+1)) u(i)),
+            rep2 AS (SELECT doc_id,
+                            (COUNT(*) - COUNT(DISTINCT g))
+                                / CAST(COUNT(*) AS BIGINT) AS dg
+                     FROM grams GROUP BY doc_id),
+            sig AS (
+                SELECT t.doc_id,
+                       LEN(t.t) AS n_tokens,
+                       list_avg(list_transform(t.t, x -> LEN(x)))
+                           AS mean_wlen,
+                       (list_contains(t.t, 'the')::INT
+                        + list_contains(t.t, 'of')::INT
+                        + list_contains(t.t, 'and')::INT
+                        + list_contains(t.t, 'to')::INT
+                        + list_contains(t.t, 'in')::INT
+                        + list_contains(t.t, 'that')::INT
+                        + list_contains(t.t, 'with')::INT
+                        + list_contains(t.t, 'for')::INT) AS stop_hits,
+                       rep1.tt AS top_token_frac,
+                       COALESCE(rep2.dg, 0.0) AS dup_2gram_frac
+                FROM toks t
+                JOIN rep1 USING (doc_id)
+                LEFT JOIN rep2 ON rep2.doc_id = t.doc_id
+            )
+            SELECT doc_id, 'model' AS kind,
                    ROUND(1.0 / (1.0 + EXP(-(
                        -1.0
                        + 0.002 * LENGTH(text)
@@ -2350,8 +2429,26 @@ def oracle_sql() -> dict[str, str]:
                        + 5.0 * ((LENGTH(text)
                                  - LENGTH(REPLACE(text, '.', '')))
                                 / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0))
-                   ))), 6) AS quality
+                   ))), 6) AS score
             FROM documents
+            UNION ALL SELECT doc_id, 'gopher_n_tokens',
+                             CAST(n_tokens AS DOUBLE) FROM sig
+            UNION ALL SELECT doc_id, 'gopher_mean_wlen', mean_wlen FROM sig
+            UNION ALL SELECT doc_id, 'gopher_stop_hits',
+                             CAST(stop_hits AS DOUBLE) FROM sig
+            UNION ALL SELECT doc_id, 'gopher_top_token_frac',
+                             top_token_frac FROM sig
+            UNION ALL SELECT doc_id, 'gopher_dup_2gram_frac',
+                             dup_2gram_frac FROM sig
+            UNION ALL SELECT doc_id, 'gopher_keep',
+                             CASE WHEN n_tokens BETWEEN 32 AND 100000
+                                   AND mean_wlen >= 3.0
+                                   AND mean_wlen <= 4.6
+                                   AND stop_hits >= 1
+                                   AND top_token_frac <= 0.10
+                                   AND dup_2gram_frac <= 0.05
+                                  THEN 1.0 ELSE 0.0 END
+                      FROM sig
         """,
         # the 16 (a, b) pairs are np.random.RandomState(7) draws — the
         # engine's _perm_params(16); the shingle hash is the repo's

@@ -711,3 +711,135 @@ def embed_documents(
         )
 
     return ds.map_batches(_embed, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule-based quality filtering (Rae et al. 2021, §A1.1 —
+# public heuristics; re-derived here as vectorized Arrow/numpy kernels)
+
+GOPHER_STOPWORDS = ("the", "of", "and", "to", "in", "that", "with", "for")
+
+GOPHER_DEFAULTS = dict(
+    min_tokens=32,
+    max_tokens=100_000,
+    min_mean_wlen=3.0,
+    max_mean_wlen=4.6,
+    min_stop_hits=1,
+    max_top_token_frac=0.10,
+    max_dup_2gram_frac=0.05,
+)
+
+
+def _gopher_signal_batch(
+    batch: pa.Table, id_col: str, text_col: str, thr: dict
+) -> pa.Table:
+    """Per-batch kernel shared by gopher_signals (emit) and gopher_filter
+    (apply): every signal is an exact integer count or an exact IEEE
+    division of integer counts, so a SQL oracle reproduces each value
+    bit-for-bit with no rounding.
+
+      * mean_wlen == list_avg(word lengths): under a single-space split,
+        sum(len(word)) == len(text) - (n_tokens - 1) identically, so the
+        flattened tokens are never touched for this signal;
+      * stop_hits counts DISTINCT stopwords present (an 8-bit presence
+        mask scattered per token with np.bitwise_or.at, then popcount);
+      * top_token_frac / dup_2gram_frac come from the shared
+        `repetition_arrays` kernel (also used by doc_profile).
+    """
+    text = batch.column(text_col).combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n_tok = (
+        pc.list_value_length(toks)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_char = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    # exact identity: sum of token lengths under a single-space split;
+    # split(" ") of "" yields [""] so n_tok >= 1 and division is safe
+    mean_wlen = (n_char - (n_tok - 1)) / n_tok
+
+    n = len(n_tok)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+    sw_idx = pc.index_in(flat, value_set=pa.array(GOPHER_STOPWORDS))
+    present = sw_idx.is_valid().to_numpy(zero_copy_only=False)
+    bits = np.zeros(n, np.uint32)
+    if present.any():
+        np.bitwise_or.at(
+            bits,
+            doc_idx[present],
+            np.uint32(1)
+            << sw_idx.drop_null()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint32),
+        )
+    stop_hits = np.zeros(n, np.int64)
+    for b in range(len(GOPHER_STOPWORDS)):
+        stop_hits += (bits >> b) & 1
+
+    top_frac, dup_frac = repetition_arrays(text)
+    topn = top_frac.to_numpy(zero_copy_only=False)
+    dupn = dup_frac.to_numpy(zero_copy_only=False)
+
+    keep = (
+        (n_tok >= thr["min_tokens"])
+        & (n_tok <= thr["max_tokens"])
+        & (mean_wlen >= thr["min_mean_wlen"])
+        & (mean_wlen <= thr["max_mean_wlen"])
+        & (stop_hits >= thr["min_stop_hits"])
+        & (topn <= thr["max_top_token_frac"])
+        & (dupn <= thr["max_dup_2gram_frac"])
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "mean_wlen": pa.array(mean_wlen, pa.float64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+            "top_token_frac": top_frac,
+            "dup_2gram_frac": dup_frac,
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+def gopher_signals(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> ray.data.Dataset:
+    """Per-document Gopher quality signals + combined `keep` verdict.
+
+    One zero-shuffle streaming map pass (see `_gopher_signal_batch` for
+    the kernels and the exactness argument). Threshold defaults bisect
+    the synthetic corpus so the verdict exercises both branches;
+    real-corpus deployments pass Gopher's published bounds instead.
+    """
+    thr = {**GOPHER_DEFAULTS, **thresholds}
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        return _gopher_signal_batch(batch, id_col, text_col, thr)
+
+    return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def gopher_filter(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **thresholds,
+) -> ray.data.Dataset:
+    """Keep only documents passing the Gopher rules — the production
+    filter form: signals are computed and applied per batch in one
+    streaming pass (original columns preserved, failing rows never leave
+    the scan stage), no shuffle, no second read of the corpus."""
+    thr = {**GOPHER_DEFAULTS, **thresholds}
+
+    def _filt(batch: pa.Table) -> pa.Table:
+        sig = _gopher_signal_batch(batch, id_col, text_col, thr)
+        return batch.filter(sig.column("keep"))
+
+    return ds.map_batches(_filt, batch_format="pyarrow")

@@ -75,3 +75,38 @@ def test_repetition_stats_matches_duckdb(ray_session, override_blocks):
     assert (want.top_token_frac > 0).all()
     assert want.dup_2gram_frac.max() > 0
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
+
+
+def test_gopher_signals_and_filter(ray_session):
+    """Each Gopher rule fires on a doc constructed to fail exactly it;
+    gopher_filter keeps precisely the signal pass-set and preserves all
+    original columns."""
+    import ray.data
+
+    from crawlray.ops.textqa import gopher_filter, gopher_signals
+
+    # 40 distinct 3-5 char words (top token 1/40, zero dup 2-grams),
+    # one stopword, mean word length ~4
+    good = "the " + " ".join(f"w{i:03d}" for i in range(39))
+    docs = [
+        {"doc_id": 0, "text": good, "extra": "a"},                # passes
+        {"doc_id": 1, "text": "too short", "extra": "b"},          # n_tokens
+        {"doc_id": 2, "text": "spam " * 40 + "spam", "extra": "c"},  # repetition
+        {"doc_id": 3, "text": ("zz " * 45 + "the of and").strip(),
+         "extra": "d"},                                            # mean_wlen low
+        {"doc_id": 4, "text": ("wonderful astonishing remarkable "
+                               * 15).strip(), "extra": "e"},       # no stopwords
+    ]
+    ds = ray.data.from_items(docs)
+    sig = {r["doc_id"]: r for r in gopher_signals(ds).take_all()}
+    assert sig[0]["keep"]
+    assert not sig[1]["keep"] and sig[1]["n_tokens"] == 2
+    assert not sig[2]["keep"] and sig[2]["top_token_frac"] > 0.9
+    assert not sig[3]["keep"] and sig[3]["mean_wlen"] < 3.0
+    assert not sig[4]["keep"] and sig[4]["stop_hits"] == 0
+    # distinct stopword count, not occurrences
+    assert sig[0]["stop_hits"] == 1  # just 'the'
+    assert sig[0]["n_tokens"] == 40 and sig[0]["dup_2gram_frac"] == 0.0
+    kept = gopher_filter(ds).take_all()
+    assert [r["doc_id"] for r in kept] == [0]
+    assert kept[0]["extra"] == "a"
