@@ -1032,10 +1032,48 @@ def _json_props(sf_dir: str):
 
 
 def _flatten_tokens(sf_dir: str):
-    """O-43 analogue: explode documents into (doc_id, token) rows."""
-    from crawlray.ops.textqa import explode_tokens
+    """O-43 analogue + inverted index in one tagged table. kind='flat' —
+    explode documents into (doc_id, token) rows; kind='index' — the
+    inverted index (token → df + comma-joined ascending posting list),
+    built with ONE hash shuffle of distinct (token, doc) pairs and a
+    fully vectorized per-partition list-aggregate kernel. Schema:
+    (kind, token, doc_id, df, postings); the flat arm carries df=0 /
+    postings='' and the index arm doc_id=-1."""
+    from crawlray.ops.textqa import explode_tokens, inverted_index
 
-    return explode_tokens(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _norm_flat(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["flat"] * n),
+                "token": batch.column("token"),
+                "doc_id": batch.column("doc_id"),
+                "df": pa.array([0] * n, pa.int64()),
+                "postings": pa.array([""] * n),
+            }
+        )
+
+    def _norm_idx(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["index"] * n),
+                "token": batch.column("token"),
+                "doc_id": pa.array([-1] * n, pa.int64()),
+                "df": batch.column("df"),
+                "postings": batch.column("postings"),
+            }
+        )
+
+    flat = explode_tokens(docs).map_batches(
+        _norm_flat, batch_format="pyarrow"
+    )
+    idx = inverted_index(docs, num_partitions=16).map_batches(
+        _norm_idx, batch_format="pyarrow"
+    )
+    return flat.union(idx)
 
 
 def _quality_score(sf_dir: str):
@@ -2295,7 +2333,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY k
         """,
         "flatten_tokens": """
-            SELECT doc_id, UNNEST(str_split(text, ' ')) AS token FROM documents
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
+                    FROM documents
+                )
+            )
+            SELECT 'flat' AS kind, token, doc_id,
+                   CAST(0 AS BIGINT) AS df, '' AS postings
+            FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
+                  FROM documents)
+            UNION ALL
+            SELECT 'index', token, CAST(-1 AS BIGINT),
+                   COUNT(*),
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)
+            FROM pairs GROUP BY token
         """,
         "sketches": """
             SELECT 'hll' AS kind, event_type AS key,

@@ -843,3 +843,71 @@ def gopher_filter(
         return batch.filter(sig.column("keep"))
 
     return ds.map_batches(_filt, batch_format="pyarrow")
+
+
+def inverted_index(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Build an inverted index: one row per term with its document
+    frequency and the comma-joined posting list of doc ids in ascending
+    id order — (token, df, postings).
+
+    Shape for 100 TB: the only exchange is ONE hash shuffle of the
+    DISTINCT (token, doc) pairs on murmur3(token) % num_partitions (the
+    corpusprep `_bucket_fn` idiom — groupby('_pk') co-locates each term's
+    postings without a global sort); map-side the explode dedups pairs
+    per batch, which is globally exact because a document is one row and
+    never spans batches. The per-partition kernel is fully vectorized:
+    one Arrow sort + group_by list-aggregate + a flat cast/binary_join —
+    no Python loop over terms. Posting lists are bounded by the term's
+    df; a web-scale stopword term yields one long string row, which
+    Arrow handles as a large_string chunk (callers wanting bounded rows
+    can pre-filter ultra-high-df terms with frequent_items).
+    """
+    from crawlray.ops.corpusprep import _bucket_fn
+
+    _bucket = _bucket_fn("token", num_partitions)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        pairs = pa.table(
+            {
+                "token": pc.list_flatten(toks),
+                id_col: batch.column(id_col).take(parents),
+            }
+        )
+        # per-batch distinct == global distinct (a doc never spans batches)
+        return _bucket(pairs.group_by(["token", id_col]).aggregate([]))
+
+    def _index(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[("token", "ascending"), (id_col, "ascending")],
+        )
+        t = group.take(idx)
+        g = t.group_by(["token"], use_threads=False).aggregate(
+            [(id_col, "list"), (id_col, "count")]
+        )
+        lists = g.column(f"{id_col}_list").combine_chunks()
+        flat_str = pc.cast(pc.list_flatten(lists), pa.string())
+        as_str_lists = pa.ListArray.from_arrays(lists.offsets, flat_str)
+        return pa.table(
+            {
+                "token": g.column("token"),
+                "df": pc.cast(g.column(f"{id_col}_count"), pa.int64()),
+                "postings": pc.binary_join(as_str_lists, ","),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_pairs, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_index, batch_format="pyarrow")
+    )

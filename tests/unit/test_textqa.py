@@ -110,3 +110,31 @@ def test_gopher_signals_and_filter(ray_session):
     kept = gopher_filter(ds).take_all()
     assert [r["doc_id"] for r in kept] == [0]
     assert kept[0]["extra"] == "a"
+
+
+def test_inverted_index_postings_sorted_and_block_invariant(ray_session):
+    """Posting lists: distinct doc ids, ascending, df exact; identical
+    across block layouts (the pair dedup is map-side but globally exact
+    because a doc never spans batches)."""
+    import ray.data
+
+    from crawlray.ops.textqa import inverted_index
+
+    docs = [
+        {"doc_id": 10, "text": "b a b c"},
+        {"doc_id": 2, "text": "a d"},
+        {"doc_id": 7, "text": "a"},
+    ]
+    want = {
+        "a": (3, "2,7,10"),
+        "b": (1, "10"),
+        "c": (1, "10"),
+        "d": (1, "2"),
+    }
+    for blocks in (1, 3):
+        ds = ray.data.from_items(docs).repartition(blocks)
+        got = {
+            r["token"]: (r["df"], r["postings"])
+            for r in inverted_index(ds, num_partitions=4).take_all()
+        }
+        assert got == want, f"blocks={blocks}: {got}"
