@@ -1084,12 +1084,33 @@ def _quality_score(sf_dir: str):
     kind='gopher_*' — the Gopher rule signals (token count, mean word
     length, distinct-stopword hits, repetition fractions) plus the
     combined keep verdict, every value an exact integer count or exact
-    IEEE division so the oracle matches bit-for-bit. Schema:
-    (doc_id, kind, score)."""
-    from crawlray.ops.textqa import gopher_signals, quality_score
+    IEEE division so the oracle matches bit-for-bit; kind='ppl' — the
+    CCNet corpus filter: per-token negative log-likelihood under an
+    add-½-smoothed bigram LM trained on the src0-src4 slice (distributed
+    train + score, ops/textqa.ngram_lm_score) — the micro-units int64
+    reduce makes even the distributed float SUM bit-exact vs the SQL
+    oracle. Schema: (doc_id, kind, score)."""
+    from crawlray.ops.textqa import (
+        gopher_signals,
+        ngram_lm_score,
+        quality_score,
+    )
 
     docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
     model = quality_score(docs, concurrency=2)
+    ppl = ngram_lm_score(
+        _rd(sf_dir, "documents", columns=["doc_id", "text", "source"]),
+        ["src0", "src1", "src2", "src3", "src4"],
+    )
+
+    def _melt_ppl(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kind": pa.array(["ppl"] * batch.num_rows),
+                "score": batch.column("nll"),
+            }
+        )
 
     def _melt_model(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1124,8 +1145,10 @@ def _quality_score(sf_dir: str):
             )
         return pa.concat_tables(parts)
 
-    return model.map_batches(_melt_model, batch_format="pyarrow").union(
-        sig.map_batches(_melt_sig, batch_format="pyarrow")
+    return (
+        model.map_batches(_melt_model, batch_format="pyarrow")
+        .union(sig.map_batches(_melt_sig, batch_format="pyarrow"))
+        .union(ppl.map_batches(_melt_ppl, batch_format="pyarrow"))
     )
 
 
@@ -2502,6 +2525,32 @@ def oracle_sql() -> dict[str, str]:
                                    AND dup_2gram_frac <= 0.05
                                   THEN 1.0 ELSE 0.0 END
                       FROM sig
+            UNION ALL
+            SELECT doc_id, 'ppl' AS kind,
+                   -SUM(lpm) / (COUNT(*) * 1000000.0) AS score
+            FROM (
+                WITH btoks AS (SELECT doc_id, source,
+                                      str_split(text, ' ') AS t
+                               FROM documents),
+                bgrams AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+                           FROM btoks, UNNEST(range(1, len(t))) u(i)),
+                train AS (SELECT w1, w2 FROM bgrams WHERE source IN
+                          ('src0','src1','src2','src3','src4')),
+                cb AS (SELECT w1, w2, COUNT(*) AS c FROM train
+                       GROUP BY w1, w2),
+                cu AS (SELECT w1, COUNT(*) AS c FROM train GROUP BY w1),
+                vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+                       (SELECT w1 AS w FROM train
+                        UNION ALL SELECT w2 FROM train))
+                SELECT g.doc_id,
+                       CAST(ROUND(LN((COALESCE(cb.c, 0) + 0.5)
+                                     / (COALESCE(cu.c, 0) + 0.5 * vv.v))
+                                  * 1000000) AS BIGINT) AS lpm
+                FROM bgrams g
+                LEFT JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2
+                LEFT JOIN cu ON g.w1 = cu.w1
+                CROSS JOIN vv
+            ) GROUP BY doc_id
         """,
         # the 16 (a, b) pairs are np.random.RandomState(7) draws — the
         # engine's _perm_params(16); the shingle hash is the repo's

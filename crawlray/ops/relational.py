@@ -184,6 +184,71 @@ def grouped_count_hash(
     )
 
 
+def grouped_sum_hash(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    val_col: str,
+    alias: str = "s",
+    count_alias: str | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """SUM(val_col) [+ COUNT(*)] per key tuple — the summing sibling of
+    `grouped_count_hash`: map-side pyarrow hash-aggregation partials + ONE
+    hash-bucket exchange + per-partition hash merge (sums of sums, sums of
+    counts — both exactly associative for integer `val_col`, which is why
+    the micro-units int64 trick in `ngram_lm_score` exists). No sorting
+    anywhere; same empty-block caveat as `grouped_count_hash`.
+    """
+    import numpy as np
+
+    from crawlray.murmur3 import murmur3_x64_128_batch
+
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def _pk_of(t: pa.Table) -> pa.Array:
+        acc = np.zeros(t.num_rows, np.uint64)
+        for k in keys:
+            col = t.column(k).combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                col.type
+            ):
+                lo, _hi = murmur3_x64_128_batch(col)
+            else:
+                lo = col.to_numpy(zero_copy_only=False).astype(
+                    np.uint64
+                ) * np.uint64(0x9E3779B97F4A7C15)
+            acc = acc * np.uint64(1099511628211) + lo
+        return pa.array((acc % np.uint64(num_partitions)).astype(np.int32))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(keys + [val_col])
+            .group_by(keys)
+            .aggregate([(val_col, "sum"), ([], "count_all")])
+        )
+        g = g.rename_columns(keys + ["_s", "_c"])
+        return g.append_column("_pk", _pk_of(g))
+
+    def _merge(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(keys + ["_s", "_c"])
+            .group_by(keys)
+            .aggregate([("_s", "sum"), ("_c", "sum")])
+        )
+        out_cols = keys + [alias, count_alias or "_c"]
+        g = g.rename_columns(out_cols)
+        if count_alias is None:
+            g = g.drop_columns(["_c"])
+        return g
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+
 def topk(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -374,6 +374,186 @@ def tfidf(
     return joined.map_batches(_score, batch_format="pyarrow")
 
 
+def explode_bigrams(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """(id, text) → one row per adjacent token pair (w1, w2), document
+    order; `extra_cols` carried through. Vectorized shifted-take: one
+    whitespace split per batch, flat token buffer indexed by numpy offset
+    arithmetic — no Python loop over rows. DuckDB equivalent:
+    `FROM toks, UNNEST(range(1, len(t))) u(i)` with t[i] / t[i+1]."""
+    import numpy as np
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, text_col).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        flat = pc.list_flatten(toks)
+        g_per = np.maximum(lens - 1, 0)
+        total = int(g_per.sum())
+        gidx = np.repeat(np.arange(len(lens), dtype=np.int64), g_per)
+        gram_starts = np.concatenate(([0], np.cumsum(g_per)))[:-1]
+        doc_starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            gram_starts, g_per
+        )
+        s = doc_starts[gidx] + within
+        take_parent = pa.array(gidx, pa.int64())
+        cols = {id_col: batch.column(id_col).take(take_parent)}
+        for c in extra_cols:
+            cols[c] = batch.column(c).take(take_parent)
+        cols["w1"] = flat.take(pa.array(s, pa.int64()))
+        cols["w2"] = flat.take(pa.array(s + 1, pa.int64()))
+        return pa.table(cols)
+
+    return ds.map_batches(_explode, batch_format="pyarrow")
+
+
+def ngram_lm_score(
+    ds: ray.data.Dataset,
+    train_sources: list[str],
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> ray.data.Dataset:
+    """CCNet-style corpus quality filter: train an add-k-smoothed bigram
+    language model on a trusted source slice, score EVERY document by its
+    per-token negative log-likelihood under that model (low = fluent /
+    in-domain, high = noise) → (id, n_grams, nll). CCNet (Wenzek et al.,
+    LREC 2020) ranks Common Crawl docs by target-domain LM perplexity;
+    this is that operator re-expressed as Dataset stages.
+
+    Distributed shape — the LM is never driver-held or broadcast (at
+    100 TB the bigram table is itself huge):
+      1. bigram explode (vectorized, one row per adjacent pair),
+         materialized ONCE (block pinning; read by the train filter and
+         the scoring join);
+      2. train slice (vectorized is_in filter) → C(w1,w2), C(w1) and the
+         vocabulary size V via three `grouped_*_hash` tree aggregations
+         (one hash exchange each; only V is a driver scalar);
+      3. all-docs grams ⋈ C(w1,w2) on (w1,w2), then ⋈ C(w1) on w1 — both
+         LEFT OUTER hash-shuffle joins (unseen pairs/contexts get count
+         0, the smoothing floor), the tfidf term-keyed-join shape;
+      4. per-term logprob ln((cb+k)/(cu+k·V)) rounded to integer
+         MICRO-UNITS (×1e6 → int64): per-doc sums are then EXACT and
+         addition-order-free in every engine, so the distributed reduce
+         (`grouped_sum_hash`) and a SQL oracle's SUM agree bit-for-bit —
+         no float-jitter rounding hedge needed on the aggregate;
+      5. nll = -sum_micro / (n_grams · 1e6): one exact IEEE division of
+         exactly-representable values.
+
+    Docs with < 2 tokens have no bigrams and are absent from the result
+    (same as the SQL oracle's GROUP BY over exploded pairs).
+    """
+    import numpy as np
+
+    from crawlray.ops.blocks import drop_empty_blocks
+    from crawlray.ops.relational import (
+        grouped_count_hash,
+        grouped_sum_hash,
+        shuffle_join,
+    )
+
+    train_set = pa.array(sorted(train_sources), pa.string())
+    grams = explode_bigrams(
+        ds, id_col, text_col, extra_cols=(source_col,)
+    ).materialize()
+
+    def _train_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(source_col), value_set=train_set)
+        return batch.filter(mask).select(["w1", "w2"])
+
+    train = grams.map_batches(_train_filter, batch_format="pyarrow")
+    cb = drop_empty_blocks(
+        grouped_count_hash(train, ["w1", "w2"], alias="cb").materialize()
+    )
+    cu = drop_empty_blocks(
+        grouped_count_hash(
+            train.map_batches(
+                lambda b: b.select(["w1"]), batch_format="pyarrow"
+            ),
+            ["w1"],
+            alias="cu",
+        ).materialize()
+    )
+    vocab = train.map_batches(
+        lambda b: pa.table({"w": b.column("w1")}), batch_format="pyarrow"
+    ).union(
+        train.map_batches(
+            lambda b: pa.table({"w": b.column("w2")}), batch_format="pyarrow"
+        )
+    )
+    v = int(grouped_count_hash(vocab, ["w"], alias="_c").count())
+    if v == 0:
+        raise ValueError(
+            f"ngram_lm_score: train slice {train_sources!r} produced no "
+            "bigrams — nothing to train on"
+        )
+
+    left = grams.map_batches(
+        lambda b: b.select([id_col, "w1", "w2"]), batch_format="pyarrow"
+    )
+    j1 = shuffle_join(left, cb, on=["w1", "w2"], join_type="left_outer")
+    j2 = shuffle_join(
+        drop_empty_blocks(j1.materialize()), cu, on=["w1"],
+        join_type="left_outer",
+    )
+
+    def _logprob_micro(batch: pa.Table) -> pa.Table:
+        cbv = (
+            pc.fill_null(batch.column("cb"), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        cuv = (
+            pc.fill_null(batch.column("cu"), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        lp = np.log((cbv + k) / (cuv + k * float(v)))
+        lpm = np.round(lp * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "lpm": pa.array(lpm, pa.int64()),
+            }
+        )
+
+    terms = j2.map_batches(_logprob_micro, batch_format="pyarrow")
+    per_doc = grouped_sum_hash(
+        terms, [id_col], "lpm", alias="lpm_sum", count_alias="n_grams"
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        s = (
+            batch.column("lpm_sum")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n = (
+            batch.column("n_grams")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pc.cast(batch.column("n_grams"), pa.int64()),
+                "nll": pa.array(-s / (n * 1e6), pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(_final, batch_format="pyarrow")
+
+
 def parse_json_field(
     ds: ray.data.Dataset, json_col: str, field: str, out_col: str
 ) -> ray.data.Dataset:

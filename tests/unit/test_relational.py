@@ -705,3 +705,47 @@ def test_moments_matches_numpy_and_is_block_invariant(ray_session):
     )
     np.testing.assert_allclose(mo1["std_x"], want_std_x, rtol=1e-12)
     assert "mean_y" not in mo1
+
+
+def test_grouped_sum_hash_equals_pandas(ray_session):
+    """SUM+COUNT per key via the hash exchange == pandas groupby, at two
+    block layouts (partial/merge split must be layout-invariant)."""
+    import numpy as np
+    import pandas as pd
+
+    from crawlray.ops.relational import grouped_sum_hash
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "k": [f"key{i}" for i in rng.randint(0, 40, 5000)],
+            "v": rng.randint(-1000, 1000, 5000).astype("int64"),
+        }
+    )
+    want = (
+        df.groupby("k")
+        .agg(s=("v", "sum"), n=("v", "size"))
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for nblocks in (1, 13):
+        got = (
+            grouped_sum_hash(
+                ray.data.from_pandas(df).repartition(nblocks),
+                ["k"],
+                "v",
+                alias="s",
+                count_alias="n",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # sum-only form drops the count column
+    got2 = grouped_sum_hash(
+        ray.data.from_pandas(df), ["k"], "v", alias="s"
+    ).to_pandas()
+    assert sorted(got2.columns) == ["k", "s"]

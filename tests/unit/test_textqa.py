@@ -138,3 +138,108 @@ def test_inverted_index_postings_sorted_and_block_invariant(ray_session):
             for r in inverted_index(ds, num_partitions=4).take_all()
         }
         assert got == want, f"blocks={blocks}: {got}"
+
+
+def test_ngram_lm_score_crafted_values(ray_session):
+    """Hand-computed add-½ bigram LM: train = doc 0 only ('a b a b'),
+    V = 2 (tokens a, b). C(a,b)=2, C(b,a)=1, C(a)=2, C(b)=1 (contexts:
+    final token is never a context). Scoring:
+      doc 0: terms ab, ba, ab -> ln(2.5/3), ln(1.5/2), ln(2.5/3)
+      doc 1 ('a c'): unseen bigram with SEEN context a -> ln(0.5/3)
+      doc 2 ('z'): single token, no bigrams -> absent from result
+    """
+    import math
+
+    from crawlray.ops.textqa import ngram_lm_score
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b", "source": "train"},
+        {"doc_id": 1, "text": "a c", "source": "other"},
+        {"doc_id": 2, "text": "z", "source": "other"},
+    ]
+    got = (
+        ngram_lm_score(ray.data.from_items(rows), ["train"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [0, 1]
+    assert got.n_grams.tolist() == [3, 1]
+
+    def micro(x: float) -> int:
+        import numpy as np
+
+        return int(np.round(math.log(x) * 1e6))
+
+    exp0 = -(2 * micro(2.5 / 3.0) + micro(1.5 / 2.0)) / (3 * 1e6)
+    exp1 = -micro(0.5 / 3.0) / 1e6
+    assert got.nll.tolist() == [exp0, exp1]
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_ngram_lm_score_matches_duckdb_and_block_invariant(
+    ray_session, nblocks
+):
+    from crawlray.ops.textqa import ngram_lm_score
+
+    ds = ray.data.read_parquet(
+        DOCS, columns=["doc_id", "text", "source"]
+    ).repartition(nblocks)
+    train = ["src0", "src1", "src2", "src3", "src4"]
+    got = _norm(ngram_lm_score(ds, train).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    want = _norm(
+        con.sql(
+            """
+        WITH toks AS (SELECT doc_id, source, str_split(text,' ') AS t
+                      FROM documents),
+        grams AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+                  FROM toks, UNNEST(range(1, len(t))) u(i)),
+        train AS (SELECT w1, w2 FROM grams
+                  WHERE source IN ('src0','src1','src2','src3','src4')),
+        cb AS (SELECT w1, w2, COUNT(*) AS c FROM train GROUP BY w1, w2),
+        cu AS (SELECT w1, COUNT(*) AS c FROM train GROUP BY w1),
+        vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+               (SELECT w1 AS w FROM train UNION ALL SELECT w2 FROM train))
+        SELECT doc_id, COUNT(*) AS n_grams,
+               -SUM(lpm) / (COUNT(*) * 1000000.0) AS nll
+        FROM (SELECT g.doc_id,
+                     CAST(ROUND(LN((COALESCE(cb.c,0) + 0.5)
+                                   / (COALESCE(cu.c,0) + 0.5 * vv.v))
+                                * 1000000) AS BIGINT) AS lpm
+              FROM grams g
+              LEFT JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2
+              LEFT JOIN cu ON g.w1 = cu.w1
+              CROSS JOIN vv)
+        GROUP BY doc_id
+        """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ngram_lm_score_in_domain_scores_lower(ray_session):
+    """The filter must discriminate: random-noise docs (tokens the train
+    slice never produced in that order) score strictly higher NLL than
+    the train docs themselves."""
+    from crawlray.ops.textqa import ngram_lm_score
+
+    rows = [
+        {"doc_id": i, "text": "the cat sat on the mat " * 5, "source": "t"}
+        for i in range(4)
+    ] + [
+        {"doc_id": 10 + i, "text": f"zq{i} vx{i} wk{i} jj{i} qq{i}",
+         "source": "noise"}
+        for i in range(4)
+    ]
+    got = (
+        ngram_lm_score(ray.data.from_items(rows), ["t"])
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    worst_train = got.loc[[0, 1, 2, 3]].nll.max()
+    best_noise = got.loc[[10, 11, 12, 13]].nll.min()
+    assert best_noise > worst_train
