@@ -1089,8 +1089,12 @@ def _quality_score(sf_dir: str):
     add-½-smoothed bigram LM trained on the src0-src4 slice (distributed
     train + score, ops/textqa.ngram_lm_score) — the micro-units int64
     reduce makes even the distributed float SUM bit-exact vs the SQL
-    oracle. Schema: (doc_id, kind, score)."""
+    oracle; kind='dsir' — DSIR importance weights (hashed-bigram
+    log(p_target/p_source), target = the same src0-src4 slice; the
+    B-bucket histograms broadcast, only the per-doc sum shuffles).
+    Schema: (doc_id, kind, score)."""
     from crawlray.ops.textqa import (
+        dsir_weights,
         gopher_signals,
         ngram_lm_score,
         quality_score,
@@ -1098,10 +1102,10 @@ def _quality_score(sf_dir: str):
 
     docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
     model = quality_score(docs, concurrency=2)
-    ppl = ngram_lm_score(
-        _rd(sf_dir, "documents", columns=["doc_id", "text", "source"]),
-        ["src0", "src1", "src2", "src3", "src4"],
-    )
+    train = ["src0", "src1", "src2", "src3", "src4"]
+    docs3 = _rd(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    ppl = ngram_lm_score(docs3, train)
+    dsir = dsir_weights(docs3, train)
 
     def _melt_ppl(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1109,6 +1113,15 @@ def _quality_score(sf_dir: str):
                 "doc_id": batch.column("doc_id"),
                 "kind": pa.array(["ppl"] * batch.num_rows),
                 "score": batch.column("nll"),
+            }
+        )
+
+    def _melt_dsir(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kind": pa.array(["dsir"] * batch.num_rows),
+                "score": batch.column("dsir"),
             }
         )
 
@@ -1149,6 +1162,7 @@ def _quality_score(sf_dir: str):
         model.map_batches(_melt_model, batch_format="pyarrow")
         .union(sig.map_batches(_melt_sig, batch_format="pyarrow"))
         .union(ppl.map_batches(_melt_ppl, batch_format="pyarrow"))
+        .union(dsir.map_batches(_melt_dsir, batch_format="pyarrow"))
     )
 
 
@@ -2550,6 +2564,40 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2
                 LEFT JOIN cu ON g.w1 = cu.w1
                 CROSS JOIN vv
+            ) GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 'dsir' AS kind,
+                   SUM(lrm) / (COUNT(*) * 1000000.0) AS score
+            FROM (
+                WITH dtoks AS (SELECT doc_id, source,
+                                      str_split(text, ' ') AS t
+                               FROM documents),
+                dgrams AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+                           FROM dtoks, UNNEST(range(1, len(t))) u(i)),
+                feats AS (SELECT doc_id, source,
+                                 CAST(('0x' || SUBSTR(MD5(w1 || ' ' || w2),
+                                                      1, 8))::BIGINT
+                                      % 4096 AS BIGINT) AS b
+                          FROM dgrams),
+                tgt AS (SELECT b, COUNT(*) AS c FROM feats
+                        WHERE source IN
+                            ('src0','src1','src2','src3','src4')
+                        GROUP BY b),
+                tn AS (SELECT COUNT(*) AS n FROM feats
+                       WHERE source IN
+                           ('src0','src1','src2','src3','src4')),
+                sh AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+                sn AS (SELECT COUNT(*) AS n FROM feats)
+                SELECT f.doc_id,
+                       CAST(ROUND(LN(((COALESCE(t.c, 0) + 0.5)
+                                      / (tn.n + 0.5 * 4096))
+                                     / ((s.c + 0.5)
+                                        / (sn.n + 0.5 * 4096)))
+                                  * 1000000) AS BIGINT) AS lrm
+                FROM feats f
+                LEFT JOIN tgt t ON f.b = t.b
+                JOIN sh s ON f.b = s.b
+                CROSS JOIN tn CROSS JOIN sn
             ) GROUP BY doc_id
         """,
         # the 16 (a, b) pairs are np.random.RandomState(7) draws — the

@@ -554,6 +554,165 @@ def ngram_lm_score(
     return per_doc.map_batches(_final, batch_format="pyarrow")
 
 
+def dsir_weights(
+    ds: ray.data.Dataset,
+    target_sources: list[str],
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    hash_mode: str = "md5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> ray.data.Dataset:
+    """DSIR data selection (Xie et al., NeurIPS 2023): per-document
+    importance weight log(p_target/p_source) over HASHED bigram features →
+    (id, n_grams, dsir = mean per-gram log-ratio; positive = looks like
+    the target domain, negative = looks like the background corpus).
+    Callers keep the top slice (or sample ∝ exp(weight)) to tilt a raw
+    crawl toward a trusted domain without training a model.
+
+    Scale shape — the fixed B-bucket feature space is the whole trick:
+      1. bigram explode (shared `explode_bigrams` kernel), hashed to
+         `n_buckets` feature ids (hash_mode="md5" = the repo's standard
+         oracle-parity idiom, per-row like `weighted_sample`;
+         hash_mode="murmur3" = the vectorized production path);
+      2. target / corpus feature histograms via `grouped_count_hash` —
+         each is ≤ B rows NO MATTER THE CORPUS SIZE, so unlike
+         `ngram_lm_score`'s unbounded bigram table both fit on the
+         driver (documented O(B) pull) and the smoothed log-ratio
+         lookup broadcasts into the scoring stage as a B-float numpy
+         closure — ZERO joins;
+      3. per-term log-ratios in int64 micro-units → `grouped_sum_hash`
+         per doc (the one shuffle) → exact, order-free sums, bit-equal
+         to the SQL oracle.
+
+    Docs with < 2 tokens have no features and are absent (as in
+    `ngram_lm_score`).
+    """
+    import hashlib
+
+    import numpy as np
+
+    if hash_mode not in ("md5", "murmur3"):
+        raise ValueError("hash_mode must be 'md5' or 'murmur3'")
+
+    from crawlray.ops.relational import grouped_count_hash, grouped_sum_hash
+
+    target_set = pa.array(sorted(target_sources), pa.string())
+    grams = explode_bigrams(
+        ds, id_col, text_col, extra_cols=(source_col,)
+    ).materialize()
+
+    def _bucket_of(batch: pa.Table) -> np.ndarray:
+        gram = pc.binary_join_element_wise(
+            batch.column("w1").combine_chunks(),
+            batch.column("w2").combine_chunks(),
+            " ",
+        )
+        if hash_mode == "md5":
+            return np.fromiter(
+                (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                    % n_buckets
+                    for s in gram.to_pylist()
+                ),
+                np.int64,
+                count=len(gram),
+            )
+        from crawlray.murmur3 import murmur3_x64_128_batch
+
+        lo, _hi = murmur3_x64_128_batch(gram)
+        return (lo % np.uint64(n_buckets)).astype(np.int64)
+
+    def _features(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(batch)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                source_col: batch.column(source_col),
+                "b": pa.array(b, pa.int64()),
+            }
+        )
+
+    feats = grams.map_batches(_features, batch_format="pyarrow").materialize()
+
+    def _target_only(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(source_col), value_set=target_set)
+        return batch.filter(mask).select(["b"])
+
+    def _histogram(cnt_ds: ray.data.Dataset) -> tuple[np.ndarray, int]:
+        h = np.zeros(n_buckets, np.int64)
+        for row in cnt_ds.take_all():  # ≤ n_buckets rows by construction
+            h[int(row["b"])] = int(row["c"])
+        return h, int(h.sum())
+
+    tgt_h, tgt_n = _histogram(
+        grouped_count_hash(
+            feats.map_batches(_target_only, batch_format="pyarrow"),
+            ["b"],
+            alias="c",
+        )
+    )
+    src_h, src_n = _histogram(
+        grouped_count_hash(
+            feats.map_batches(
+                lambda t: t.select(["b"]), batch_format="pyarrow"
+            ),
+            ["b"],
+            alias="c",
+        )
+    )
+    if tgt_n == 0:
+        raise ValueError(
+            f"dsir_weights: target slice {target_sources!r} produced no "
+            "bigram features"
+        )
+    # smoothed log-ratio per bucket, pre-rounded to int64 micro-units so
+    # the distributed per-doc SUM is exact and addition-order-free
+    lr = np.log(
+        ((tgt_h + alpha) / (tgt_n + alpha * n_buckets))
+        / ((src_h + alpha) / (src_n + alpha * n_buckets))
+    )
+    lrm = np.round(lr * 1e6).astype(np.int64)
+
+    def _score_terms(batch: pa.Table) -> pa.Table:
+        b = batch.column("b").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "lrm": pa.array(lrm[b], pa.int64()),
+            }
+        )
+
+    terms = feats.map_batches(_score_terms, batch_format="pyarrow")
+    per_doc = grouped_sum_hash(
+        terms, [id_col], "lrm", alias="lrm_sum", count_alias="n_grams"
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        s = (
+            batch.column("lrm_sum")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        n = (
+            batch.column("n_grams")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pc.cast(batch.column("n_grams"), pa.int64()),
+                "dsir": pa.array(s / (n * 1e6), pa.float64()),
+            }
+        )
+
+    return per_doc.map_batches(_final, batch_format="pyarrow")
+
+
 def parse_json_field(
     ds: ray.data.Dataset, json_col: str, field: str, out_col: str
 ) -> ray.data.Dataset:

@@ -243,3 +243,89 @@ def test_ngram_lm_score_in_domain_scores_lower(ray_session):
     worst_train = got.loc[[0, 1, 2, 3]].nll.max()
     best_noise = got.loc[[10, 11, 12, 13]].nll.min()
     assert best_noise > worst_train
+
+
+@pytest.mark.parametrize("hash_mode", ["md5", "murmur3"])
+def test_dsir_weights_discriminates_and_modes(ray_session, hash_mode):
+    """Docs made of target-slice bigrams outrank background-only docs —
+    in both hash modes (md5 = oracle parity, murmur3 = vectorized
+    production path). Note: the invariant at toy scale is ORDERING, not
+    sign — with ~100 grams total the add-α·B smoothing mass (0.5·4096)
+    dominates both histograms and shifts every weight down."""
+    from crawlray.ops.textqa import dsir_weights
+
+    rows = [
+        {"doc_id": i, "text": "alpha beta gamma delta " * 8, "source": "t"}
+        for i in range(3)
+    ] + [
+        {"doc_id": 10 + i, "text": "noise junk spam filler " * 8,
+         "source": "bg"}
+        for i in range(9)
+    ] + [
+        # mirror docs: same target text but OUTSIDE the target slice —
+        # must still score positive (weights depend on content, not tag)
+        {"doc_id": 20, "text": "alpha beta gamma delta " * 8,
+         "source": "bg"},
+    ]
+    got = (
+        dsir_weights(ray.data.from_items(rows), ["t"], hash_mode=hash_mode)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    best_noise = got.loc[[10 + i for i in range(9)]].dsir.max()
+    assert (got.loc[[0, 1, 2]].dsir > best_noise).all()
+    # the mirror doc (target TEXT, background TAG) scores exactly like
+    # the target docs: weights depend on content, not the source label
+    assert got.loc[20].dsir == got.loc[0].dsir
+    assert got.loc[20].dsir > best_noise
+
+
+def test_dsir_weights_matches_duckdb(ray_session):
+    from crawlray.ops.textqa import dsir_weights
+
+    ds = ray.data.read_parquet(
+        DOCS, columns=["doc_id", "text", "source"]
+    ).repartition(5)
+    got = _norm(
+        dsir_weights(
+            ds, ["src0", "src1", "src2", "src3", "src4"]
+        ).to_pandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    want = _norm(
+        con.sql(
+            """
+        WITH toks AS (SELECT doc_id, source, str_split(text,' ') AS t
+                      FROM documents),
+        grams AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+                  FROM toks, UNNEST(range(1, len(t))) u(i)),
+        feats AS (SELECT doc_id, source,
+                         CAST(('0x' || SUBSTR(MD5(w1 || ' ' || w2), 1, 8))
+                              ::BIGINT % 4096 AS BIGINT) AS b
+                  FROM grams),
+        tgt AS (SELECT b, COUNT(*) AS c FROM feats
+                WHERE source IN ('src0','src1','src2','src3','src4')
+                GROUP BY b),
+        tn AS (SELECT COUNT(*) AS n FROM feats
+               WHERE source IN ('src0','src1','src2','src3','src4')),
+        sh AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+        sn AS (SELECT COUNT(*) AS n FROM feats)
+        SELECT doc_id, COUNT(*) AS n_grams,
+               SUM(lrm) / (COUNT(*) * 1000000.0) AS dsir
+        FROM (SELECT f.doc_id,
+                     CAST(ROUND(LN(((COALESCE(t.c,0) + 0.5)
+                                    / (tn.n + 0.5 * 4096))
+                                   / ((s.c + 0.5) / (sn.n + 0.5 * 4096)))
+                                * 1000000) AS BIGINT) AS lrm
+              FROM feats f
+              LEFT JOIN tgt t ON f.b = t.b
+              JOIN sh s ON f.b = s.b
+              CROSS JOIN tn CROSS JOIN sn)
+        GROUP BY doc_id
+        """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
