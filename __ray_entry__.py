@@ -1295,11 +1295,16 @@ def _pack_bins(sf_dir: str):
 
 
 def _tfidf(sf_dir: str):
-    """TF-IDF per (doc, term): token explode → tf groupby → df groupby →
-    term-keyed shuffle join; vocabulary never broadcast or driver-held."""
+    """TF-IDF + Okapi BM25 per (doc, term): token explode → tf groupby →
+    df groupby → term-keyed shuffle join; vocabulary never broadcast or
+    driver-held. BM25's doc length `dl` rides map-side through the explode
+    (no doc-length join); avgdl is summed off the already-materialized tf
+    — so BM25 adds ZERO shuffles to the TF-IDF plan."""
     from crawlray.ops.textqa import tfidf
 
-    return tfidf(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
+    return tfidf(
+        _rd(sf_dir, "documents", columns=["doc_id", "text"]), bm25=True
+    )
 
 
 def _doc_profile(sf_dir: str):
@@ -2654,12 +2659,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, token, COUNT(*) AS tf
                 FROM toks GROUP BY doc_id, token
             ),
-            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
-            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+                SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                       CAST((SELECT SUM(tf) FROM tf) AS DOUBLE)
+                           / CAST((SELECT COUNT(*) FROM documents)
+                                  AS DOUBLE) AS avgdl
+            )
+            SELECT tf.doc_id, tf.token, tf.tf, df.df, dl.dl,
                    ROUND(tf.tf * LN(CAST((SELECT COUNT(*) FROM documents)
                                          AS DOUBLE)
-                                    / CAST(df.df AS DOUBLE)), 6) AS tfidf
-            FROM tf JOIN df USING (token)
+                                    / CAST(df.df AS DOUBLE)), 6) AS tfidf,
+                   ROUND(LN(1.0 + (s.n - CAST(df.df AS DOUBLE) + 0.5)
+                                  / (CAST(df.df AS DOUBLE) + 0.5))
+                         * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                         / (CAST(tf.tf AS DOUBLE)
+                            + 1.2 * (1.0 - 0.75
+                                     + 0.75 * CAST(dl.dl AS DOUBLE)
+                                       / s.avgdl)), 6) AS bm25
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id), stats s
         """,
         "doc_profile": f"""
             WITH {_lang_cte().strip().rstrip()},

@@ -33,15 +33,26 @@ def split_tokens(batch: pa.Table, text_col: str = "text") -> pa.ChunkedArray:
 
 
 def explode_tokens(
-    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_len: bool = False,
 ) -> ray.data.Dataset:
-    """(id, text) → one row per token, in document order (DuckDB UNNEST)."""
+    """(id, text) → one row per token, in document order (DuckDB UNNEST).
+
+    with_len=True additionally carries `dl` (the parent document's token
+    count) on every row — computed map-side from the same split, so
+    downstream length-normalized scoring (BM25) needs no doc-length join."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         toks = split_tokens(batch, text_col).combine_chunks()
         parents = pc.list_parent_indices(toks)
         ids = batch.column(id_col).take(parents)
-        return pa.table({id_col: ids, "token": pc.list_flatten(toks)})
+        cols = {id_col: ids, "token": pc.list_flatten(toks)}
+        if with_len:
+            lens = pc.list_value_length(toks).cast(pa.int64())
+            cols["dl"] = lens.take(parents)
+        return pa.table(cols)
 
     return ds.map_batches(_explode, batch_format="pyarrow")
 
@@ -324,8 +335,18 @@ def tfidf(
     id_col: str = "doc_id",
     text_col: str = "text",
     ndigits: int = 6,
+    bm25: bool = False,
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> ray.data.Dataset:
     """TF-IDF scores per (document, term): tf × ln(N / df).
+
+    bm25=True adds Okapi BM25 on the SAME rows (two extra columns, zero
+    extra shuffles): `dl` (doc token count, carried map-side through the
+    explode — no doc-length join) and `bm25` =
+    ln(1 + (N - df + 0.5)/(df + 0.5)) × tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    avgdl is the one extra driver scalar, summed off the already-
+    materialized tf dataset (no extra scan of the corpus).
 
     Distributed shape (no driver rows, vocabulary never broadcast — its
     heavy tail can be huge at corpus scale):
@@ -348,28 +369,42 @@ def tfidf(
     from crawlray.ops.relational import grouped_count_hash, shuffle_join
 
     n_docs = ds.count()
-    toks = explode_tokens(ds, id_col, text_col)
+    toks = explode_tokens(ds, id_col, text_col, with_len=bm25)
+    # dl is functionally dependent on id_col, so adding it as a group key
+    # changes no group and costs only the extra int64 hash mix per row.
+    tf_keys = [id_col, "token", "dl"] if bm25 else [id_col, "token"]
     tf = _drop_empty_blocks(
-        grouped_count_hash(toks, [id_col, "token"], alias="tf").materialize()
+        grouped_count_hash(toks, tf_keys, alias="tf").materialize()
     )
     df = _drop_empty_blocks(
         grouped_count_hash(tf, ["token"], alias="df").materialize()
     )
+    avgdl = float(tf.sum("tf")) / float(n_docs) if bm25 else 0.0
     joined = shuffle_join(tf, df, on=["token"])
 
     def _score(batch: pa.Table) -> pa.Table:
         tfv = batch.column("tf").combine_chunks().to_numpy().astype(np.float64)
         dfv = batch.column("df").combine_chunks().to_numpy().astype(np.float64)
         score = tfv * np.log(float(n_docs) / dfv)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "token": batch.column("token"),
-                "tf": batch.column("tf"),
-                "df": batch.column("df"),
-                "tfidf": pa.array(np.round(score, ndigits)),
-            }
-        )
+        cols = {
+            id_col: batch.column(id_col),
+            "token": batch.column("token"),
+            "tf": batch.column("tf"),
+            "df": batch.column("df"),
+            "tfidf": pa.array(np.round(score, ndigits)),
+        }
+        if bm25:
+            dlv = (
+                batch.column("dl").combine_chunks().to_numpy().astype(np.float64)
+            )
+            # parenthesization mirrors the DuckDB oracle exactly so the
+            # doubles are bit-identical before rounding
+            idf = np.log(1.0 + (float(n_docs) - dfv + 0.5) / (dfv + 0.5))
+            denom = tfv + k1 * (1.0 - b + b * dlv / avgdl)
+            okapi = idf * (tfv * (k1 + 1.0)) / denom
+            cols["dl"] = batch.column("dl")
+            cols["bm25"] = pa.array(np.round(okapi, ndigits))
+        return pa.table(cols)
 
     return joined.map_batches(_score, batch_format="pyarrow")
 
