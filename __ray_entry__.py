@@ -1032,14 +1032,24 @@ def _json_props(sf_dir: str):
 
 
 def _flatten_tokens(sf_dir: str):
-    """O-43 analogue + inverted index in one tagged table. kind='flat' —
-    explode documents into (doc_id, token) rows; kind='index' — the
-    inverted index (token → df + comma-joined ascending posting list),
-    built with ONE hash shuffle of distinct (token, doc) pairs and a
-    fully vectorized per-partition list-aggregate kernel. Schema:
-    (kind, token, doc_id, df, postings); the flat arm carries df=0 /
-    postings='' and the index arm doc_id=-1."""
-    from crawlray.ops.textqa import explode_tokens, inverted_index
+    """O-43 analogue + inverted index + PMI collocations in one tagged
+    table. kind='flat' — explode documents into (doc_id, token) rows;
+    kind='index' — the inverted index (token → df + comma-joined
+    ascending posting list), built with ONE hash shuffle of distinct
+    (token, doc) pairs and a fully vectorized per-partition
+    list-aggregate kernel; kind='pmi' — pointwise-mutual-information
+    collocation mining over adjacent token pairs (token='w1 w2',
+    df=corpus bigram count, score=ln(TU·c12/(c1·c2)); bigram/unigram
+    tables never driver-held, min_count filter before the joins).
+    Schema: (kind, token, doc_id, df, postings, score); arms fill
+    unused fields with 0 / '' / -1 / -2 sentinels."""
+    import pyarrow.compute as pc
+
+    from crawlray.ops.textqa import (
+        explode_tokens,
+        inverted_index,
+        pmi_collocations,
+    )
 
     docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1052,6 +1062,7 @@ def _flatten_tokens(sf_dir: str):
                 "doc_id": batch.column("doc_id"),
                 "df": pa.array([0] * n, pa.int64()),
                 "postings": pa.array([""] * n),
+                "score": pa.array([0.0] * n, pa.float64()),
             }
         )
 
@@ -1064,6 +1075,24 @@ def _flatten_tokens(sf_dir: str):
                 "doc_id": pa.array([-1] * n, pa.int64()),
                 "df": batch.column("df"),
                 "postings": batch.column("postings"),
+                "score": pa.array([0.0] * n, pa.float64()),
+            }
+        )
+
+    def _norm_pmi(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["pmi"] * n),
+                "token": pc.binary_join_element_wise(
+                    batch.column("w1").cast(pa.string()),
+                    batch.column("w2").cast(pa.string()),
+                    " ",
+                ),
+                "doc_id": pa.array([-2] * n, pa.int64()),
+                "df": batch.column("c12"),
+                "postings": pa.array([""] * n),
+                "score": batch.column("pmi"),
             }
         )
 
@@ -1073,7 +1102,10 @@ def _flatten_tokens(sf_dir: str):
     idx = inverted_index(docs, num_partitions=16).map_batches(
         _norm_idx, batch_format="pyarrow"
     )
-    return flat.union(idx)
+    pmi = pmi_collocations(docs, min_count=2).map_batches(
+        _norm_pmi, batch_format="pyarrow"
+    )
+    return flat.union(idx).union(pmi)
 
 
 def _quality_score(sf_dir: str):
@@ -2380,17 +2412,41 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
                     FROM documents
                 )
-            )
+            ),
+            toksall AS (SELECT doc_id, str_split(text, ' ') AS t
+                        FROM documents),
+            uni AS (
+                SELECT w, COUNT(*) AS c
+                FROM (SELECT UNNEST(t) AS w FROM toksall) GROUP BY w
+            ),
+            big AS (
+                SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c12
+                FROM toksall,
+                     UNNEST(range(1, GREATEST(LEN(t)-1, 0)+1)) u(i)
+                GROUP BY w1, w2 HAVING COUNT(*) >= 2
+            ),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tu FROM uni)
             SELECT 'flat' AS kind, token, doc_id,
-                   CAST(0 AS BIGINT) AS df, '' AS postings
+                   CAST(0 AS BIGINT) AS df, '' AS postings,
+                   CAST(0 AS DOUBLE) AS score
             FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
                   FROM documents)
             UNION ALL
             SELECT 'index', token, CAST(-1 AS BIGINT),
                    COUNT(*),
                    STRING_AGG(CAST(doc_id AS VARCHAR), ','
-                              ORDER BY doc_id)
+                              ORDER BY doc_id),
+                   CAST(0 AS DOUBLE)
             FROM pairs GROUP BY token
+            UNION ALL
+            SELECT 'pmi', big.w1 || ' ' || big.w2, CAST(-2 AS BIGINT),
+                   big.c12, '',
+                   ROUND(LN((s.tu * CAST(big.c12 AS DOUBLE))
+                            / (CAST(u1.c AS DOUBLE)
+                               * CAST(u2.c AS DOUBLE))), 6)
+            FROM big
+            JOIN uni u1 ON u1.w = big.w1
+            JOIN uni u2 ON u2.w = big.w2, tot s
         """,
         "sketches": """
             SELECT 'hll' AS kind, event_type AS key,

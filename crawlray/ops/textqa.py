@@ -447,6 +447,96 @@ def explode_bigrams(
     return ds.map_batches(_explode, batch_format="pyarrow")
 
 
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Collocation mining: pointwise mutual information over adjacent
+    token pairs → (w1, w2, c12, c1, c2, pmi) for every bigram seen at
+    least `min_count` times corpus-wide, with
+    pmi = ln(TU·c12 / (c1·c2)), TU = total token occurrences.
+
+    Distributed shape (neither the vocabulary nor the bigram table is
+    ever broadcast or driver-held — both have huge heavy tails at corpus
+    scale):
+      1. vectorized bigram explode → c12 via `grouped_count_hash`
+         (map-side partials + ONE hash exchange); the min_count filter
+         runs BEFORE the joins, pruning the pair table to the
+         collocation tail;
+      2. token explode → unigram counts (one exchange), materialized
+         once and joined twice — keyed on w1 then on w2 — via hash
+         shuffle joins (unigram side is one row per distinct term, so
+         its skew is bounded);
+      3. TU is the one driver scalar (summed off the materialized
+         unigram table, no extra corpus scan).
+    Scores are rounded to `ndigits`; the arithmetic parenthesization
+    mirrors the DuckDB oracle so doubles are bit-identical."""
+    from crawlray.ops.blocks import drop_empty_blocks as _drop
+    from crawlray.ops.relational import grouped_count_hash, shuffle_join
+
+    bi = explode_bigrams(ds, id_col, text_col)
+    c12 = grouped_count_hash(bi, ["w1", "w2"], alias="c12")
+
+    def _min_count(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("c12"), pa.scalar(min_count))
+        )
+
+    c12 = _drop(c12.map_batches(_min_count, batch_format="pyarrow"))
+    uni = _drop(
+        grouped_count_hash(
+            explode_tokens(ds, id_col, text_col), ["token"], alias="c"
+        ).materialize()
+    )
+    tu = float(uni.sum("c"))
+
+    def _as(w: str, c: str):
+        def _ren(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {w: batch.column("token"), c: batch.column("c")}
+            )
+
+        return _ren
+
+    j1 = shuffle_join(
+        c12, uni.map_batches(_as("w1", "c1"), batch_format="pyarrow"),
+        on=["w1"],
+    )
+    j2 = shuffle_join(
+        j1, uni.map_batches(_as("w2", "c2"), batch_format="pyarrow"),
+        on=["w2"],
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        c12v = batch.column("c12").combine_chunks().to_numpy().astype(
+            np.float64
+        )
+        c1v = batch.column("c1").combine_chunks().to_numpy().astype(
+            np.float64
+        )
+        c2v = batch.column("c2").combine_chunks().to_numpy().astype(
+            np.float64
+        )
+        pmi = np.log((tu * c12v) / (c1v * c2v))
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "c12": batch.column("c12"),
+                "c1": batch.column("c1"),
+                "c2": batch.column("c2"),
+                "pmi": pa.array(np.round(pmi, ndigits)),
+            }
+        )
+
+    # hash-join partitions with no rows emit zero-column blocks; scrub so
+    # downstream unions see one stable schema
+    return _drop(j2.map_batches(_score, batch_format="pyarrow"))
+
+
 def ngram_lm_score(
     ds: ray.data.Dataset,
     train_sources: list[str],

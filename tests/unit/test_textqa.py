@@ -329,3 +329,51 @@ def test_dsir_weights_matches_duckdb(ray_session):
         ).df()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_pmi_collocations_crafted_and_block_invariant(ray_session):
+    """PMI = ln(TU*c12/(c1*c2)) vs a brute-force reference on a crafted
+    corpus, exact; min_count filter honored; result invariant to the
+    input block layout."""
+    import math
+    from collections import Counter
+
+    from crawlray.ops.textqa import pmi_collocations
+
+    rows = [
+        {"doc_id": 0, "text": "new york new york city"},
+        {"doc_id": 1, "text": "new york is a city"},
+        {"doc_id": 2, "text": "a city in new york"},
+        {"doc_id": 3, "text": "york new minster"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "solo"},
+    ]
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for r in rows:
+        t = r["text"].split(" ")
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+    tu = float(sum(uni.values()))
+    want = {
+        (w1, w2): (
+            c12,
+            uni[w1],
+            uni[w2],
+            round(math.log((tu * float(c12)) / (float(uni[w1]) * float(uni[w2]))), 6),
+        )
+        for (w1, w2), c12 in big.items()
+        if c12 >= 2
+    }
+    for nblocks in (1, 4):
+        ds = ray.data.from_items(rows).repartition(nblocks)
+        got = pmi_collocations(ds).to_pandas()
+        got_map = {
+            (r.w1, r.w2): (r.c12, r.c1, r.c2, r.pmi)
+            for r in got.itertuples()
+        }
+        assert got_map == want, f"nblocks={nblocks}: {got_map} != {want}"
+    # the most frequent pair must survive the min_count cut
+    assert want[("new", "york")][0] == 4
+    # rarer-word pairs score higher PMI than common-word pairs at equal c12
+    assert want[("a", "city")][3] > want[("new", "york")][3]
