@@ -1708,20 +1708,26 @@ def _lang_cte() -> str:
 
 
 def _minhash_signatures(sf_dir: str):
-    """MinHash signatures per doc — SQL-ORACLED (VERDICT r3 item 7): the
-    md5 hash_mode makes the shingle hash the DuckDB-reproducible
-    ('0x'||SUBSTR(MD5(gram),1,8))::BIGINT, and the fixed seed-7 universal
-    permutations (a·x + b mod 2^61−1) are inlined into the oracle as
-    HUGEINT arithmetic, so every signature value is checked end-to-end.
-    Emitted LONG (doc_id, perm, minhash) so the driver's value-hash sees
-    scalars, not lists. The LSH dedup pipeline itself keeps the vectorized
-    crc32mix mode (same dual-path convention as weighted_sample)."""
-    from crawlray.ops.neardup import minhash_signatures
+    """MinHash — the WHOLE fuzzy-dedup chain in one tagged, fully
+    SQL-oracled table (md5 hash mode; the vectorized crc32mix production
+    mode is unchanged and unit-tested — same dual-path convention as
+    weighted_sample): kind='sig' — per-doc 16-perm signatures (seed-7
+    universal permutations a·x+b mod 2^61−1, inlined in the oracle as
+    HUGEINT arithmetic), emitted LONG so the driver's value-hash sees
+    scalars; kind='pair' — banded LSH candidates (4 bands × 4 rows,
+    complete vs the oracle's band-fingerprint self-join) verified by
+    exact hashed-shingle Jaccard ≥ 0.35; kind='keep' — connected
+    components over the verified pairs, keep the smallest id per dup
+    cluster (oracle: recursive-CTE closure + EXCEPT), i.e. the surviving
+    corpus ids. Signatures and pairs are each computed ONCE and shared
+    across arms (pairs feed fuzzy_dedup_keep via its pairs= input)."""
+    from crawlray.ops.dedup import fuzzy_dedup_keep
+    from crawlray.ops.neardup import minhash_lsh_pairs, minhash_signatures
 
-    sigs = minhash_signatures(
-        _rd(sf_dir, "documents", columns=["doc_id", "text"]),
-        num_perm=16, hash_mode="md5",
-    )
+    docs = _rd(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).materialize()
+    sigs = minhash_signatures(docs, num_perm=16, hash_mode="md5")
 
     def _explode(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -1730,29 +1736,58 @@ def _minhash_signatures(sf_dir: str):
         flat = batch.column("sig").combine_chunks().flatten()
         return pa.table(
             {
+                "kind": pa.array(["sig"] * (n * 16)),
                 "doc_id": batch.column("doc_id").take(
                     pa.array(
                         np.repeat(np.arange(n, dtype=np.int64), 16), pa.int64()
                     )
                 ),
+                "other": pa.array([-1] * (n * 16), pa.int64()),
                 "perm": pa.array(
                     np.tile(np.arange(16, dtype=np.int64), n), pa.int64()
                 ),
                 "minhash": pc.cast(flat, pa.int64()),
+                "jaccard": pa.array([0.0] * (n * 16), pa.float64()),
             }
         )
 
-    return sigs.map_batches(_explode, batch_format="pyarrow")
+    sig_arm = sigs.map_batches(_explode, batch_format="pyarrow")
 
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=16, bands=4, jaccard_threshold=0.35, hash_mode="md5"
+    )
+    npair = pairs.num_rows
+    pair_arm = pa.table(
+        {
+            "kind": pa.array(["pair"] * npair),
+            "doc_id": pairs.column("id_a"),
+            "other": pairs.column("id_b"),
+            "perm": pa.array([-1] * npair, pa.int64()),
+            "minhash": pa.array([-1] * npair, pa.int64()),
+            "jaccard": pairs.column("jaccard"),
+        }
+    )
 
-def _minhash_lsh_dedup(sf_dir: str):
-    """MinHash+LSH near-dup pairs with exact Jaccard verify (rows-only;
-    correctness proven against brute-force on a planted-dup corpus in
-    tests/unit/test_neardup.py)."""
-    from crawlray.ops.neardup import minhash_lsh_pairs
+    def _keep_tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["keep"] * n),
+                "doc_id": batch.column("doc_id"),
+                "other": pa.array([-1] * n, pa.int64()),
+                "perm": pa.array([-1] * n, pa.int64()),
+                "minhash": pa.array([-1] * n, pa.int64()),
+                "jaccard": pa.array([0.0] * n, pa.float64()),
+            }
+        )
 
-    return minhash_lsh_pairs(
-        _rd(sf_dir, "documents", columns=["doc_id", "text"]), jaccard_threshold=0.35
+    keep_arm = (
+        fuzzy_dedup_keep(docs, pairs=pairs)
+        .select_columns(["doc_id"])
+        .map_batches(_keep_tag, batch_format="pyarrow")
+    )
+    return (
+        sig_arm.union(ray.data.from_arrow(pair_arm)).union(keep_arm)
     )
 
 
@@ -1889,20 +1924,6 @@ def _cdc(sf_dir: str):
 
 
 
-def _fuzzy_dedup_corpus(sf_dir: str):
-    """End-to-end fuzzy corpus dedup (rows-only): MinHash+LSH verified
-    pairs -> connected components -> keep the smallest-id doc per dup
-    cluster, returning the SURVIVING corpus (ops/dedup.fuzzy_dedup_keep) —
-    the MinHash counterpart of corpus_semantic_dedup. Cluster-correctness
-    and identity-on-clean-corpus tested in tests/unit/test_dedup.py."""
-    from crawlray.ops.dedup import fuzzy_dedup_keep
-
-    return fuzzy_dedup_keep(
-        _rd(sf_dir, "documents", columns=["doc_id", "text"]),
-        jaccard_threshold=0.5,
-    ).select_columns(["doc_id"])
-
-
 def _srp_cross_dedup(sf_dir: str):
     """Large×large cross-dataset near-dup via SRP-LSH (rows-only): corpus
     vs the vec_id%7==0 slice at cosine >= 0.45 — the sub-quadratic scale
@@ -2030,13 +2051,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": _media_pipeline,
         # ================ rows-only (pytest parity) below ==============
         "ann_sq8": _ann_sq8,
-        "minhash_lsh_dedup": _minhash_lsh_dedup,
         "ann_ivf_trained": _ann_ivf_trained,
         "ivf_pairs": _ivf_pairs,
         "semantic_dedup": _semantic_dedup,
         "corpus_semantic_dedup": _corpus_semantic_dedup,
         "srp_cross_dedup": _srp_cross_dedup,
-        "fuzzy_dedup_corpus": _fuzzy_dedup_corpus,
         "crawl_smoke": _crawl_smoke,
     }
 
@@ -2773,7 +2792,7 @@ def oracle_sql() -> dict[str, str]:
         # standard md5 idiom (engine hash_mode="md5"); the permutation
         # runs in HUGEINT so a·x (< 2^93) never overflows
         "minhash_signatures": """
-            WITH toks AS (
+            WITH RECURSIVE toks AS (
                 SELECT doc_id,
                        list_filter(str_split(text, ' '), t -> t <> '') AS tk
                 FROM documents
@@ -2806,12 +2825,76 @@ def oracle_sql() -> dict[str, str]:
                 (12, 109594561920622081,  811901033415426305),
                 (13, 1216310873990163256, 1710988252442831248),
                 (14, 703662130126978055,  1472955763471030175),
-                (15, 638137941648739773,  2135503771371547564))
-            SELECT s.doc_id, CAST(p.perm AS BIGINT) AS perm,
-                   CAST(MIN((CAST(p.a AS HUGEINT) * s.x + p.b)
-                            % 2305843009213693951) AS BIGINT) AS minhash
-            FROM sh s CROSS JOIN perms p
-            GROUP BY s.doc_id, p.perm
+                (15, 638137941648739773,  2135503771371547564)),
+            sig AS (
+                SELECT s.doc_id, CAST(p.perm AS BIGINT) AS perm,
+                       CAST(MIN((CAST(p.a AS HUGEINT) * s.x + p.b)
+                                % 2305843009213693951) AS BIGINT) AS minhash
+                FROM sh s CROSS JOIN perms p
+                GROUP BY s.doc_id, p.perm
+            ),
+            bandfp AS (
+                SELECT doc_id, perm // 4 AS band,
+                       STRING_AGG(CAST(minhash AS VARCHAR), ','
+                                  ORDER BY perm) AS fp
+                FROM sig GROUP BY doc_id, perm // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bandfp a JOIN bandfp b
+                  ON a.band = b.band AND a.fp = b.fp
+                 AND a.doc_id < b.doc_id
+            ),
+            jac AS (
+                SELECT c.id_a, c.id_b,
+                       (SELECT COUNT(*) FROM sh sa JOIN sh sb
+                         ON sa.x = sb.x
+                        WHERE sa.doc_id = c.id_a
+                          AND sb.doc_id = c.id_b) AS i,
+                       (SELECT COUNT(*) FROM sh
+                        WHERE doc_id = c.id_a) AS na,
+                       (SELECT COUNT(*) FROM sh
+                        WHERE doc_id = c.id_b) AS nb
+                FROM cand c
+            ),
+            pairsv AS (
+                SELECT id_a, id_b,
+                       CAST(i AS DOUBLE)
+                           / CAST(na + nb - i AS DOUBLE) AS j
+                FROM jac
+                WHERE CAST(i AS DOUBLE)
+                          / CAST(na + nb - i AS DOUBLE) >= 0.35
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairsv
+                UNION ALL
+                SELECT id_b, id_a FROM pairsv
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            comp AS (
+                SELECT u AS node, LEAST(u, MIN(v)) AS component
+                FROM reach GROUP BY u
+            )
+            SELECT 'sig' AS kind, doc_id, CAST(-1 AS BIGINT) AS other,
+                   perm, minhash, CAST(0 AS DOUBLE) AS jaccard
+            FROM sig
+            UNION ALL
+            SELECT 'pair', id_a, id_b, CAST(-1 AS BIGINT),
+                   CAST(-1 AS BIGINT), ROUND(j, 4)
+            FROM pairsv
+            UNION ALL
+            SELECT 'keep', doc_id, CAST(-1 AS BIGINT),
+                   CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   CAST(0 AS DOUBLE)
+            FROM (
+                SELECT doc_id FROM documents
+                EXCEPT
+                SELECT node FROM comp WHERE component < node
+            )
         """,
         "tfidf": """
             WITH toks AS (

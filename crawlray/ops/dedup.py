@@ -209,6 +209,8 @@ def fuzzy_dedup_keep(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 8192,
+    hash_mode: str = "crc32mix",
+    pairs: pa.Table | None = None,
 ) -> ray.data.Dataset:
     """End-to-end fuzzy corpus dedup — the composition every near-dup
     pipeline ships: MinHash+LSH verified pairs (ops/neardup) → connected
@@ -231,9 +233,11 @@ def fuzzy_dedup_keep(
 
     # pairs pass + final anti-join both consume the corpus: pin blocks once
     ds = ds.materialize()
-    pairs = minhash_lsh_pairs(
-        ds, id_col, text_col, num_perm, bands, jaccard_threshold, max_bucket
-    )
+    if pairs is None:  # callers may reuse an already-verified pair table
+        pairs = minhash_lsh_pairs(
+            ds, id_col, text_col, num_perm, bands,
+            jaccard_threshold, max_bucket, hash_mode,
+        )
     if pairs.num_rows == 0:
         return ds
     from crawlray.ops.graph import connected_components

@@ -357,15 +357,17 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 8192,
+    hash_mode: str = "crc32mix",
 ) -> pa.Table:
     """MinHash+LSH near-dup pairs with exact distributed Jaccard verification.
 
     Emits (id_a, id_b, jaccard) for verified pairs, id_a < id_b, sorted.
     See the module docstring for the scale shape; the driver never holds
     more than the candidate-id list and the final verified pairs.
-    """
+    hash_mode="md5" makes the whole pipeline (signatures, band
+    candidates, exact-Jaccard verify) DuckDB-reproducible."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(ds, id_col, text_col, num_perm)
+    sigs = minhash_signatures(ds, id_col, text_col, num_perm, hash_mode)
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -400,7 +402,9 @@ def minhash_lsh_pairs(
             f"buckets (max_bucket={max_bucket}) — recall is bounded, not exact"
         )
 
-    verified = _verify_jaccard(ds, pairs, id_col, text_col, jaccard_threshold)
+    verified = _verify_jaccard(
+        ds, pairs, id_col, text_col, jaccard_threshold, hash_mode
+    )
     out = verified.take_all()  # final result set only
     out.sort(key=lambda r: (r["id_a"], r["id_b"]))
     return pa.Table.from_pylist(
@@ -417,6 +421,7 @@ def _verify_jaccard(
     id_col: str,
     text_col: str,
     threshold: float,
+    hash_mode: str = "crc32mix",
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard over candidate pairs, distributed + vectorized.
 
@@ -462,7 +467,11 @@ def _verify_jaccard(
         mask = want[pos] == ids
         sel = np.nonzero(mask)[0]
         texts = batch.column(text_col).take(pa.array(sel)).to_pylist()
-        shs = _shingle_hashes_batch(texts)
+        shs = (
+            _shingle_hashes_batch(texts)
+            if hash_mode == "crc32mix"
+            else _shingle_hashes_batch_md5(texts)
+        )
         counts = np.array([len(s) for s in shs], dtype=np.int64)
         s = np.concatenate(shs) if shs else np.empty(0, np.uint64)
         return pa.table(
