@@ -1578,20 +1578,46 @@ def _clean_corpus(sf_dir: str):
 
 
 def _dedup_clusters(sf_dir: str):
-    """Near-dup CLUSTERS (the dedup finale): exact cosine pairs >= 0.45
-    over embeddings -> connected components via distributed min-label
-    propagation -> (node, component = smallest member id). Keeping
-    component representatives is the keep-one-per-cluster dedup step every
-    pair emitter feeds. Oracle: DuckDB recursive transitive closure."""
+    """Graph analytics over the near-dup graph, one tagged table:
+    kind='comp' — exact cosine pairs >= 0.35 over embeddings ->
+    connected components via distributed min-label propagation ->
+    v = component (smallest member id) — the keep-one-per-cluster dedup
+    finale (oracle: DuckDB recursive transitive closure); kind='tri' —
+    per-node triangle counts over the SAME edge list (wedge join +
+    closing-edge join, ops/graph.triangle_counts) — v = #triangles, the
+    local-clustering signal that separates tight dup cliques from
+    chain-like false merges (oracle: 3-way self-join). The pair table is
+    computed once and shared."""
     import ray.data as _rdm
 
-    from crawlray.ops.graph import connected_components
+    from crawlray.ops.graph import connected_components, triangle_counts
     from crawlray.ops.knn import similar_pairs_cosine
 
     pairs = similar_pairs_cosine(
-        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.45
+        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]), threshold=0.35
     )
-    return connected_components(_rdm.from_arrow(pairs))
+    pds = _rdm.from_arrow(pairs)
+
+    def _tag(kind: str, vcol: str):
+        def _t(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * n, pa.string()),
+                    "node": batch.column("node"),
+                    "v": pc.cast(batch.column(vcol), pa.int64()),
+                }
+            )
+
+        return _t
+
+    comp = connected_components(pds).map_batches(
+        _tag("comp", "component"), batch_format="pyarrow"
+    )
+    tri = triangle_counts(pds).map_batches(
+        _tag("tri", "n_tri"), batch_format="pyarrow"
+    )
+    return comp.union(tri)
 
 
 def _embedding_srp_dedup(sf_dir: str):
@@ -2992,15 +3018,27 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE p AS (
                 SELECT a.vec_id AS u, b.vec_id AS v
                 FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
             ),
             reach(u, v) AS (
                 SELECT u, v FROM p
                 UNION
                 SELECT r.u, p.v FROM reach r JOIN p ON r.v = p.u
+            ),
+            p2 AS (SELECT u, v FROM p WHERE u < v),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM p2 e1
+                JOIN p2 e2 ON e1.v = e2.u
+                JOIN p2 e3 ON e3.u = e1.u AND e3.v = e2.v
             )
-            SELECT u AS node, LEAST(u, MIN(v)) AS component
+            SELECT 'comp' AS kind, u AS node,
+                   LEAST(u, MIN(v)) AS v
             FROM reach GROUP BY u
+            UNION ALL
+            SELECT 'tri', node, COUNT(*)
+            FROM tri t, UNNEST([t.a, t.b, t.c]) AS un(node)
+            GROUP BY node
         """,
         "embedding_srp_dedup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -498,3 +498,85 @@ def connected_components(
             break
 
     return labels.rename_columns({"label": "component"})
+
+
+def triangle_counts(
+    pairs: ray.data.Dataset,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> ray.data.Dataset:
+    """Per-node triangle counts over an undirected, canonical (a < b)
+    edge list → (node, n_tri) for every node that closes ≥ 1 triangle.
+
+    Distributed shape (the standard two-join plan): wedges = edges ⋈
+    edges on the pivot (e1.b = e2.a — the id-order canonicalization makes
+    every wedge appear exactly once as a < b < c), then ONE (a, c)-keyed
+    hash join against the edge list closes them; per-node counts are an
+    exploded 3-rows-per-triangle hash-count (one exchange). Both joins
+    are `shuffle_join`s — neither the edge list nor the wedge set is ever
+    driver-held or broadcast. Id-ordered orientation matches the SQL
+    oracle verbatim; for power-law graphs at corpus scale relabel ids by
+    ascending degree upstream (output is identical — orientation only
+    changes which endpoint pivots — while wedge volume drops to the
+    degree-ordered minimum)."""
+    from crawlray.ops.blocks import drop_empty_blocks as _drop
+    from crawlray.ops.relational import grouped_count_hash, shuffle_join
+
+    def _as(cols: dict[str, str]):
+        def _ren(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {new: batch.column(old) for new, old in cols.items()}
+            )
+
+        return _ren
+
+    # wedge + closing joins both consume the edge list: pin blocks once
+    e_ab = pairs.map_batches(
+        _as({"a": a_col, "b": b_col}), batch_format="pyarrow"
+    ).materialize()
+    # a sparse graph legitimately has ZERO wedges/triangles: hand _drop
+    # the abc schema so an all-empty join result still carries key fields
+    # a fully-empty materialized dataset reports schema None (map_batches
+    # never ran); fall back to the caller's input schema, then int64
+    sch = e_ab.schema()
+    if sch is not None:
+        ntype = dict(zip(sch.names, sch.types))["a"]
+    else:
+        in_sch = pairs.schema()
+        ntype = (
+            dict(zip(in_sch.names, in_sch.types))[a_col]
+            if in_sch is not None
+            else pa.int64()
+        )
+    abc = pa.schema([("a", ntype), ("b", ntype), ("c", ntype)])
+    out_schema = pa.schema([("node", ntype), ("n_tri", pa.int64())])
+    empty = ray.data.from_arrow(out_schema.empty_table())
+    if e_ab.count() == 0:
+        return empty
+    e_bc = e_ab.map_batches(_as({"b": "a", "c": "b"}), batch_format="pyarrow")
+    wedges = _drop(
+        shuffle_join(e_ab, e_bc, on=["b"]).materialize(), schema=abc
+    )
+    # Ray's hash-shuffle join cannot take an all-empty side (its empty
+    # partitions reach the aggregator schema-less); a wedge-free graph is
+    # simply triangle-free, so answer directly.
+    if wedges.count() == 0:
+        return empty
+    e_ac = e_ab.map_batches(_as({"a": "a", "c": "b"}), batch_format="pyarrow")
+    tris = _drop(
+        shuffle_join(wedges, e_ac, on=["a", "c"]).materialize(), schema=abc
+    )
+    if tris.count() == 0:
+        return empty
+
+    def _explode_nodes(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"node": pa.array([], ntype)})
+        return pa.concat_tables(
+            pa.table({"node": batch.column(name)})
+            for name in ("a", "b", "c")
+        )
+
+    nodes = tris.map_batches(_explode_nodes, batch_format="pyarrow")
+    counts = grouped_count_hash(nodes, ["node"], alias="n_tri")
+    return _drop(counts.materialize(), schema=out_schema)

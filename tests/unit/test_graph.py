@@ -204,3 +204,69 @@ def test_connected_components_string_nodes_broadcast(ray_session):
         for r in connected_components(ray.data.from_arrow(pairs)).take_all()
     }
     assert got == {"a": "a", "b": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def _brute_triangles(pairs):
+    """Per-node triangle membership counts via adjacency-set brute force."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = defaultdict(int)
+    nodes = sorted(adj)
+    for a, b in pairs:
+        a, b = min(a, b), max(a, b)
+        for c in adj[a] & adj[b]:
+            if c > b:
+                counts[a] += 1
+                counts[b] += 1
+                counts[c] += 1
+    return dict(counts)
+
+
+def test_triangle_counts_vs_brute_force(ray_session):
+    from crawlray.ops.graph import triangle_counts
+
+    pairs = _random_graph(60, 400, seed=11)
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in und], pa.int64()),
+                "id_b": pa.array([b for _, b in und], pa.int64()),
+            }
+        )
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(ds).take_all()}
+    want = _brute_triangles(und)
+    assert want, "fixture should contain triangles"
+    assert got == want
+
+
+def test_triangle_counts_triangle_free_and_empty(ray_session):
+    """A path graph (wedges, no closures) and an empty edge list both
+    come back as a proper 0-row (node, n_tri) dataset — the sparse-graph
+    regression where all-empty join blocks poisoned the second join."""
+    from crawlray.ops.graph import triangle_counts
+
+    path = pa.table(
+        {
+            "id_a": pa.array([0, 1, 2], pa.int64()),
+            "id_b": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = triangle_counts(ray.data.from_arrow(path))
+    assert out.take_all() == []
+    assert set(out.schema().names) == {"node", "n_tri"}
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+        }
+    )
+    out2 = triangle_counts(ray.data.from_arrow(empty))
+    assert out2.take_all() == []
+    assert set(out2.schema().names) == {"node", "n_tri"}
