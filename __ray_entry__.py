@@ -1178,11 +1178,17 @@ def _quality_score(sf_dir: str):
     reduce makes even the distributed float SUM bit-exact vs the SQL
     oracle; kind='dsir' — DSIR importance weights (hashed-bigram
     log(p_target/p_source), target = the same src0-src4 slice; the
-    B-bucket histograms broadcast, only the per-doc sum shuffles).
+    B-bucket histograms broadcast, only the per-doc sum shuffles);
+    kind='nb' — fastText-style Naive-Bayes quality classifier (the
+    GPT-3/LLaMA CommonCrawl-filter shape): distributed train (pos class
+    = the src0-src4 slice) + per-doc log-odds score, the per-token
+    weight table joined, never broadcast or driver-held, with the same
+    micro-units int64 reduce for bit-exact SQL parity.
     Schema: (doc_id, kind, score)."""
     from crawlray.ops.textqa import (
         dsir_weights,
         gopher_signals,
+        nb_quality_score,
         ngram_lm_score,
         quality_score,
     )
@@ -1193,6 +1199,7 @@ def _quality_score(sf_dir: str):
     docs3 = _rd(sf_dir, "documents", columns=["doc_id", "text", "source"])
     ppl = ngram_lm_score(docs3, train)
     dsir = dsir_weights(docs3, train)
+    nb = nb_quality_score(docs3, train)
 
     def _melt_ppl(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1218,6 +1225,15 @@ def _quality_score(sf_dir: str):
                 "doc_id": batch.column("doc_id"),
                 "kind": pa.array(["model"] * batch.num_rows),
                 "score": batch.column("quality"),
+            }
+        )
+
+    def _melt_nb(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "kind": pa.array(["nb"] * batch.num_rows),
+                "score": batch.column("nb"),
             }
         )
 
@@ -1250,6 +1266,7 @@ def _quality_score(sf_dir: str):
         .union(sig.map_batches(_melt_sig, batch_format="pyarrow"))
         .union(ppl.map_batches(_melt_ppl, batch_format="pyarrow"))
         .union(dsir.map_batches(_melt_dsir, batch_format="pyarrow"))
+        .union(nb.map_batches(_melt_nb, batch_format="pyarrow"))
     )
 
 
@@ -2812,6 +2829,42 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sh s ON f.b = s.b
                 CROSS JOIN tn CROSS JOIN sn
             ) GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, 'nb' AS kind,
+                   CAST(pm + sm AS DOUBLE) / 1000000 AS score
+            FROM (
+                WITH ntok AS (
+                    SELECT doc_id, UNNEST(str_split(text, ' ')) AS w,
+                           CASE WHEN source IN
+                               ('src0','src1','src2','src3','src4')
+                               THEN 1 ELSE 0 END AS lab
+                    FROM documents),
+                ncnt AS (SELECT w, SUM(lab) AS cpos,
+                                COUNT(*) - SUM(lab) AS cneg
+                         FROM ntok GROUP BY w),
+                nsca AS (SELECT SUM(lab) AS tpos,
+                                COUNT(*) - SUM(lab) AS tneg,
+                                COUNT(DISTINCT w) AS v
+                         FROM ntok),
+                npri AS (SELECT CAST(ROUND(LN(
+                             CAST(SUM(CASE WHEN source IN
+                                 ('src0','src1','src2','src3','src4')
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                             / (COUNT(*) - SUM(CASE WHEN source IN
+                                 ('src0','src1','src2','src3','src4')
+                                 THEN 1 ELSE 0 END)))
+                             * 1000000) AS BIGINT) AS pm
+                         FROM documents)
+                SELECT t.doc_id, ANY_VALUE(npri.pm) AS pm,
+                       SUM(CAST(ROUND((
+                           LN((c.cpos + 0.5) / (s.tpos + 0.5 * s.v))
+                           - LN((c.cneg + 0.5) / (s.tneg + 0.5 * s.v)))
+                           * 1000000) AS BIGINT)) AS sm
+                FROM ntok t
+                JOIN ncnt c ON c.w = t.w
+                CROSS JOIN nsca s CROSS JOIN npri
+                GROUP BY t.doc_id
+            )
         """,
         # the 16 (a, b) pairs are np.random.RandomState(7) draws — the
         # engine's _perm_params(16); the shingle hash is the repo's

@@ -838,6 +838,170 @@ def dsir_weights(
     return per_doc.map_batches(_final, batch_format="pyarrow")
 
 
+def nb_quality_score(
+    ds: ray.data.Dataset,
+    pos_sources: list[str],
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> ray.data.Dataset:
+    """fastText-style quality classifier (the GPT-3/LLaMA CommonCrawl
+    filter shape): train a multinomial Naive-Bayes log-odds model with
+    unigram features — positive class = docs whose `source` is in
+    `pos_sources`, negative = the rest — then score EVERY document by
+    log P(pos|d) - log P(neg|d) (prior + per-token add-k-smoothed
+    log-likelihood ratios). Same role as the linear fastText classifier
+    used to select "looks like curated text" training data; NB with
+    bag-of-words features is its closed-form, SQL-expressible sibling.
+    → (id, n_tokens, nb); docs with zero tokens are absent (GROUP BY
+    over the token explode, same as the oracle).
+
+    Distributed shape — the per-token weight table is never driver-held
+    or broadcast (at 100 TB the vocabulary is huge):
+      1. token explode carrying an int 0/1 label (vectorized is_in),
+         materialized ONCE (read by training and scoring);
+      2. train = ONE hash exchange: per-token SUM(label) + COUNT(*)
+         (`grouped_sum_hash`) → cpos, cneg = ctot - cpos; class totals
+         Tpos/Tneg and vocabulary size V are O(1) driver scalars folded
+         from the count table's own per-block partials;
+      3. score: tokens ⋈ weights LEFT OUTER on token (tfidf/ppl join
+         shape; unseen tokens — impossible here since train covers the
+         corpus, but kept for the API — fall to the smoothing floor);
+      4. per-token log-odds ln((cpos+k)/(Tpos+kV)) - ln((cneg+k)/(Tneg+kV))
+         rounded to int64 MICRO-UNITS so the per-doc distributed SUM is
+         exact and addition-order-free — bit-identical to a SQL oracle;
+      5. nb = (prior_micro + sum_micro)/1e6, prior = ln(Dpos/Dneg).
+    """
+    import math
+
+    import numpy as np
+
+    from crawlray.ops.blocks import drop_empty_blocks
+    from crawlray.ops.relational import grouped_sum_hash, shuffle_join
+
+    pos_set = pa.array(sorted(pos_sources), pa.string())
+
+    def _explode_lab(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, text_col).combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        lab = pc.cast(
+            pc.is_in(batch.column(source_col), value_set=pos_set),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(parents),
+                "token": pc.list_flatten(toks),
+                "lab": lab.take(parents),
+            }
+        )
+
+    tok = ds.map_batches(_explode_lab, batch_format="pyarrow").materialize()
+
+    cnt = drop_empty_blocks(
+        grouped_sum_hash(
+            tok, ["token"], "lab", alias="cpos", count_alias="ctot"
+        ).materialize()
+    )
+
+    # class totals + vocab size: O(#blocks) driver rows off the (already
+    # vocab-sized) count table — one row of partial sums per block.
+    def _totals(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tpos": pa.array(
+                    [pc.sum(batch.column("cpos")).as_py() or 0], pa.int64()
+                ),
+                "ttot": pa.array(
+                    [pc.sum(batch.column("ctot")).as_py() or 0], pa.int64()
+                ),
+                "v": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    tot = cnt.map_batches(_totals, batch_format="pyarrow").take_all()
+    tpos = sum(r["tpos"] for r in tot)
+    ttot = sum(r["ttot"] for r in tot)
+    v = sum(r["v"] for r in tot)
+    tneg = ttot - tpos
+    if tpos == 0 or tneg == 0:
+        raise ValueError(
+            f"nb_quality_score: pos_sources {pos_sources!r} yields an "
+            f"empty class (tpos={tpos}, tneg={tneg}) — nothing to train on"
+        )
+
+    def _doc_lab(batch: pa.Table) -> pa.Table:
+        lab = pc.cast(
+            pc.is_in(batch.column(source_col), value_set=pos_set),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "dpos": pa.array([pc.sum(lab).as_py() or 0], pa.int64()),
+                "dtot": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    dparts = ds.map_batches(_doc_lab, batch_format="pyarrow").take_all()
+    dpos = sum(r["dpos"] for r in dparts)
+    dneg = sum(r["dtot"] for r in dparts) - dpos
+    prior_micro = int(np.round(math.log(dpos / dneg) * 1e6))
+
+    left = tok.map_batches(
+        lambda b: b.select([id_col, "token"]), batch_format="pyarrow"
+    )
+    j = shuffle_join(left, cnt, on=["token"], join_type="left_outer")
+
+    kv = float(k) * float(v)
+
+    def _logodds_micro(batch: pa.Table) -> pa.Table:
+        cp = (
+            pc.fill_null(batch.column("cpos"), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        ct = (
+            pc.fill_null(batch.column("ctot"), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        cn = ct - cp
+        lo = np.log((cp + k) / (tpos + kv)) - np.log((cn + k) / (tneg + kv))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "m": pa.array(np.round(lo * 1e6).astype(np.int64), pa.int64()),
+            }
+        )
+
+    terms = j.map_batches(_logodds_micro, batch_format="pyarrow")
+    per_doc = grouped_sum_hash(
+        terms, [id_col], "m", alias="m_sum", count_alias="n_tokens"
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        s = (
+            batch.column("m_sum")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pc.cast(batch.column("n_tokens"), pa.int64()),
+                "nb": pa.array(
+                    (prior_micro + s).astype(np.float64) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return per_doc.map_batches(_final, batch_format="pyarrow")
+
+
 def parse_json_field(
     ds: ray.data.Dataset, json_col: str, field: str, out_col: str
 ) -> ray.data.Dataset:

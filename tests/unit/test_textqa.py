@@ -377,3 +377,99 @@ def test_pmi_collocations_crafted_and_block_invariant(ray_session):
     assert want[("new", "york")][0] == 4
     # rarer-word pairs score higher PMI than common-word pairs at equal c12
     assert want[("a", "city")][3] > want[("new", "york")][3]
+
+
+def test_nb_quality_score_crafted_values(ray_session):
+    """Hand-computed Naive-Bayes log-odds, k=0.5. pos = source 'good'
+    (doc 0: 'a a b'), neg = doc 1 ('b c'). Tpos=3, Tneg=2, V=3,
+    Dpos=Dneg=1 -> prior ln(1)=0. Per-token micro log-odds:
+      a: ln(2.5/4.5) - ln(0.5/3.5)
+      b: ln(1.5/4.5) - ln(1.5/3.5)
+      c: ln(0.5/4.5) - ln(1.5/3.5)
+    """
+    import math
+
+    import numpy as np
+
+    from crawlray.ops.textqa import nb_quality_score
+
+    rows = [
+        {"doc_id": 0, "text": "a a b", "source": "good"},
+        {"doc_id": 1, "text": "b c", "source": "junk"},
+    ]
+    got = (
+        nb_quality_score(ray.data.from_items(rows), ["good"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def micro(cp: float, cn: float) -> int:
+        lo = math.log((cp + 0.5) / (3 + 0.5 * 3)) - math.log(
+            (cn + 0.5) / (2 + 0.5 * 3)
+        )
+        return int(np.round(lo * 1e6))
+
+    m_a, m_b, m_c = micro(2, 0), micro(1, 1), micro(0, 1)
+    assert got.doc_id.tolist() == [0, 1]
+    assert got.n_tokens.tolist() == [3, 2]
+    assert got.nb.tolist() == [
+        (2 * m_a + m_b) / 1e6,
+        (m_b + m_c) / 1e6,
+    ]
+    # the pos-class doc must outscore the neg-class doc
+    assert got.nb[0] > got.nb[1]
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_nb_quality_score_matches_duckdb_and_block_invariant(
+    ray_session, nblocks
+):
+    from crawlray.ops.textqa import nb_quality_score
+
+    ds = ray.data.read_parquet(
+        DOCS, columns=["doc_id", "text", "source"]
+    ).repartition(nblocks)
+    pos = ["src0", "src1", "src2", "src3", "src4"]
+    got = _norm(nb_quality_score(ds, pos).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    want = _norm(
+        con.sql(
+            """
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(str_split(text, ' ')) AS w,
+                   CASE WHEN source IN
+                        ('src0','src1','src2','src3','src4')
+                        THEN 1 ELSE 0 END AS lab
+            FROM documents),
+        cnt AS (SELECT w, SUM(lab) AS cpos, COUNT(*) - SUM(lab) AS cneg
+                FROM tok GROUP BY w),
+        sca AS (SELECT SUM(lab) AS tpos, COUNT(*) - SUM(lab) AS tneg,
+                       COUNT(DISTINCT w) AS v
+                FROM tok),
+        pri AS (SELECT CAST(ROUND(LN(
+                    CAST(SUM(CASE WHEN source IN
+                        ('src0','src1','src2','src3','src4')
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                    / (COUNT(*) - SUM(CASE WHEN source IN
+                        ('src0','src1','src2','src3','src4')
+                        THEN 1 ELSE 0 END))) * 1000000) AS BIGINT) AS pm
+                FROM documents)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               CAST(ANY_VALUE(pri.pm) + SUM(
+                 CAST(ROUND((LN((c.cpos + 0.5) / (s.tpos + 0.5 * s.v))
+                           - LN((c.cneg + 0.5) / (s.tneg + 0.5 * s.v)))
+                      * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+               AS nb
+        FROM tok t
+        JOIN cnt c ON c.w = t.w
+        CROSS JOIN sca s CROSS JOIN pri
+        GROUP BY t.doc_id
+        """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
