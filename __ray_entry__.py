@@ -1347,18 +1347,53 @@ def _sketches(sf_dir: str):
     kind='mg' rows carry the frequent-items counts (exact at driver
     scales since k >= distinct users — precondition enforced inside
     _heavy_hitters); kind='json' rows carry per-key counts of the JSON
-    `props.k` field. All engine paths run unchanged."""
+    `props.k` field; kind='cm' rows probe a distributed Count-Min
+    sketch (linear merge: sparse per-block partials + one hash
+    exchange) for every distinct user — n is the exact count and
+    within_bound asserts the CM point query never undercounts
+    (est >= exact, a deterministic CM guarantee the oracle states as
+    TRUE). All engine paths run unchanged."""
+    from crawlray.ops.sketch import cm_probe, count_min
+
     hll = _approx_distinct(sf_dir)
     mg = _heavy_hitters(sf_dir)
     js = _json_props(sf_dir).to_pandas()  # per-key counts: tiny final
     jk = pa.array(js["k"].astype(str).tolist(), pa.string())
     jn = pa.array(js["n"].astype("int64").tolist(), pa.int64())
+    cm = count_min(_rd(sf_dir, "events", columns=["user_id"]), "user_id")
+    cmp_ = (
+        cm_probe(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "user_id": pc.cast(
+                            mg.column("item").combine_chunks(), pa.int64()
+                        ),
+                        "n_exact": pc.cast(
+                            mg.column("est_count").combine_chunks(),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            ),
+            cm,
+            "user_id",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    cmk = pa.array(cmp_["user_id"].astype(str).tolist(), pa.string())
+    cmn = pa.array(cmp_["n_exact"].astype("int64").tolist(), pa.int64())
+    cmb = pa.array(
+        (cmp_["cm_est"] >= cmp_["n_exact"]).tolist(), pa.bool_()
+    )
     return pa.table(
         {
             "kind": pa.array(
                 ["hll"] * hll.num_rows
                 + ["mg"] * mg.num_rows
                 + ["json"] * len(js)
+                + ["cm"] * len(cmp_)
             ),
             "key": pa.concat_arrays(
                 [
@@ -1367,6 +1402,7 @@ def _sketches(sf_dir: str):
                         mg.column("item").combine_chunks(), pa.string()
                     ),
                     jk,
+                    cmk,
                 ]
             ),
             "n": pa.concat_arrays(
@@ -1378,6 +1414,7 @@ def _sketches(sf_dir: str):
                         mg.column("est_count").combine_chunks(), pa.int64()
                     ),
                     jn,
+                    cmn,
                 ]
             ),
             "within_bound": pa.concat_arrays(
@@ -1385,6 +1422,7 @@ def _sketches(sf_dir: str):
                     hll.column("hll_within_2pct").combine_chunks(),
                     pa.array([True] * mg.num_rows, pa.bool_()),
                     pa.array([True] * len(js), pa.bool_()),
+                    cmb,
                 ]
             ),
         }
@@ -2627,6 +2665,9 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) AS n
                 FROM events GROUP BY k
             )
+            UNION ALL
+            SELECT 'cm', CAST(user_id AS VARCHAR), COUNT(*), TRUE
+            FROM events GROUP BY user_id
         """,
         "pack_bins": """
             WITH RECURSIVE toks AS (

@@ -380,3 +380,110 @@ def approx_distinct_by(
     parts = ds.map_batches(_partial, batch_format="pyarrow")
     out = parts.groupby(group_col).map_groups(_merge, batch_format="pyarrow")
     return pa.Table.from_pylist(out.take_all())
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+
+# fixed odd row seeds — results are a pure function of the data
+_CM_SEEDS = np.array(
+    [
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+        0xD6E8FEB86659FD93,
+        0xA5A5A5A5A5A5A5A5 | 1,
+    ],
+    dtype=np.uint64,
+)
+
+
+def _cm_slots(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(n,) uint64 key hashes → (depth, n) int64 column indices: one
+    splitmix64 re-mix per row with a fixed odd seed (pairwise-independent
+    enough for the CM overcount bound in practice; deterministic)."""
+    out = np.empty((depth, len(h)), np.int64)
+    for r in range(depth):
+        out[r] = (splitmix64(h ^ _CM_SEEDS[r]) % np.uint64(width)).astype(
+            np.int64
+        )
+    return out
+
+
+def count_min(
+    ds: ray.data.Dataset, col: str, width: int = 4096, depth: int = 4
+) -> np.ndarray:
+    """Distributed Count-Min frequency sketch of a column → the (depth,
+    width) int64 counter matrix. CM is a LINEAR sketch (merge =
+    elementwise add), so each block contributes a SPARSE partial —
+    (slot, cnt) rows for its occupied counters only — and one
+    `grouped_sum_hash` exchange folds them; the driver receives at most
+    depth x width summary rows (O(1) in the data size), exactly the
+    mergeable-summary shape of the HLL/MG/KMV sketches in this module.
+    Guarantees (deterministic, not probabilistic, given the fixed seeds):
+    est(key) = min_r CM[r, h_r(key)] >= true_count(key), and the
+    expected overcount is <= e/width x N per row.
+    """
+    if depth > len(_CM_SEEDS):
+        raise ValueError(f"depth <= {len(_CM_SEEDS)} supported")
+
+    from crawlray.ops.relational import grouped_sum_hash
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(col).combine_chunks()
+        # count per distinct key first (dict-encode), then scatter —
+        # O(distinct) slot rows per block, not O(rows)
+        enc = c.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary)).astype(
+            np.int64
+        )
+        h = _hash_column(enc.dictionary)
+        slots = _cm_slots(h, depth, width)  # (depth, n_distinct)
+        flat = (
+            np.arange(depth, dtype=np.int64)[:, None] * width + slots
+        ).ravel()
+        cnts = np.broadcast_to(cnt, (depth, len(cnt))).ravel()
+        # collapse same-slot collisions inside the block
+        uniq, inv = np.unique(flat, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, cnts)
+        return pa.table(
+            {
+                "slot": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(acc, pa.int64()),
+            }
+        )
+
+    rows = grouped_sum_hash(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["slot"],
+        "cnt",
+        alias="cnt",
+    ).take_all()
+    cm = np.zeros(depth * width, np.int64)
+    for r in rows:
+        cm[r["slot"]] = r["cnt"]
+    return cm.reshape(depth, width)
+
+
+def cm_probe(
+    ds: ray.data.Dataset,
+    cm: np.ndarray,
+    col: str,
+    out_col: str = "cm_est",
+) -> ray.data.Dataset:
+    """Point-query a Count-Min matrix for every row's key: adds
+    `out_col` = min over rows of the key's counters. The matrix (a few
+    hundred KiB) is captured by value in the map closure — broadcast
+    once per worker, never per batch."""
+    depth, width = cm.shape
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        h = _hash_column(batch.column(col).combine_chunks())
+        slots = _cm_slots(h, depth, width)
+        est = cm[np.arange(depth)[:, None], slots].min(axis=0)
+        return batch.append_column(out_col, pa.array(est, pa.int64()))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

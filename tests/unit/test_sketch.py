@@ -164,3 +164,53 @@ def test_approx_distinct_by_accuracy_and_invariance(ray_session):
     got2 = dict(zip(out2.column("g").to_pylist(),
                     out2.column("estimate").to_pylist()))
     assert got2 == got  # register-max merge: block-layout invariant
+
+
+def test_count_min_overcount_bound_and_invariance(ray_session):
+    """CM never undercounts (est >= true, deterministically), sums to N
+    per row, and — being a LINEAR sketch — the counter matrix is
+    bit-identical at any block count."""
+    import collections
+
+    import ray.data
+
+    from crawlray.ops.sketch import cm_probe, count_min
+
+    rng = np.random.RandomState(11)
+    keys = rng.zipf(1.5, 20000).astype("int64") % 500
+    tbl = pa.table({"k": keys})
+    true = collections.Counter(keys.tolist())
+
+    cm = count_min(ray.data.from_arrow(tbl).repartition(7), "k")
+    assert cm.shape == (4, 4096)
+    # linear merge: every row of the matrix sums to N
+    assert (cm.sum(axis=1) == len(keys)).all()
+    # block-layout invariance (elementwise-add merge is exact)
+    cm1 = count_min(ray.data.from_arrow(tbl).repartition(1), "k")
+    assert (cm == cm1).all()
+
+    distinct = pa.table({"k": pa.array(sorted(true), pa.int64())})
+    probed = cm_probe(ray.data.from_arrow(distinct), cm, "k").to_pandas()
+    est = dict(zip(probed["k"], probed["cm_est"]))
+    n = len(keys)
+    for key, t in true.items():
+        assert est[key] >= t, (key, est[key], t)
+        # expected overcount e/width*N per row; assert a loose 20x slack
+        assert est[key] - t <= max(20 * 2.718 * n / 4096, 8), (
+            key, est[key], t
+        )
+
+
+def test_count_min_string_keys_exact_at_low_load(ray_session):
+    """Few distinct string keys vs a 4096-wide matrix: min over 4 rows
+    recovers the exact counts (no collision survives all rows)."""
+    import ray.data
+
+    from crawlray.ops.sketch import cm_probe, count_min
+
+    rows = [{"u": f"user{i % 37}"} for i in range(7400)]
+    ds = ray.data.from_items(rows).repartition(5)
+    cm = count_min(ds, "u")
+    distinct = pa.table({"u": pa.array([f"user{i}" for i in range(37)])})
+    probed = cm_probe(ray.data.from_arrow(distinct), cm, "u").to_pandas()
+    assert (probed["cm_est"] == 200).all()
