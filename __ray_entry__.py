@@ -1086,20 +1086,32 @@ def _simhash(sf_dir: str):
     return sig.union(ray.data.from_arrow(pairs_arm))
 
 
+_BPE_K = 12  # merge rounds in the flatten_tokens bpe arms (engine + oracle)
+
+
 def _flatten_tokens(sf_dir: str):
-    """O-43 analogue + inverted index + PMI collocations in one tagged
-    table. kind='flat' — explode documents into (doc_id, token) rows;
-    kind='index' — the inverted index (token → df + comma-joined
-    ascending posting list), built with ONE hash shuffle of distinct
-    (token, doc) pairs and a fully vectorized per-partition
-    list-aggregate kernel; kind='pmi' — pointwise-mutual-information
-    collocation mining over adjacent token pairs (token='w1 w2',
-    df=corpus bigram count, score=ln(TU·c12/(c1·c2)); bigram/unigram
-    tables never driver-held, min_count filter before the joins).
+    """O-43 analogue + inverted index + PMI collocations + BPE tokenizer
+    training in one tagged table. kind='flat' — explode documents into
+    (doc_id, token) rows; kind='index' — the inverted index (token →
+    df + comma-joined ascending posting list), built with ONE hash
+    shuffle of distinct (token, doc) pairs and a fully vectorized
+    per-partition list-aggregate kernel; kind='pmi' —
+    pointwise-mutual-information collocation mining over adjacent token
+    pairs (token='w1 w2', df=corpus bigram count,
+    score=ln(TU·c12/(c1·c2)); bigram/unigram tables never driver-held,
+    min_count filter before the joins); kind='bpe_merge' — the learned
+    BPE merge table (ops/bpe.bpe_train: corpus folded ONCE to a
+    word-frequency table, then one vocab-sized exchange per round,
+    token='left right', doc_id=rank, df=pair count, postings=merged
+    symbol); kind='bpe_vocab' — corpus-wide BPE token counts under
+    those rules (K vectorized replace passes + one hash count, doc_id
+    sentinel -3). The oracle replays the training as a CTE chain (one
+    pair-count/argmax/replace round per rank).
     Schema: (kind, token, doc_id, df, postings, score); arms fill
-    unused fields with 0 / '' / -1 / -2 sentinels."""
+    unused fields with 0 / '' / -1 / -2 / -3 sentinels."""
     import pyarrow.compute as pc
 
+    from crawlray.ops.bpe import bpe_train, bpe_vocab_counts
     from crawlray.ops.textqa import (
         explode_tokens,
         inverted_index,
@@ -1160,7 +1172,46 @@ def _flatten_tokens(sf_dir: str):
     pmi = pmi_collocations(docs, min_count=2).map_batches(
         _norm_pmi, batch_format="pyarrow"
     )
-    return flat.union(idx).union(pmi)
+
+    merges = bpe_train(docs, num_merges=_BPE_K)
+    n_m = merges.num_rows
+    mt = pa.table(
+        {
+            "kind": pa.array(["bpe_merge"] * n_m),
+            "token": pc.binary_join_element_wise(
+                merges.column("left"), merges.column("right"), " "
+            ),
+            "doc_id": merges.column("rank"),
+            "df": merges.column("cnt"),
+            "postings": merges.column("merged"),
+            "score": pa.array([0.0] * n_m, pa.float64()),
+        }
+    )
+
+    def _norm_bvoc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return mt.schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["bpe_vocab"] * n),
+                "token": batch.column("token"),
+                "doc_id": pa.array([-3] * n, pa.int64()),
+                "df": batch.column("n"),
+                "postings": pa.array([""] * n),
+                "score": pa.array([0.0] * n, pa.float64()),
+            }
+        )
+
+    bvoc = bpe_vocab_counts(docs, merges).map_batches(
+        _norm_bvoc, batch_format="pyarrow"
+    )
+    return (
+        flat.union(idx)
+        .union(pmi)
+        .union(ray.data.from_arrow(mt))
+        .union(bvoc)
+    )
 
 
 def _quality_score(sf_dir: str):
@@ -2141,6 +2192,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _flatten_tokens_oracle() -> str:
+    """flatten_tokens oracle, generated: the flat/index/pmi arms are
+    static SQL; the BPE training arms replay ops/bpe.bpe_train as a CTE
+    chain — per rank r: pair counts over the wrapped word-freq table
+    (bp{r}), the argmax with the wrapped tie-break (bb{r}, ORDER BY cnt
+    DESC, w1, w2 LIMIT 1), and one literal replace producing the next
+    word table (bw{r+1}); bseg applies all K rules to the cleaned
+    corpus as nested replaces for the vocab-count arm. The pipe-wrapped
+    symbol encoding ('|h| |e| |l| |l| |o|') is what makes one
+    non-overlapping replace equal the greedy BPE merge in both engines
+    (see crawlray/ops/bpe.py)."""
+    K = _BPE_K
+    ctes = [
+        """
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
+                    FROM documents
+                )
+            ),
+            toksall AS (SELECT doc_id, str_split(text, ' ') AS t
+                        FROM documents),
+            uni AS (
+                SELECT w, COUNT(*) AS c
+                FROM (SELECT UNNEST(t) AS w FROM toksall) GROUP BY w
+            ),
+            big AS (
+                SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c12
+                FROM toksall,
+                     UNNEST(range(1, GREATEST(LEN(t)-1, 0)+1)) u(i)
+                GROUP BY w1, w2 HAVING COUNT(*) >= 2
+            ),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tu FROM uni),
+            bwf AS (
+                SELECT token, COUNT(*) AS freq
+                FROM (SELECT UNNEST(str_split(text, ' ')) AS token
+                      FROM documents)
+                WHERE regexp_matches(token, '^[a-z]+$')
+                GROUP BY token),
+            bw0 AS MATERIALIZED (
+                SELECT rtrim(regexp_replace(token, '(.)', '|\\1| ',
+                                            'g')) AS sym, freq
+                FROM bwf)"""
+    ]
+    for r in range(K):
+        ctes.append(
+            f""",
+            bp{r} AS MATERIALIZED (
+                SELECT t[i] AS w1, t[i+1] AS w2,
+                       CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT str_split(sym, ' ') AS t, freq FROM bw{r}),
+                     UNNEST(range(1, len(t))) u(i)
+                GROUP BY w1, w2),
+            bb{r} AS MATERIALIZED (
+                SELECT w1, w2, cnt, w1 || ' ' || w2 AS pat,
+                       '|' || trim(w1, '|') || trim(w2, '|') || '|' AS rep
+                FROM bp{r} ORDER BY cnt DESC, w1, w2 LIMIT 1),
+            bw{r + 1} AS MATERIALIZED (
+                SELECT replace(bw{r}.sym, bb{r}.pat, bb{r}.rep) AS sym,
+                       freq
+                FROM bw{r}, bb{r})"""
+        )
+    nested = "base.sym"
+    for r in range(K):
+        nested = f"replace({nested}, bb{r}.pat, bb{r}.rep)"
+    crossjoins = ", ".join(f"bb{r}" for r in range(K))
+    ctes.append(
+        f""",
+            bseg AS (
+                SELECT {nested} AS sym
+                FROM (SELECT rtrim(regexp_replace(regexp_replace(
+                          lower(text), '[^a-z ]', '', 'g'),
+                          '(.)', '|\\1| ', 'g')) AS sym
+                      FROM documents) base, {crossjoins})"""
+    )
+    arms = [
+        """
+            SELECT 'flat' AS kind, token, doc_id,
+                   CAST(0 AS BIGINT) AS df, '' AS postings,
+                   CAST(0 AS DOUBLE) AS score
+            FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
+                  FROM documents)
+            UNION ALL
+            SELECT 'index', token, CAST(-1 AS BIGINT),
+                   COUNT(*),
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id),
+                   CAST(0 AS DOUBLE)
+            FROM pairs GROUP BY token
+            UNION ALL
+            SELECT 'pmi', big.w1 || ' ' || big.w2, CAST(-2 AS BIGINT),
+                   big.c12, '',
+                   ROUND(LN((s.tu * CAST(big.c12 AS DOUBLE))
+                            / (CAST(u1.c AS DOUBLE)
+                               * CAST(u2.c AS DOUBLE))), 6)
+            FROM big
+            JOIN uni u1 ON u1.w = big.w1
+            JOIN uni u2 ON u2.w = big.w2, tot s"""
+    ]
+    for r in range(K):
+        arms.append(
+            f"""
+            UNION ALL
+            SELECT 'bpe_merge',
+                   trim(w1, '|') || ' ' || trim(w2, '|'),
+                   CAST({r} AS BIGINT), cnt,
+                   trim(w1, '|') || trim(w2, '|'), CAST(0 AS DOUBLE)
+            FROM bb{r}"""
+        )
+    arms.append(
+        """
+            UNION ALL
+            SELECT 'bpe_vocab', token, CAST(-3 AS BIGINT), n, '',
+                   CAST(0 AS DOUBLE)
+            FROM (SELECT trim(tk, '|') AS token, COUNT(*) AS n
+                  FROM (SELECT UNNEST(str_split(sym, ' ')) AS tk
+                        FROM bseg)
+                  WHERE trim(tk, '|') <> ''
+                  GROUP BY trim(tk, '|'))"""
+    )
+    return "".join(ctes) + "".join(arms)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_agg": """
@@ -2607,48 +2781,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 3
         """,
-        "flatten_tokens": """
-            WITH pairs AS (
-                SELECT DISTINCT doc_id, token FROM (
-                    SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
-                    FROM documents
-                )
-            ),
-            toksall AS (SELECT doc_id, str_split(text, ' ') AS t
-                        FROM documents),
-            uni AS (
-                SELECT w, COUNT(*) AS c
-                FROM (SELECT UNNEST(t) AS w FROM toksall) GROUP BY w
-            ),
-            big AS (
-                SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c12
-                FROM toksall,
-                     UNNEST(range(1, GREATEST(LEN(t)-1, 0)+1)) u(i)
-                GROUP BY w1, w2 HAVING COUNT(*) >= 2
-            ),
-            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS tu FROM uni)
-            SELECT 'flat' AS kind, token, doc_id,
-                   CAST(0 AS BIGINT) AS df, '' AS postings,
-                   CAST(0 AS DOUBLE) AS score
-            FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS token
-                  FROM documents)
-            UNION ALL
-            SELECT 'index', token, CAST(-1 AS BIGINT),
-                   COUNT(*),
-                   STRING_AGG(CAST(doc_id AS VARCHAR), ','
-                              ORDER BY doc_id),
-                   CAST(0 AS DOUBLE)
-            FROM pairs GROUP BY token
-            UNION ALL
-            SELECT 'pmi', big.w1 || ' ' || big.w2, CAST(-2 AS BIGINT),
-                   big.c12, '',
-                   ROUND(LN((s.tu * CAST(big.c12 AS DOUBLE))
-                            / (CAST(u1.c AS DOUBLE)
-                               * CAST(u2.c AS DOUBLE))), 6)
-            FROM big
-            JOIN uni u1 ON u1.w = big.w1
-            JOIN uni u2 ON u2.w = big.w2, tot s
-        """,
+        "flatten_tokens": _flatten_tokens_oracle(),
         "sketches": """
             SELECT 'hll' AS kind, event_type AS key,
                    COUNT(DISTINCT user_id) AS n, TRUE AS within_bound
