@@ -71,14 +71,20 @@ CORPUS = [
 
 
 @pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("local_threshold", [65536, 0])
 def test_bpe_train_matches_reference_and_block_invariant(
-    ray_session, nblocks
+    ray_session, nblocks, local_threshold
 ):
+    """local_threshold=0 forces the distributed merge rounds — both the
+    local-refinement and the distributed path must equal the reference
+    (and hence each other)."""
     from crawlray.ops.bpe import bpe_train
 
     rows = [{"doc_id": i, "text": t} for i, t in enumerate(CORPUS)]
     ds = ray.data.from_items(rows).repartition(nblocks)
-    got = bpe_train(ds, num_merges=8).to_pylist()
+    got = bpe_train(
+        ds, num_merges=8, local_threshold=local_threshold
+    ).to_pylist()
 
     wf = collections.Counter(
         t for line in CORPUS for t in line.split(" ")
