@@ -229,6 +229,69 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
         [lambda b: b["doc_id"]],
     )
 
+    # BPE training: the corpus fold sees all ~1M docs (vocab unchanged
+    # by replication, freqs x reps); local_threshold=0 forces the
+    # DISTRIBUTED merge rounds — the merge table must be identical at
+    # both block counts (driver artifact, compared directly)
+    from crawlray.ops.bpe import bpe_train, bpe_vocab_counts
+
+    mts = []
+    for nb_ in (blocks_a, blocks_b):
+        ds = ray.data.from_arrow(big).repartition(nb_)
+        t0 = time.time()
+        mt = bpe_train(ds, num_merges=12, local_threshold=0)
+        dt = time.time() - t0
+        print(
+            f"bpe_train blocks={nb_}: {dt:.1f}s, {n / dt:,.0f} docs/s, "
+            f"rules={mt.num_rows}"
+        )
+        mts.append(mt)
+    assert mts[0].equals(mts[1]), "bpe_train NOT parallelism-invariant"
+    bpe_rules = mts[0]
+    stress(
+        "bpe_vocab_counts",
+        lambda ds: bpe_vocab_counts(ds, bpe_rules),
+        [
+            lambda b: pc.multiply(
+                pc.cast(pc.utf8_length(b["token"]), pa.int64()), b["n"]
+            )
+        ],
+    )
+
+    # NB quality classifier: ~200M token rows through the weight join +
+    # two hash exchanges; nb is micro-units/1e6 so quantizing by 1e6 is
+    # exact and the checksum bit-stable
+    from crawlray.ops.textqa import nb_quality_score
+
+    nb_pos = sorted(srcs)[: max(1, len(srcs) // 2)]
+    stress(
+        "nb_quality_score",
+        lambda ds: nb_quality_score(ds, nb_pos),
+        [
+            lambda b: pc.multiply(
+                pc.cast(pc.round(pc.multiply(b["nb"], 1e6)), pa.int64()),
+                pc.add(b["doc_id"], 1),
+            )
+        ],
+    )
+
+    # Count-Min: linear merge must make the counter matrix bit-identical
+    # at any block layout
+    from crawlray.ops.sketch import count_min
+
+    cms = []
+    for nb_ in (blocks_a, blocks_b):
+        ds = ray.data.from_arrow(big).repartition(nb_)
+        t0 = time.time()
+        cm = count_min(ds, "source")
+        dt = time.time() - t0
+        print(
+            f"count_min blocks={nb_}: {dt:.1f}s, {n / dt:,.0f} rows/s, "
+            f"row_sum={int(cm[0].sum())}"
+        )
+        cms.append(cm)
+    assert (cms[0] == cms[1]).all(), "count_min NOT parallelism-invariant"
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
