@@ -1118,7 +1118,10 @@ def _flatten_tokens(sf_dir: str):
         pmi_collocations,
     )
 
-    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    # five arms consume the same two columns — pin the scan ONCE (block
+    # refs in the object store, spillable) instead of five parquet reads;
+    # at 100 TB one scan vs five is the dominant IO term
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
 
     def _norm_flat(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1692,11 +1695,15 @@ def _dedup_clusters(sf_dir: str):
     per-node triangle counts over the SAME edge list (wedge join +
     closing-edge join, ops/graph.triangle_counts) — v = #triangles, the
     local-clustering signal that separates tight dup cliques from
-    chain-like false merges (oracle: 3-way self-join). The pair table is
-    computed once and shared."""
+    chain-like false merges (oracle: 3-way self-join); kind='kcore' —
+    the 2-core of the SAME graph (ops/graph.kcore distributed peel
+    loop: per round one degree exchange + two semi-joins, confluent
+    fixpoint) with in-core degrees as v — chains and pendants dissolve,
+    dup cliques survive (oracle: fixed MATERIALIZED peel rounds, no-ops
+    past the fixpoint). The pair table is computed once and shared."""
     import ray.data as _rdm
 
-    from crawlray.ops.graph import connected_components, triangle_counts
+    from crawlray.ops.graph import connected_components, kcore, triangle_counts
     from crawlray.ops.knn import similar_pairs_cosine
 
     pairs = similar_pairs_cosine(
@@ -1723,7 +1730,10 @@ def _dedup_clusters(sf_dir: str):
     tri = triangle_counts(pds).map_batches(
         _tag("tri", "n_tri"), batch_format="pyarrow"
     )
-    return comp.union(tri)
+    kc = kcore(pds, k=2).map_batches(
+        _tag("kcore", "deg"), batch_format="pyarrow"
+    )
+    return comp.union(tri).union(kc)
 
 
 def _embedding_srp_dedup(sf_dir: str):
@@ -2313,6 +2323,64 @@ def _flatten_tokens_oracle() -> str:
                   GROUP BY trim(tk, '|'))"""
     )
     return "".join(ctes) + "".join(arms)
+
+
+def _dedup_clusters_oracle() -> str:
+    """dedup_clusters oracle, generated: comp (recursive closure) and
+    tri (3-way self-join) are static; the kcore arm replays the peel
+    loop as R fixed MATERIALIZED rounds (degree count, alive filter,
+    two-sided edge restriction) — peeling is confluent and rounds past
+    the fixpoint are no-ops, so any engine fixpoint reached within R is
+    bit-identical. R=10 comfortably covers near-dup graphs (typical
+    fixpoint: 2-4 rounds; the engine raises if it ever needs more than
+    its own max_rounds=16)."""
+    R = 10
+    parts = [
+        """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS u, b.vec_id AS v
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            ),
+            reach(u, v) AS (
+                SELECT u, v FROM p
+                UNION
+                SELECT r.u, p.v FROM reach r JOIN p ON r.v = p.u
+            ),
+            p2 AS (SELECT u, v FROM p WHERE u < v),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM p2 e1
+                JOIN p2 e2 ON e1.v = e2.u
+                JOIN p2 e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            ke0 AS MATERIALIZED (SELECT u AS s, v AS d FROM p)"""
+    ]
+    for r in range(R):
+        parts.append(
+            f""",
+            kd{r} AS MATERIALIZED (
+                SELECT s, COUNT(*) AS dg FROM ke{r} GROUP BY s),
+            ka{r} AS MATERIALIZED (
+                SELECT s FROM kd{r} WHERE dg >= 2),
+            ke{r + 1} AS MATERIALIZED (
+                SELECT e.s, e.d FROM ke{r} e
+                JOIN ka{r} x ON e.s = x.s
+                JOIN ka{r} y ON e.d = y.s)"""
+        )
+    parts.append(
+        f"""
+            SELECT 'comp' AS kind, u AS node,
+                   LEAST(u, MIN(v)) AS v
+            FROM reach GROUP BY u
+            UNION ALL
+            SELECT 'tri', node, COUNT(*)
+            FROM tri t, UNNEST([t.a, t.b, t.c]) AS un(node)
+            GROUP BY node
+            UNION ALL
+            SELECT 'kcore', s, COUNT(*) FROM ke{R} GROUP BY s"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3241,32 +3309,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM d GROUP BY source
         """,
-        "dedup_clusters": """
-            WITH RECURSIVE p AS (
-                SELECT a.vec_id AS u, b.vec_id AS v
-                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
-            ),
-            reach(u, v) AS (
-                SELECT u, v FROM p
-                UNION
-                SELECT r.u, p.v FROM reach r JOIN p ON r.v = p.u
-            ),
-            p2 AS (SELECT u, v FROM p WHERE u < v),
-            tri AS (
-                SELECT e1.u AS a, e1.v AS b, e2.v AS c
-                FROM p2 e1
-                JOIN p2 e2 ON e1.v = e2.u
-                JOIN p2 e3 ON e3.u = e1.u AND e3.v = e2.v
-            )
-            SELECT 'comp' AS kind, u AS node,
-                   LEAST(u, MIN(v)) AS v
-            FROM reach GROUP BY u
-            UNION ALL
-            SELECT 'tri', node, COUNT(*)
-            FROM tri t, UNNEST([t.a, t.b, t.c]) AS un(node)
-            GROUP BY node
-        """,
+        "dedup_clusters": _dedup_clusters_oracle(),
         "embedding_srp_dedup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

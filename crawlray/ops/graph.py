@@ -580,3 +580,151 @@ def triangle_counts(
     nodes = tris.map_batches(_explode_nodes, batch_format="pyarrow")
     counts = grouped_count_hash(nodes, ["node"], alias="n_tri")
     return _drop(counts.materialize(), schema=out_schema)
+
+
+def kcore(
+    pairs: ray.data.Dataset,
+    k: int = 2,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 16,
+    broadcast_threshold: int = 2_000_000,
+) -> ray.data.Dataset:
+    """k-core of an undirected edge list → (node, deg): the nodes that
+    survive iterated removal of every node with degree < k, with their
+    degree INSIDE the core — the standard peel loop, distributed. In a
+    near-dup graph the 2-core separates genuine dup cliques from
+    chain/star artifacts of transitive merging (a chain's interior is
+    all degree-2 but its ends peel away, dissolving the chain; a clique
+    never peels).
+
+    Per round: symmetric-degree count (one hash exchange over the edge
+    list), vectorized alive filter (deg >= k), then the edge list is
+    restricted to alive endpoints — adaptively (the repo's standard
+    chooser): an alive set at most `broadcast_threshold` keys (known
+    from the degree table's O(1) row-count metadata) is ray.put ONCE and
+    probed map-side (`broadcast_semi_anti` on both endpoints, zero
+    shuffles); a larger alive set goes through TWO `shuffle_join`
+    semi-joins, never driver-held. Peeling is confluent — removal order
+    cannot change the fixpoint — so the result is a pure function of
+    the graph and parallelism-invariant; the loop stops the round the
+    alive set stops shrinking (typical: 2-4 rounds on near-dup graphs).
+    The SQL-oracle arm replays R fixed MATERIALIZED rounds; any fixpoint
+    reached within R is bit-identical (extra rounds are no-ops).
+    """
+    from crawlray.ops.blocks import drop_empty_blocks as _drop
+    from crawlray.ops.relational import (
+        broadcast_semi_anti,
+        grouped_count_hash,
+        shuffle_join,
+    )
+
+    deg_schema = pa.schema([("node", pa.string())])  # placeholder, typed below
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table({"src": [], "dst": []})
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "src": batch.column(a_col),
+                        "dst": batch.column(b_col),
+                    }
+                ),
+                pa.table(
+                    {
+                        "src": batch.column(b_col),
+                        "dst": batch.column(a_col),
+                    }
+                ),
+            ]
+        )
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        sch = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+        return ray.data.from_arrow(sch.empty_table())
+
+    node_type = dict(zip(edges.schema().names, edges.schema().types))["src"]
+    deg_schema = pa.schema([("src", node_type), ("deg", pa.int64())])
+
+    def _alive_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return deg_schema.empty_table()
+        return batch.filter(
+            pc.greater_equal(batch.column("deg"), pa.scalar(k))
+        )
+
+    for _ in range(max_rounds):
+        deg = _drop(
+            grouped_count_hash(edges, ["src"], alias="deg").materialize(),
+            schema=deg_schema,
+        )
+        n_nodes = deg.count()
+        alive = _drop(
+            deg.map_batches(
+                _alive_filter, batch_format="pyarrow"
+            ).materialize(),
+            schema=deg_schema,
+        )
+        n_alive = alive.count()
+        if n_alive == n_nodes:
+
+            def _final(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0 or batch.num_columns == 0:
+                    return pa.schema(
+                        [("node", node_type), ("deg", pa.int64())]
+                    ).empty_table()
+                return pa.table(
+                    {
+                        "node": batch.column("src"),
+                        "deg": pc.cast(batch.column("deg"), pa.int64()),
+                    }
+                )
+
+            return alive.map_batches(_final, batch_format="pyarrow")
+        edge_schema = pa.schema([("src", node_type), ("dst", node_type)])
+        if n_alive <= broadcast_threshold:
+            keys_arr = pa.concat_arrays(
+                [
+                    t.column("src").combine_chunks()
+                    for t in ray.get(alive.to_arrow_refs())
+                    if t.num_columns > 0 and t.num_rows > 0
+                ]
+                or [pa.array([], node_type)]
+            )
+            restricted = broadcast_semi_anti(
+                broadcast_semi_anti(edges, "src", keys_arr),
+                "dst",
+                keys_arr,
+            )
+            edges = restricted.materialize()
+        else:
+            keys = alive.map_batches(
+                lambda b: (
+                    b.select(["src"])
+                    if b.num_columns
+                    else pa.schema([("src", node_type)]).empty_table()
+                ),
+                batch_format="pyarrow",
+            )
+            e1 = shuffle_join(edges, keys, on=["src"])
+            keys_dst = keys.map_batches(
+                lambda b: (
+                    pa.table({"dst": b.column("src")})
+                    if b.num_columns
+                    else pa.schema([("dst", node_type)]).empty_table()
+                ),
+                batch_format="pyarrow",
+            )
+            edges = _drop(
+                shuffle_join(
+                    _drop(e1.materialize(), schema=None), keys_dst, on=["dst"]
+                ).materialize(),
+                schema=edge_schema,
+            )
+    raise RuntimeError(
+        f"kcore: no fixpoint within {max_rounds} rounds (k={k}) — raise "
+        "max_rounds (and the oracle's round count) for this graph"
+    )

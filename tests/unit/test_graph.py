@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 
@@ -270,3 +271,92 @@ def test_triangle_counts_triangle_free_and_empty(ray_session):
     out2 = triangle_counts(ray.data.from_arrow(empty))
     assert out2.take_all() == []
     assert set(out2.schema().names) == {"node", "n_tri"}
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_kcore_crafted_and_block_invariant(ray_session, nblocks):
+    """Chain peels away entirely, pendant peels off, triangle and
+    4-clique survive the 2-core with in-core degrees — checked against
+    a pure-Python peel reference."""
+    import collections
+
+    from crawlray.ops.graph import kcore
+
+    edges = (
+        # chain 1-2-3-4-5: interior is degree 2 but the ends unravel it
+        [(1, 2), (2, 3), (3, 4), (4, 5)]
+        # triangle 10-11-12 with pendant 13
+        + [(10, 11), (11, 12), (10, 12), (10, 13)]
+        # 4-clique 20..23
+        + [(a, b) for i, a in enumerate([20, 21, 22, 23])
+           for b in [20, 21, 22, 23][i + 1:]]
+    )
+
+    def ref_kcore(es, k):
+        adj = collections.defaultdict(set)
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n: len(v) for n, v in adj.items() if v}
+
+    want = ref_kcore(edges, 2)
+    assert set(want) == {10, 11, 12, 20, 21, 22, 23}
+
+    tbl = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = (
+        kcore(ray.data.from_arrow(tbl).repartition(nblocks), k=2)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert dict(zip(got["node"], got["deg"])) == want
+
+
+def test_kcore_empty_and_full(ray_session):
+    from crawlray.ops.graph import kcore
+
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    assert kcore(ray.data.from_arrow(empty), k=2).count() == 0
+
+    # a graph already at fixpoint returns in one round
+    tri = pa.table(
+        {"id_a": pa.array([1, 2, 1], pa.int64()),
+         "id_b": pa.array([2, 3, 3], pa.int64())}
+    )
+    got = kcore(ray.data.from_arrow(tri), k=2).to_pandas()
+    assert sorted(got["node"]) == [1, 2, 3]
+    assert (got["deg"] == 2).all()
+
+
+def test_kcore_shuffle_path_matches_broadcast(ray_session):
+    """broadcast_threshold=0 forces the shuffle semi-join rounds — the
+    two restriction paths must be result-identical."""
+    from crawlray.ops.graph import kcore
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 120, 600).astype("int64")
+    b = rng.randint(0, 120, 600).astype("int64")
+    keep = a != b
+    tbl = pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got_b = kcore(ds, k=3).to_pandas().sort_values("node").reset_index(drop=True)
+    got_s = (
+        kcore(ds, k=3, broadcast_threshold=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert got_b.equals(got_s)
+    assert len(got_b) > 0
