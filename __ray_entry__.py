@@ -1525,24 +1525,17 @@ def _doc_profile(sf_dir: str):
 
 
 def _token_count_by_source(sf_dir: str):
-    """Token counting rolled up per source."""
-    ds = _rd(sf_dir, "documents", columns=["source", "text"])
+    """Per-source corpus diagnostics (token counting grown into the
+    data-mixing pre-flight): doc/token/type counts, type-token ratio and
+    unigram Shannon entropy — ops/textqa.corpus_diagnostics: ONE
+    (source, token) hash-count exchange + two per-source summary
+    exchanges; the entropy sum is int64 micro-units so the distributed
+    reduce is exact and bit-identical to the SQL oracle."""
+    from crawlray.ops.textqa import corpus_diagnostics
 
-    def _with_source(batch: pa.Table) -> pa.Table:
-        toks = pc.list_value_length(pc.split_pattern(batch.column("text"), pattern=" "))
-        return pa.table(
-            {
-                "source": batch.column("source"),
-                "n_tokens_row": pc.cast(toks, pa.int64()),
-            }
-        )
-
-    out = (
-        ds.map_batches(_with_source, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("n_tokens_row", alias_name="n_tokens"), Count(alias_name="n_docs"))
+    return corpus_diagnostics(
+        _rd(sf_dir, "documents", columns=["source", "text"])
     )
-    return out
 
 
 
@@ -3279,9 +3272,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN lang USING (doc_id)
         """,
         "token_count_by_source": """
-            SELECT source, CAST(SUM(LEN(str_split(text, ' '))) AS BIGINT) AS n_tokens,
-                   COUNT(*) AS n_docs
-            FROM documents GROUP BY source
+            WITH stok AS (SELECT source, UNNEST(str_split(text, ' ')) AS w
+                          FROM documents),
+            sc AS (SELECT source, w, COUNT(*) AS c FROM stok
+                   GROUP BY source, w),
+            agg AS (SELECT source,
+                           CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           COUNT(*) AS n_types,
+                           CAST(SUM(CAST(ROUND(c * LN(c) * 1000000)
+                                         AS BIGINT)) AS BIGINT) AS sm
+                    FROM sc GROUP BY source),
+            dn AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                   GROUP BY source)
+            SELECT a.source, dn.n_docs, a.n_tokens, a.n_types,
+                   CAST(a.n_types AS DOUBLE) / a.n_tokens AS ttr,
+                   LN(a.n_tokens) - a.sm / (a.n_tokens * 1000000.0)
+                       AS entropy
+            FROM agg a JOIN dn USING (source)
         """,
 
         "exact_dedup_docs": """

@@ -1002,6 +1002,144 @@ def nb_quality_score(
     return per_doc.map_batches(_final, batch_format="pyarrow")
 
 
+def corpus_diagnostics(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-source corpus statistics for data-mixing decisions →
+    (source, n_docs, n_tokens, n_types, ttr, entropy):
+    type-token ratio (lexical diversity) and unigram Shannon entropy
+    H = ln(T) - (Σ c·ln c)/T — the standard diversity diagnostics run
+    before choosing mixture weights (a low-entropy source is repetitive
+    boilerplate however many tokens it has).
+
+    Distributed shape: ONE (source, token) hash-count exchange (the
+    vocabulary × source table — never driver-held), then two per-source
+    summary exchanges over that already-aggregated table (sum c +
+    type count; sum of per-type c·ln(c) in int64 MICRO-UNITS so the
+    distributed sum is exact), plus the tiny per-source doc count. The
+    final entropy/ttr are single IEEE ops over exactly-representable
+    ints — bit-identical to the SQL oracle."""
+    import math
+
+    import numpy as np
+
+    from crawlray.ops.blocks import drop_empty_blocks
+    from crawlray.ops.relational import (
+        broadcast_join,
+        grouped_count_hash,
+        grouped_sum_hash,
+    )
+
+    def _stok(batch: pa.Table) -> pa.Table:
+        toks = split_tokens(batch, text_col).combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        return pa.table(
+            {
+                source_col: batch.column(source_col).take(parents),
+                "token": pc.list_flatten(toks),
+            }
+        )
+
+    sc = drop_empty_blocks(
+        grouped_count_hash(
+            ds.map_batches(_stok, batch_format="pyarrow"),
+            [source_col, "token"],
+            alias="c",
+        ).materialize()
+    )
+
+    g1 = grouped_sum_hash(
+        sc, [source_col], "c", alias="n_tokens", count_alias="n_types"
+    )
+
+    def _micro(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {
+                    source_col: pa.array([], pa.string()),
+                    "m": pa.array([], pa.int64()),
+                }
+            )
+        c = (
+            batch.column("c")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        m = np.round(c * np.log(c) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                source_col: batch.column(source_col),
+                "m": pa.array(m, pa.int64()),
+            }
+        )
+
+    g2 = grouped_sum_hash(
+        sc.map_batches(_micro, batch_format="pyarrow"),
+        [source_col],
+        "m",
+        alias="sm",
+    )
+
+    # g2 / doc counts are per-source summaries (one row per source) —
+    # collected once and broadcast against the equally-small g1 side
+    g2_tbl = pa.Table.from_pylist(
+        g2.take_all(),
+        schema=pa.schema([(source_col, pa.string()), ("sm", pa.int64())]),
+    )
+    nd_tbl = pa.Table.from_pylist(
+        ds.groupby(source_col).count().take_all(),
+        schema=pa.schema(
+            [(source_col, pa.string()), ("count()", pa.int64())]
+        ),
+    )
+    j = broadcast_join(
+        drop_empty_blocks(g1.materialize()), g2_tbl, keys=[source_col]
+    )
+    j = broadcast_join(j, nd_tbl, keys=[source_col])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        nt = (
+            batch.column("n_tokens")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        sm = (
+            batch.column("sm")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        tp = (
+            batch.column("n_types")
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                source_col: batch.column(source_col),
+                "n_docs": pc.cast(batch.column("count()"), pa.int64()),
+                "n_tokens": pc.cast(batch.column("n_tokens"), pa.int64()),
+                "n_types": pc.cast(batch.column("n_types"), pa.int64()),
+                "ttr": pa.array(tp / nt, pa.float64()),
+                # math.log (libm), not np.log: numpy's SIMD log can be
+                # 1-2 ULP off DuckDB's LN, and this value lands in the
+                # final answer unrounded; one call per SOURCE, not row
+                "entropy": pa.array(
+                    np.array([math.log(x) for x in nt], np.float64)
+                    - sm / (nt * 1e6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return j.map_batches(_final, batch_format="pyarrow")
+
+
 def parse_json_field(
     ds: ray.data.Dataset, json_col: str, field: str, out_col: str
 ) -> ray.data.Dataset:

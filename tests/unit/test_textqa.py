@@ -473,3 +473,74 @@ def test_nb_quality_score_matches_duckdb_and_block_invariant(
         ).df()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_corpus_diagnostics_crafted_values(ray_session):
+    """source a: tokens {x:3, y:1, z:1} -> T=5, types=3, ttr=0.6,
+    H = ln5 - (3·ln3)/5 (micro-rounded); source b: 4x one token ->
+    ttr=0.25, H = micro-rounding residual of 0."""
+    import math
+
+    import numpy as np
+
+    from crawlray.ops.textqa import corpus_diagnostics
+
+    rows = [
+        {"source": "a", "text": "x y x"},
+        {"source": "a", "text": "x z"},
+        {"source": "b", "text": "q q q q"},
+    ]
+    got = (
+        corpus_diagnostics(ray.data.from_items(rows))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert got.source.tolist() == ["a", "b"]
+    assert got.n_docs.tolist() == [2, 1]
+    assert got.n_tokens.tolist() == [5, 4]
+    assert got.n_types.tolist() == [3, 1]
+    assert got.ttr.tolist() == [3 / 5, 1 / 4]
+    sm_a = int(np.round(3 * math.log(3) * 1e6))
+    sm_b = int(np.round(4 * math.log(4) * 1e6))
+    assert got.entropy.tolist() == [
+        math.log(5) - sm_a / (5 * 1e6),
+        math.log(4) - sm_b / (4 * 1e6),
+    ]
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_corpus_diagnostics_matches_duckdb(ray_session, nblocks):
+    from crawlray.ops.textqa import corpus_diagnostics
+
+    ds = ray.data.read_parquet(
+        DOCS, columns=["source", "text"]
+    ).repartition(nblocks)
+    got = _norm(corpus_diagnostics(ds).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    want = _norm(
+        con.sql(
+            """
+        WITH stok AS (SELECT source, UNNEST(str_split(text, ' ')) AS w
+                      FROM documents),
+        sc AS (SELECT source, w, COUNT(*) AS c FROM stok
+               GROUP BY source, w),
+        agg AS (SELECT source,
+                       CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_types,
+                       CAST(SUM(CAST(ROUND(c * LN(c) * 1000000)
+                                     AS BIGINT)) AS BIGINT) AS sm
+                FROM sc GROUP BY source),
+        dn AS (SELECT source, COUNT(*) AS n_docs FROM documents
+               GROUP BY source)
+        SELECT a.source, dn.n_docs, a.n_tokens, a.n_types,
+               CAST(a.n_types AS DOUBLE) / a.n_tokens AS ttr,
+               LN(a.n_tokens) - a.sm / (a.n_tokens * 1000000.0) AS entropy
+        FROM agg a JOIN dn USING (source)
+        """
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
