@@ -672,7 +672,8 @@ def _decontaminate(sf_dir: str):
     )
     from crawlray.ops.relational import hash_sample
 
-    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    # bench + candidate sides both derive from this scan — pin it once
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     bench = hash_sample(docs, key="doc_id", buckets_kept=16)
     cand = hash_sample(docs, key="doc_id", buckets_kept=16, invert=True)
     bg = benchmark_grams(bench, n=8)
@@ -786,7 +787,8 @@ def _samples(sf_dir: str):
         weighted_sample,
     )
 
-    docs = _rd(sf_dir, "documents", columns=["doc_id", "source"])
+    # six arms share this two-column scan — pin it once
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "source"]).materialize()
 
     def _tag(kind: str):
         def _m(batch: pa.Table) -> pa.Table:
@@ -835,7 +837,7 @@ def _samples(sf_dir: str):
 
     # rates derivation reads ONLY the source column (prune-at-the-read);
     # a production pipeline would know its domain weights up front
-    srcs = _rd(sf_dir, "documents", columns=["source"]).unique("source")
+    srcs = docs.unique("source")
     rates = {
         s: int(_hl.md5(s.encode("utf-8")).hexdigest()[0], 16) * 17 / 256
         for s in srcs
@@ -1247,10 +1249,13 @@ def _quality_score(sf_dir: str):
         quality_score,
     )
 
-    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    # five arms share one scan: read the 3-column superset once, project
+    docs3 = _rd(
+        sf_dir, "documents", columns=["doc_id", "text", "source"]
+    ).materialize()
+    docs = docs3.select_columns(["doc_id", "text"])
     model = quality_score(docs, concurrency=2)
     train = ["src0", "src1", "src2", "src3", "src4"]
-    docs3 = _rd(sf_dir, "documents", columns=["doc_id", "text", "source"])
     ppl = ngram_lm_score(docs3, train)
     dsir = dsir_weights(docs3, train)
     nb = nb_quality_score(docs3, train)
@@ -1765,7 +1770,8 @@ def _dup_spans(sf_dir: str):
         remove_dup_spans,
     )
 
-    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    # both halves re-derive token streams from docs — pin the scan once
+    docs = _rd(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
     # ONE gram-count exchange + bloom probe feeds both halves
     hits = dup_gram_hits(docs, "doc_id", "text", n=5, min_count=2)
     hits = hits.materialize()
