@@ -296,12 +296,16 @@ def _left_outer_join(sf_dir: str):
 
 
 def _pagerank(sf_dir: str):
-    """Distributed PageRank (4 iterations, d=0.85) over a deterministic
-    graph derived from lineitem (src = l_partkey % 211, dst =
-    l_suppkey % 211, distinct, no self-loops). Every node's rank is
-    returned (no top-k boundary), rounded to 8 decimals on both sides —
-    the oracle unrolls the same iterations as chained CTEs."""
-    from crawlray.ops.graph import pagerank
+    """Link-analysis pair over a deterministic lineitem-derived graph
+    (src = l_partkey % 211, dst = l_suppkey % 211, distinct, no
+    self-loops), one tagged table (kind, node, v): kind='pr' —
+    distributed PageRank (4 iterations, d=0.85), every node's rank
+    rounded to 8 decimals on both sides (oracle: chained CTEs);
+    kind='hits_auth'/'hits_hub' — unnormalized integer HITS (3 rounds,
+    ops/graph.hits_scores): hub/authority crawl-prioritization scores
+    whose int64 sums make the distributed reduce exact with no rounding
+    hedge (oracle: MATERIALIZED a/h CTE rounds)."""
+    from crawlray.ops.graph import hits_scores, pagerank
 
     li = _rd(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
@@ -314,9 +318,44 @@ def _pagerank(sf_dir: str):
 
     edges = li.map_batches(_edges, batch_format="pyarrow").groupby(
         ["src", "dst"]
-    ).count().select_columns(["src", "dst"])
-    out = pagerank(edges, n_iters=4, damping=0.85)
-    return _round_cols(out, {"rank": 8})
+    ).count().select_columns(["src", "dst"]).materialize()
+    pr = _round_cols(pagerank(edges, n_iters=4, damping=0.85), {"rank": 8})
+
+    def _tag_pr(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["pr"] * batch.num_rows, pa.string()),
+                "node": batch.column("node"),
+                "v": batch.column("rank"),
+            }
+        )
+
+    ht = hits_scores(edges, n_iters=3)
+
+    def _melt_hits(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "kind": pa.array(["hits_auth"] * n, pa.string()),
+                        "node": batch.column("node"),
+                        "v": pc.cast(batch.column("auth"), pa.float64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "kind": pa.array(["hits_hub"] * n, pa.string()),
+                        "node": batch.column("node"),
+                        "v": pc.cast(batch.column("hub"), pa.float64()),
+                    }
+                ),
+            ]
+        )
+
+    return pr.map_batches(_tag_pr, batch_format="pyarrow").union(
+        ht.map_batches(_melt_hits, batch_format="pyarrow")
+    )
 
 
 def _anti_join(sf_dir: str):
@@ -2514,8 +2553,35 @@ def oracle_sql() -> dict[str, str]:
                     SELECT e.dst AS node, SUM(p.rank / p.outdeg) AS in_sum
                     FROM e JOIN r3 p ON e.src = p.node GROUP BY e.dst
                 ) s USING (node)
-            )
-            SELECT node, ROUND(rank, 8) AS rank FROM r4
+            ),
+            hh0 AS MATERIALIZED (SELECT node, 1 AS h FROM nodes),
+            ha1 AS MATERIALIZED (
+                SELECT e.dst AS node, SUM(hh0.h) AS a FROM e
+                JOIN hh0 ON e.src = hh0.node GROUP BY e.dst),
+            hh1 AS MATERIALIZED (
+                SELECT e.src AS node, SUM(ha1.a) AS h FROM e
+                JOIN ha1 ON e.dst = ha1.node GROUP BY e.src),
+            ha2 AS MATERIALIZED (
+                SELECT e.dst AS node, SUM(hh1.h) AS a FROM e
+                JOIN hh1 ON e.src = hh1.node GROUP BY e.dst),
+            hh2 AS MATERIALIZED (
+                SELECT e.src AS node, SUM(ha2.a) AS h FROM e
+                JOIN ha2 ON e.dst = ha2.node GROUP BY e.src),
+            ha3 AS MATERIALIZED (
+                SELECT e.dst AS node, SUM(hh2.h) AS a FROM e
+                JOIN hh2 ON e.src = hh2.node GROUP BY e.dst),
+            hh3 AS MATERIALIZED (
+                SELECT e.src AS node, SUM(ha3.a) AS h FROM e
+                JOIN ha3 ON e.dst = ha3.node GROUP BY e.src)
+            SELECT 'pr' AS kind, node, ROUND(rank, 8) AS v FROM r4
+            UNION ALL
+            SELECT 'hits_auth', n.node,
+                   CAST(COALESCE(ha3.a, 0) AS DOUBLE)
+            FROM nodes n LEFT JOIN ha3 ON n.node = ha3.node
+            UNION ALL
+            SELECT 'hits_hub', n.node,
+                   CAST(COALESCE(hh3.h, 0) AS DOUBLE)
+            FROM nodes n LEFT JOIN hh3 ON n.node = hh3.node
         """,
         "anti_join": """
             SELECT * FROM customer

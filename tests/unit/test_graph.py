@@ -360,3 +360,41 @@ def test_kcore_shuffle_path_matches_broadcast(ray_session):
     )
     assert got_b.equals(got_s)
     assert len(got_b) > 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_hits_scores_matches_dense_reference(ray_session, nblocks):
+    """Unnormalized integer HITS vs a dense numpy reference; exact int
+    equality at any block count."""
+    from crawlray.ops.graph import hits_scores
+
+    rng = np.random.RandomState(5)
+    n = 40
+    a = rng.randint(0, n, 150).astype("int64")
+    b = rng.randint(0, n, 150).astype("int64")
+    keep = a != b
+    edges = sorted(set(zip(a[keep].tolist(), b[keep].tolist())))
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in edges:
+        A[s, d] = 1
+    h = np.ones(n, dtype=object)  # python ints: no overflow anywhere
+    for _ in range(3):
+        auth = A.T.dot(h)
+        h = A.dot(auth)
+    tbl = pa.table(
+        {
+            "src": pa.array([s for s, _ in edges], pa.int64()),
+            "dst": pa.array([d for _, d in edges], pa.int64()),
+        }
+    )
+    got = (
+        hits_scores(ray.data.from_arrow(tbl).repartition(nblocks))
+        .to_pandas()
+        .sort_values("node")
+        .set_index("node")
+    )
+    present = sorted(set([s for s, _ in edges] + [d for _, d in edges]))
+    assert got.index.tolist() == present
+    for node in present:
+        assert got.loc[node, "auth"] == int(auth[node]), node
+        assert got.loc[node, "hub"] == int(h[node]), node
