@@ -292,6 +292,65 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
         cms.append(cm)
     assert (cms[0] == cms[1]).all(), "count_min NOT parallelism-invariant"
 
+    # per-source corpus diagnostics: entropy micro-units + ttr exact
+    from crawlray.ops.textqa import corpus_diagnostics
+
+    stress(
+        "corpus_diagnostics",
+        corpus_diagnostics,
+        [
+            lambda b: pc.add(b["n_tokens"], b["n_types"]),
+            lambda b: pc.cast(
+                pc.round(pc.multiply(b["entropy"], 1e9)), pa.int64()
+            ),
+        ],
+    )
+
+    # graph ops over a ~2M-edge synthetic web graph derived from doc ids:
+    # k-core peel (shuffle path forced via broadcast_threshold=0 on the
+    # second layout — both paths must agree) and integer HITS
+    from crawlray.ops.graph import hits_scores, kcore
+
+    # modulus scaled to the corpus so node degree stays ~20 at any
+    # --reps (a fixed modulus degenerates to degree ~1 on small runs,
+    # making the k-core vacuously empty)
+    gr_mod = max(1009, n // 20)
+
+    def _gr_edges(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = pa.array(ids % gr_mod, pa.int64())
+        dst = pa.array((ids * 2654435761) % gr_mod, pa.int64())
+        t = pa.table({"id_a": src, "id_b": dst})
+        return t.filter(pc.not_equal(t.column("id_a"), t.column("id_b")))
+
+    gres = []
+    for nb_, thr in ((blocks_a, 10**9), (blocks_b, 0)):
+        ds = ray.data.from_arrow(big).repartition(nb_)
+        ed = ds.map_batches(_gr_edges, batch_format="pyarrow")
+        t0 = time.time()
+        kc = kcore(ed, k=3, broadcast_threshold=thr)
+        chk = _checksum(
+            kc, [lambda b: pc.multiply(pc.add(b["node"], 1), b["deg"])]
+        )
+        dt = time.time() - t0
+        print(f"kcore blocks={nb_} thr={thr}: {dt:.1f}s, chk={chk}")
+        gres.append(chk)
+    assert gres[0] == gres[1], "kcore NOT path/layout-invariant"
+
+    hres = []
+    for nb_ in (blocks_a, blocks_b):
+        ds = ray.data.from_arrow(big).repartition(nb_)
+        ed = ds.map_batches(_gr_edges, batch_format="pyarrow")
+        t0 = time.time()
+        chk = _checksum(
+            hits_scores(ed, n_iters=3, src_col="id_a", dst_col="id_b"),
+            [lambda b: pc.add(b["auth"], b["hub"])],
+        )
+        dt = time.time() - t0
+        print(f"hits blocks={nb_}: {dt:.1f}s, chk={chk}")
+        hres.append(chk)
+    assert hres[0] == hres[1], "hits NOT parallelism-invariant"
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
