@@ -363,7 +363,10 @@ def test_kcore_shuffle_path_matches_broadcast(ray_session):
 
 
 @pytest.mark.parametrize("nblocks", [1, 4])
-def test_hits_scores_matches_dense_reference(ray_session, nblocks):
+@pytest.mark.parametrize("local_threshold", [2_000_000, 0])
+def test_hits_scores_matches_dense_reference(
+    ray_session, nblocks, local_threshold
+):
     """Unnormalized integer HITS vs a dense numpy reference; exact int
     equality at any block count."""
     from crawlray.ops.graph import hits_scores
@@ -388,7 +391,10 @@ def test_hits_scores_matches_dense_reference(ray_session, nblocks):
         }
     )
     got = (
-        hits_scores(ray.data.from_arrow(tbl).repartition(nblocks))
+        hits_scores(
+            ray.data.from_arrow(tbl).repartition(nblocks),
+            local_threshold=local_threshold,
+        )
         .to_pandas()
         .sort_values("node")
         .set_index("node")
