@@ -2167,8 +2167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # near-duplicate entries were merged into tagged multi-part results
     # [samples, set_ops, windowed_agg, quantiles, knn_ann, approx_distinct,
     # doc_profile, media_pipeline, cdc, pivot_unpivot, session_windows] so
-    # the whole oracled surface fits the window); the 12 rows-only queries
-    # (pytest-parity instead of SQL) follow.
+    # the whole oracled surface fits the window); the 7 rows-only queries
+    # (pytest-parity instead of SQL: k-means training / Gaussian
+    # hyperplanes / the live crawl have no DuckDB counterpart) follow.
     return {
         # -- relational core ------------------------------------------
         "q1_agg": _q1_agg,
