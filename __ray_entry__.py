@@ -1219,9 +1219,18 @@ def _flatten_tokens(sf_dir: str):
 
     merges = bpe_train(docs, num_merges=_BPE_K)
     n_m = merges.num_rows
+    # The oracle replays exactly _BPE_K merge rounds; a corpus that
+    # exhausts merges early would silently diverge (its bb{r} CTEs go
+    # empty and the oracle's bpe_vocab arm vanishes while the engine
+    # still counts under <K rules). Fail loudly instead (ADVICE r4).
+    if n_m != _BPE_K:
+        raise RuntimeError(
+            f"bpe_train learned {n_m} merges but the oracle replays "
+            f"{_BPE_K} rounds — corpus too small/degenerate for parity"
+        )
     mt = pa.table(
         {
-            "kind": pa.array(["bpe_merge"] * n_m),
+            "kind": pa.array(["bpe_merge"] * n_m, pa.string()),
             "token": pc.binary_join_element_wise(
                 merges.column("left"), merges.column("right"), " "
             ),
@@ -1767,7 +1776,12 @@ def _dedup_clusters(sf_dir: str):
     tri = triangle_counts(pds).map_batches(
         _tag("tri", "n_tri"), batch_format="pyarrow"
     )
-    kc = kcore(pds, k=2).map_batches(
+    # max_rounds=10 keeps the engine's peel bound COUPLED to the oracle's
+    # R=10 fixed replay rounds (_dedup_clusters_oracle): a graph needing
+    # more rounds now raises loudly in the engine instead of producing a
+    # confusing parity mismatch against the oracle's non-fixpoint degrees
+    # (ADVICE r4).
+    kc = kcore(pds, k=2, max_rounds=10).map_batches(
         _tag("kcore", "deg"), batch_format="pyarrow"
     )
     return comp.union(tri).union(kc)

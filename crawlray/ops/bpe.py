@@ -17,8 +17,18 @@ Data stages, the tokenizer-training step of an LLM data pipeline:
      parallelism-invariant), then applies the merge to the word table
      with ONE vectorized `replace_substring` pass. Driver state is one
      (pair, count) row per round.
-  3. Segmentation applies the K learned rules to any corpus as K
-     vectorized replace passes — zero shuffles, zero per-row Python.
+  3. Segmentation (default `mode="distinct"`, the 100 TB path — VERDICT
+     r4 item 1): fold the input to its DISTINCT word table (one hash
+     exchange), apply the K merge rules to each distinct word ONCE
+     (vocab-sized work, not corpus-sized), then map the segmentations
+     back onto every word occurrence — dictionary-encode each corpus
+     batch and `index_in` against the broadcast vocab (zero extra
+     shuffle) when the vocab fits the object store, or ONE
+     `shuffle_join` on the word key when it doesn't. Total work is
+     O(corpus) for the explode + O(K · vocab) for the merges, versus
+     the previous O(K · corpus) of K corpus-wide replace passes (kept
+     as `mode="fused"`, the shape the DuckDB oracle replays; both modes
+     are result-identical — tested).
 
 Symbol-string representation (what makes a merge ONE literal replace,
 in Arrow and in SQL): every symbol is wrapped in pipes and symbols are
@@ -27,10 +37,24 @@ then `replace("|a| |b|" → "|ab|")`: consecutive occurrences share no
 characters, so a single non-overlapping left-to-right replace-all (the
 semantics of Arrow `replace_substring`, Python `str.replace`, and SQL
 `replace` alike) is EXACTLY the greedy left-to-right BPE merge — e.g.
-run "a a a" merges to ["aa", "a"], "a a a a" to ["aa", "aa"]. Training
-words are restricted to `^[a-z]+$` so symbols never contain '|' or ' '.
-A DuckDB oracle replays the whole procedure with one CTE chain per
-round (see `__ray_entry__._flatten_tokens`).
+run "a a a" merges to ["aa", "a"], "a a a a" to ["aa", "aa"].
+
+Symbol space (VERDICT r4 item 3): two modes.
+  * Default (`byte_level=False`): training words are restricted to
+    `^[a-z]+$` so symbols never contain '|' or ' ' — the mode the
+    DuckDB oracle replays (`__ray_entry__._flatten_tokens`).
+  * `byte_level=True`: arbitrary text. Every UTF-8 byte is mapped
+    through a fixed bijection into a symbol alphabet that excludes
+    both '|' and ' ' (printable ASCII kept as-is except '|'; space and
+    every other byte shifted to codepoints 256+) — the GPT-2
+    byte-level-BPE trick (Radford et al. 2019, "Language Models are
+    Unsupervised Multitask Learners"), re-derived here so the
+    pipe-wrapped replace≡merge equivalence holds unchanged. The byte
+    translation itself is a vectorized numpy pass over the Arrow
+    string buffer (`bytes_to_chars`), never per-character Python.
+    Emitted tokens stay in the mapped-symbol alphabet (lossless —
+    byte-level BPE tokens need not be valid UTF-8); `byte_decode`
+    recovers the raw text of any token for display.
 """
 
 from __future__ import annotations
@@ -55,6 +79,93 @@ _PAIR_SCHEMA = pa.schema(
     [("w1", pa.string()), ("w2", pa.string()), ("cnt", pa.int64())]
 )
 
+# ---------------------------------------------------------------------------
+# byte-level symbol alphabet: a bijection byte → char with '|' and the
+# merge machinery's delimiter guarantees built in. Kept identity: space
+# (0x20, the word separator — words never contain it, so it can pass
+# through untouched in whole-text mode) and printable ASCII 0x21..0x7E
+# EXCEPT 0x7C ('|', the wrapper char). Every other byte maps to
+# codepoint 256+n (all 2-byte UTF-8, < 0x800).
+
+_KEEP_BYTES = frozenset({0x20}) | (
+    frozenset(range(0x21, 0x7F)) - {0x7C}
+)
+
+
+def _build_byte_tables():
+    b0 = np.zeros(256, np.uint8)
+    b1 = np.zeros(256, np.uint8)
+    olen = np.ones(256, np.uint8)
+    byte_to_char: dict[int, str] = {}
+    n = 0
+    for b in range(256):
+        if b in _KEEP_BYTES:
+            c = chr(b)
+        else:
+            c = chr(256 + n)
+            n += 1
+        byte_to_char[b] = c
+        e = c.encode("utf-8")
+        olen[b] = len(e)
+        b0[b] = e[0]
+        if len(e) > 1:
+            b1[b] = e[1]
+    return b0, b1, olen, byte_to_char
+
+
+_B0, _B1, _OLEN, _BYTE_TO_CHAR = _build_byte_tables()
+_CHAR_TO_BYTE = {c: b for b, c in _BYTE_TO_CHAR.items()}
+
+
+def byte_encode(s: str) -> str:
+    """Python-side reference encoder (tests / single values): UTF-8
+    bytes of `s` mapped through the symbol alphabet."""
+    return "".join(_BYTE_TO_CHAR[b] for b in s.encode("utf-8"))
+
+
+def byte_decode(token: str) -> str:
+    """Mapped-symbol token → raw text. byte-level BPE tokens may split
+    multi-byte UTF-8 sequences, so undecodable tails render as U+FFFD
+    (display only — the token string itself is the lossless form)."""
+    return bytes(_CHAR_TO_BYTE[c] for c in token).decode(
+        "utf-8", errors="replace"
+    )
+
+
+def bytes_to_chars(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized byte→symbol translation of a string column: one numpy
+    pass over the Arrow data buffer (per-byte table lookups + a cumsum
+    for the variable-width output), no per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.string())
+    if col.null_count:
+        col = col.fill_null("")
+    n = len(col)
+    if n == 0:
+        return pa.array([], pa.string())
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    used = data[offs[0] : offs[-1]]
+    out_len = _OLEN[used].astype(np.int64)
+    oo = np.concatenate(([np.int64(0)], np.cumsum(out_len)))
+    out = np.empty(int(oo[-1]), np.uint8)
+    pos = oo[:-1]
+    out[pos] = _B0[used]
+    two = out_len == 2
+    out[pos[two] + 1] = _B1[used[two]]
+    new_offs = oo[offs - offs[0]].astype(np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(out.tobytes())
+    )
+
 
 def wrap_symbols(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """'hello' → '|h| |e| |l| |l| |o|' — one vectorized regex pass
@@ -68,15 +179,44 @@ def wrap_symbols(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return wrapped
 
 
+def _split_words(
+    text: pa.Array | pa.ChunkedArray, byte_level: bool
+) -> pa.ListArray:
+    """Text column → list<string> of words under the mode's cleaning:
+    byte-level normalizes whitespace runs to one space and keeps every
+    character; default lowers and strips non-[a-z ] (the oracle's
+    cleaning). Split pieces may be '' (adjacent separators) — callers
+    filter. Returned words are NOT yet byte-translated."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if byte_level:
+        cleaned = pc.replace_substring_regex(
+            text, pattern=r"\s+", replacement=" "
+        )
+    else:
+        cleaned = pc.replace_substring_regex(
+            pc.utf8_lower(text), pattern="[^a-z ]", replacement=""
+        )
+    return pc.split_pattern(cleaned, pattern=" ")
+
+
 def bpe_word_table(
-    ds: ray.data.Dataset, text_col: str = "text"
+    ds: ray.data.Dataset, text_col: str = "text", byte_level: bool = False
 ) -> ray.data.Dataset:
-    """Corpus → (sym, freq): whitespace tokens filtered to `^[a-z]+$`,
-    ONE hash-count exchange, each word wrapped into its symbol string.
-    The only pass that ever reads the corpus."""
+    """Corpus → (sym, freq): ONE hash-count exchange over words, each
+    word wrapped into its symbol string. The only pass that ever reads
+    the corpus. Default mode keeps the oracle's exact token admission
+    (whitespace split, `^[a-z]+$` filter, no lowering); byte-level
+    admits every whitespace-delimited word via the byte alphabet."""
     from crawlray.ops.relational import grouped_count_hash
 
     def _toks(batch: pa.Table) -> pa.Table:
+        if byte_level:
+            flat = pc.list_flatten(
+                _split_words(batch.column(text_col), byte_level=True)
+            )
+            keep = pc.not_equal(flat, pa.scalar(""))
+            return pa.table({"token": bytes_to_chars(flat.filter(keep))})
         toks = pc.list_flatten(
             pc.split_pattern(batch.column(text_col), pattern=" ")
         )
@@ -138,6 +278,7 @@ def bpe_train(
     num_merges: int = 12,
     text_col: str = "text",
     local_threshold: int = 65536,
+    byte_level: bool = False,
 ) -> pa.Table:
     """Learn `num_merges` BPE merge rules over a corpus → the merge
     table (rank, left, right, merged, cnt) — the tokenizer model
@@ -172,7 +313,9 @@ def bpe_train(
         )
         return batch.select(["w1", "w2", "cnt"]).take(idx.slice(0, 1))
 
-    words = bpe_word_table(ds, text_col=text_col).materialize()
+    words = bpe_word_table(
+        ds, text_col=text_col, byte_level=byte_level
+    ).materialize()
 
     if words.count() <= local_threshold:
         tbls = [
@@ -277,25 +420,18 @@ def bpe_train(
 
 
 def _clean_and_wrap(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Segmentation preprocessing: lowercase, strip non-[a-z ], wrap
-    every remaining char (spaces become the '| |' symbol, which no
-    learned rule can merge across — rules only contain [a-z])."""
+    """Fused-mode segmentation preprocessing: lowercase, strip
+    non-[a-z ], wrap every remaining char (spaces become the '| |'
+    symbol, which no learned rule can merge across — rules never
+    contain the space symbol)."""
     cleaned = pc.replace_substring_regex(
         pc.utf8_lower(col), pattern="[^a-z ]", replacement=""
     )
     return wrap_symbols(cleaned)
 
 
-def bpe_segment_tokens(
-    ds: ray.data.Dataset,
-    merges: pa.Table,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> ray.data.Dataset:
-    """Tokenize a corpus with learned merge rules → (id, token) rows.
-    K vectorized replace passes (rank order) per batch — zero shuffles;
-    the merge table (K rows) is captured by value in the closure."""
-    rules = [
+def _rules_of(merges: pa.Table) -> list[tuple[str, str]]:
+    return [
         ("|" + lf + "| |" + rt + "|", "|" + mg + "|")
         for lf, rt, mg in zip(
             merges.column("left").to_pylist(),
@@ -304,26 +440,193 @@ def bpe_segment_tokens(
         )
     ]
 
-    def _seg(batch: pa.Table) -> pa.Table:
-        sym = _clean_and_wrap(batch.column(text_col).combine_chunks())
+
+def bpe_segment_tokens(
+    ds: ray.data.Dataset,
+    merges: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "distinct",
+    byte_level: bool = False,
+    broadcast_threshold: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Tokenize a corpus with learned merge rules → (id, token) rows.
+
+    `mode="distinct"` (default — the scale path, VERDICT r4 item 1):
+    the input folds to its DISTINCT word table (one hash exchange), the
+    K rules apply to each distinct word ONCE (O(K · vocab) total, not
+    O(K · corpus)), and the per-word segmentations map back onto every
+    occurrence. Map-back is adaptive: vocab ≤ `broadcast_threshold`
+    rows → the (word, seg) table is `ray.put` ONCE and every corpus
+    batch resolves its words via dictionary-encode + `index_in`
+    (zero-copy plasma read, zero extra shuffle, output preserves
+    document order); larger vocabs → ONE `shuffle_join` on the word key
+    (row order not guaranteed — token MULTISET per doc is identical).
+
+    `mode="fused"`: K vectorized replace passes over the whole corpus
+    per batch — the exact shape the DuckDB oracle replays
+    (`__ray_entry__._flatten_tokens` bseg CTE); zero shuffles, O(K ·
+    corpus) work. Result-identical to "distinct" (rules never merge
+    across the word separator — tested at multiple block counts).
+
+    byte-level tokens are emitted in the mapped-symbol alphabet
+    (lossless); use `byte_decode` to render them."""
+    rules = _rules_of(merges)
+
+    if mode == "fused":
+
+        def _seg(batch: pa.Table) -> pa.Table:
+            text = batch.column(text_col).combine_chunks()
+            if byte_level:
+                sym = wrap_symbols(
+                    bytes_to_chars(
+                        pc.replace_substring_regex(
+                            text, pattern=r"\s+", replacement=" "
+                        )
+                    )
+                )
+            else:
+                sym = _clean_and_wrap(text)
+            for pat, rep in rules:
+                sym = pc.replace_substring(sym, pattern=pat, replacement=rep)
+            toks = pc.split_pattern(sym, pattern=" ")
+            parents = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            # the wrapped space symbol '| |' splits into two bare '|'
+            # pieces (it contains the delimiter); they and empties trim
+            # to '' — one post-trim non-empty filter drops them all
+            trimmed = pc.utf8_trim(flat, characters="|")
+            keep = pc.not_equal(trimmed, pa.scalar(""))
+            return pa.table(
+                {
+                    id_col: batch.column(id_col).take(parents).filter(keep),
+                    "token": trimmed.filter(keep),
+                }
+            )
+
+        return ds.map_batches(_seg, batch_format="pyarrow")
+
+    if mode != "distinct":
+        raise ValueError(f"mode must be 'distinct' or 'fused', got {mode!r}")
+
+    from crawlray.ops.relational import grouped_count_hash, shuffle_join
+
+    def _words_only(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            _split_words(batch.column(text_col), byte_level)
+        )
+        keep = pc.not_equal(flat, pa.scalar(""))
+        w = flat.filter(keep)
+        if byte_level:
+            w = bytes_to_chars(w)
+        return pa.table({"word": w})
+
+    def _seg_vocab(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "seg": pa.array([], pa.string())}
+            )
+        sym = wrap_symbols(batch.column("word").combine_chunks())
         for pat, rep in rules:
             sym = pc.replace_substring(sym, pattern=pat, replacement=rep)
-        toks = pc.split_pattern(sym, pattern=" ")
-        parents = pc.list_parent_indices(toks)
-        flat = pc.list_flatten(toks)
-        # the wrapped space symbol '| |' splits into two bare '|' pieces
-        # (it contains the delimiter); they and empties trim to '' — one
-        # post-trim non-empty filter drops them all
-        trimmed = pc.utf8_trim(flat, characters="|")
-        keep = pc.not_equal(trimmed, pa.scalar(""))
+        return pa.table({"word": batch.column("word"), "seg": sym})
+
+    segd = (
+        grouped_count_hash(
+            ds.map_batches(_words_only, batch_format="pyarrow"),
+            ["word"],
+            alias="freq",
+        )
+        .map_batches(_seg_vocab, batch_format="pyarrow")
+        .materialize()
+    )
+    n_vocab = segd.count()
+
+    def _explode_occurrences(batch: pa.Table):
+        """batch → (parents: row index per word occurrence, words)."""
+        lists = _split_words(batch.column(text_col), byte_level)
+        parents = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        parents = parents.filter(keep)
+        flat = flat.filter(keep)
+        if byte_level:
+            flat = bytes_to_chars(flat)
+        return parents, flat
+
+    def _flatten_segs(
+        ids: pa.Array, segs: pa.Array | pa.ChunkedArray
+    ) -> pa.Table:
+        """Per-occurrence (id, seg) → (id, token) rows. Word segs never
+        contain the '| |' space symbol, so every split piece trims to a
+        non-empty token — no filter needed."""
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        tok_lists = pc.split_pattern(segs, pattern=" ")
+        tparents = pc.list_parent_indices(tok_lists)
+        toks = pc.utf8_trim(pc.list_flatten(tok_lists), characters="|")
+        return pa.table({id_col: ids.take(tparents), "token": toks})
+
+    if n_vocab <= broadcast_threshold:
+        tbls = [
+            t
+            for t in ray.get(segd.to_arrow_refs())
+            if t.num_columns > 0 and t.num_rows > 0
+        ]
+        vt = (
+            pa.concat_tables(tbls).combine_chunks()
+            if tbls
+            else pa.table(
+                {"word": pa.array([], pa.string()), "seg": pa.array([], pa.string())}
+            )
+        )
+        vt_ref = ray.put(vt)
+
+        def _apply_bcast(batch: pa.Table) -> pa.Table:
+            vt = ray.get(vt_ref)  # zero-copy plasma read, once per task
+            parents, words = _explode_occurrences(batch)
+            enc = words.dictionary_encode()
+            # vocab was built from this very dataset, so every distinct
+            # word resolves (index_in returns no nulls here)
+            pos = pc.index_in(enc.dictionary, value_set=vt.column("word"))
+            seg_per_distinct = vt.column("seg").combine_chunks().take(pos)
+            occ_seg = seg_per_distinct.take(enc.indices)
+            ids = batch.column(id_col).take(parents)
+            return _flatten_segs(ids, occ_seg)
+
+        return ds.map_batches(_apply_bcast, batch_format="pyarrow")
+
+    # giant-vocab path: explode (id, word) once and resolve segs with
+    # ONE distributed hash join on the word key
+    def _explode_tbl(batch: pa.Table) -> pa.Table:
+        parents, words = _explode_occurrences(batch)
         return pa.table(
-            {
-                id_col: batch.column(id_col).take(parents).filter(keep),
-                "token": trimmed.filter(keep),
-            }
+            {id_col: batch.column(id_col).take(parents), "word": words}
         )
 
-    return ds.map_batches(_seg, batch_format="pyarrow")
+    joined = shuffle_join(
+        ds.map_batches(_explode_tbl, batch_format="pyarrow"),
+        segd.select_columns(["word", "seg"]),
+        on=["word"],
+    )
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            # zero-column blocks out of an empty join partition carry no
+            # schema; the corpus id columns in this repo are int64
+            # (documents.doc_id), which is what the guard assumes
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                }
+            )
+        return _flatten_segs(
+            batch.column(id_col).combine_chunks(),
+            batch.column("seg"),
+        )
+
+    return joined.map_batches(_emit, batch_format="pyarrow")
 
 
 def bpe_vocab_counts(
@@ -331,13 +634,22 @@ def bpe_vocab_counts(
     merges: pa.Table,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "distinct",
+    byte_level: bool = False,
 ) -> ray.data.Dataset:
     """Corpus-wide BPE token counts under learned rules → (token, n):
-    segmentation (zero-shuffle map) + ONE hash-count exchange."""
+    segmentation + ONE hash-count exchange."""
     from crawlray.ops.relational import grouped_count_hash
 
     return grouped_count_hash(
-        bpe_segment_tokens(ds, merges, id_col=id_col, text_col=text_col),
+        bpe_segment_tokens(
+            ds,
+            merges,
+            id_col=id_col,
+            text_col=text_col,
+            mode=mode,
+            byte_level=byte_level,
+        ),
         ["token"],
         alias="n",
     )

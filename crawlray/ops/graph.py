@@ -792,8 +792,7 @@ def hits_scores(
         et = pa.concat_tables(tbls)
         src = et.column("src").combine_chunks().to_numpy(zero_copy_only=False)
         dst = et.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
-        nodes_arr, src_i = np.unique(src, return_inverse=True)
-        nodes_all = np.unique(np.concatenate([nodes_arr, np.unique(dst)]))
+        nodes_all = np.unique(np.concatenate([np.unique(src), np.unique(dst)]))
         src_i = np.searchsorted(nodes_all, src)
         dst_i = np.searchsorted(nodes_all, dst)
         m = len(nodes_all)

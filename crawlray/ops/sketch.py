@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
@@ -431,7 +432,10 @@ def count_min(
     from crawlray.ops.relational import grouped_sum_hash
 
     def _partial(batch: pa.Table) -> pa.Table:
-        c = batch.column(col).combine_chunks()
+        # null keys are ignored (they would otherwise surface as NaN
+        # dictionary indices and break bincount, or hash as a spurious
+        # key) — same null semantics as SQL COUNT(col)
+        c = batch.column(col).combine_chunks().drop_null()
         # count per distinct key first (dict-encode), then scatter —
         # O(distinct) slot rows per block, not O(rows)
         enc = c.dictionary_encode()
@@ -481,9 +485,20 @@ def cm_probe(
     depth, width = cm.shape
 
     def _probe(batch: pa.Table) -> pa.Table:
-        h = _hash_column(batch.column(col).combine_chunks())
+        c = batch.column(col).combine_chunks()
+        has_nulls = c.null_count > 0
+        if has_nulls:
+            # null keys were ignored at build time (count_min._partial);
+            # probe them as null, not as a spurious hashed key
+            filler = 0 if pa.types.is_integer(c.type) else ""
+            h = _hash_column(c.fill_null(filler))
+        else:
+            h = _hash_column(c)
         slots = _cm_slots(h, depth, width)
         est = cm[np.arange(depth)[:, None], slots].min(axis=0)
-        return batch.append_column(out_col, pa.array(est, pa.int64()))
+        arr: pa.Array = pa.array(est, pa.int64())
+        if has_nulls:
+            arr = pc.if_else(pc.is_valid(c), arr, pa.scalar(None, pa.int64()))
+        return batch.append_column(out_col, arr)
 
     return ds.map_batches(_probe, batch_format="pyarrow")

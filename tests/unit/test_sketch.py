@@ -214,3 +214,36 @@ def test_count_min_string_keys_exact_at_low_load(ray_session):
     distinct = pa.table({"u": pa.array([f"user{i}" for i in range(37)])})
     probed = cm_probe(ray.data.from_arrow(distinct), cm, "u").to_pandas()
     assert (probed["cm_est"] == 200).all()
+
+
+def test_count_min_null_keys_ignored(ray_session):
+    """ADVICE r4: null keys must be dropped at build (they would
+    otherwise break bincount via NaN dictionary indices) and probed as
+    null — SQL COUNT(col) semantics."""
+    import ray.data
+
+    from crawlray.ops.sketch import cm_probe, count_min
+
+    with_nulls = pa.table(
+        {"u": pa.array(["a"] * 50 + [None] * 30 + ["b"] * 20, pa.string())}
+    )
+    cm = count_min(ray.data.from_arrow(with_nulls).repartition(4), "u")
+    # nulls never counted: matrix totals exclude the 30 null rows
+    assert (cm.sum(axis=1) == 70).all()
+    probe_in = pa.table({"u": pa.array(["a", None, "b"], pa.string())})
+    probed = cm_probe(ray.data.from_arrow(probe_in), cm, "u").to_pandas()
+    by_key = dict(zip(probe_in.column("u").to_pylist(), probed["cm_est"]))
+    assert by_key["a"] == 50 and by_key["b"] == 20
+    assert probed["cm_est"].isna().sum() == 1  # the null key probes null
+
+    # int keys with nulls: same contract on the splitmix path
+    ints = pa.table({"k": pa.array([1] * 10 + [None] * 5 + [2] * 3, pa.int64())})
+    cmi = count_min(ray.data.from_arrow(ints).repartition(3), "k")
+    assert (cmi.sum(axis=1) == 13).all()
+    pr = cm_probe(
+        ray.data.from_arrow(pa.table({"k": pa.array([1, 2, None], pa.int64())})),
+        cmi,
+        "k",
+    ).to_pandas()
+    assert pr["cm_est"].tolist()[:2] == [10, 3]
+    assert pr["cm_est"].isna().tolist() == [False, False, True]
