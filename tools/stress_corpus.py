@@ -258,6 +258,63 @@ def run(big: pa.Table, blocks_a: int, blocks_b: int) -> None:
         ],
     )
 
+    # BPE segmentation at a production-grade vocab (VERDICT r4 item 1
+    # done-bar): the sf corpus has only 31 distinct words (107-merge
+    # ceiling), so each doc plants one deterministic pseudo-word
+    # ('w' + doc_id%4096 — digits need the byte-level alphabet, which
+    # this entry exercises at scale). Train 512 merges (vocab-sized
+    # rounds), then segment all ~1M docs on the DISTINCT-word scale
+    # path at two block counts. Work is O(K*vocab) for the rules + one
+    # map-back per occurrence — this entry is what K corpus-wide
+    # replace passes could never survive (512 passes x 1M docs).
+    from crawlray.ops.bpe import bpe_segment_tokens
+
+    def _enrich(b: pa.Table) -> pa.Table:
+        tag = pc.binary_join_element_wise(
+            "w",
+            pc.cast(
+                pc.subtract(
+                    b["doc_id"],
+                    pc.multiply(pc.divide(b["doc_id"], 4096), 4096),
+                ),
+                pa.string(),
+            ),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": pc.binary_join_element_wise(b["text"], tag, " "),
+            }
+        )
+
+    def _rich(ds):
+        return ds.map_batches(_enrich, batch_format="pyarrow")
+
+    t0 = time.time()
+    rules512 = bpe_train(
+        _rich(ray.data.from_arrow(big).repartition(blocks_a)),
+        num_merges=512,
+        byte_level=True,
+    )
+    print(
+        f"bpe_train_512: {time.time() - t0:.1f}s, "
+        f"rules={rules512.num_rows}"
+    )
+    assert rules512.num_rows == 512, "corpus exhausted below 512 merges"
+    stress(
+        "bpe_segment_512",
+        lambda ds: bpe_segment_tokens(
+            _rich(ds), rules512, byte_level=True
+        ),
+        [
+            lambda b: pc.multiply(
+                pc.cast(pc.utf8_length(b["token"]), pa.int64()),
+                pc.add(b["doc_id"], 1),
+            )
+        ],
+    )
+
     # NB quality classifier: ~200M token rows through the weight join +
     # two hash exchanges; nb is micro-units/1e6 so quantizing by 1e6 is
     # exact and the checksum bit-stable
