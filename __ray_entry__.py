@@ -822,26 +822,44 @@ def _samples(sf_dir: str):
     parallelism/engines)."""
     from crawlray.ops.relational import (
         hash_sample,
+        md5_digest_col,
         stratified_sample,
         weighted_sample,
     )
 
-    # six arms share this two-column scan — pin it once
-    docs = _rd(sf_dir, "documents", columns=["doc_id", "source"]).materialize()
+    # six arms share this two-column scan — pin it once, WITH the md5
+    # digest of doc_id precomputed (md5_digest_col): five arms key on
+    # the same digest, and the per-row Python md5 is the only work here
+    # that scales with ROWS (at sf0.1 the query is floored by plan
+    # overhead — measured old≈new — but at corpus scale one hashing
+    # pass instead of five is the dominant CPU term; VERDICT r4 item 6)
+    docs = md5_digest_col(
+        _rd(sf_dir, "documents", columns=["doc_id", "source"]), "doc_id"
+    ).materialize()
 
     def _tag(kind: str):
         def _m(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "kind", pa.array([kind] * batch.num_rows, pa.string())
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "source": batch.column("source"),
+                    "kind": pa.array(
+                        [kind] * batch.num_rows, pa.string()
+                    ),
+                }
             )
 
         return _m
 
-    h = hash_sample(docs, key="doc_id", buckets_kept=25).map_batches(
-        _tag("hash"), batch_format="pyarrow"
-    )
+    h = hash_sample(
+        docs, key="doc_id", buckets_kept=25, digest_col="_md5"
+    ).map_batches(_tag("hash"), batch_format="pyarrow")
     s = stratified_sample(
-        docs, group_col="source", key_col="doc_id", n_per_group=10
+        docs,
+        group_col="source",
+        key_col="doc_id",
+        n_per_group=10,
+        digest_col="_md5",
     ).map_batches(_tag("stratified"), batch_format="pyarrow")
 
     def _norm_orders(batch: pa.Table) -> pa.Table:
@@ -882,7 +900,11 @@ def _samples(sf_dir: str):
         for s in srcs
     }
     m = mixture_sample(
-        docs, source_col="source", key_col="doc_id", rates=rates
+        docs,
+        source_col="source",
+        key_col="doc_id",
+        rates=rates,
+        digest_col="_md5",
     ).map_batches(_tag("mixture"), batch_format="pyarrow")
 
     # kind='split_<name>': deterministic 80/10/10 train/val/test
@@ -904,7 +926,10 @@ def _samples(sf_dir: str):
         )
 
     sp = hash_split(
-        docs, key="doc_id", splits=[("train", 205), ("val", 25), ("test", 26)]
+        docs,
+        key="doc_id",
+        splits=[("train", 205), ("val", 25), ("test", 26)],
+        digest_col="_md5",
     ).map_batches(_fold_split, batch_format="pyarrow")
 
     # kind='epoch<k>': fractional-epoch repeat mixing (epoch_mixture) —
@@ -933,7 +958,11 @@ def _samples(sf_dir: str):
         )
 
     ep = epoch_mixture(
-        docs, source_col="source", key_col="doc_id", epochs=eps
+        docs,
+        source_col="source",
+        key_col="doc_id",
+        epochs=eps,
+        digest_col="_md5",
     ).map_batches(_fold_epoch, batch_format="pyarrow")
     return h.union(s).union(w).union(m).union(sp).union(ep)
 

@@ -262,12 +262,34 @@ def topk(
     return ds.sort(keys, descending=descending).limit(k)
 
 
+def md5_digest_col(
+    ds: ray.data.Dataset, key: str, out_col: str = "_md5"
+) -> ray.data.Dataset:
+    """Append the full md5 hex digest of `key` as `out_col` — ONE
+    per-row hashing pass that every md5-keyed sampler downstream can
+    share via its `digest_col` parameter (the md5 is the only per-row
+    Python in this family; computing it once instead of once per
+    sampler is the whole win when several samplers ride one pinned
+    scan, as the driver's `samples` query does)."""
+    import hashlib
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        digs = pa.array(
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            for v in batch.column(key).to_pylist()
+        )
+        return batch.append_column(out_col, digs)
+
+    return ds.map_batches(_digest, batch_format="pyarrow")
+
+
 def hash_sample(
     ds: ray.data.Dataset,
     key: str,
     buckets_kept: int,
     total_buckets: int = 256,
     invert: bool = False,
+    digest_col: str | None = None,
 ) -> ray.data.Dataset:
     """Deterministic content-keyed sample (O-36, the reproducible variant).
 
@@ -303,10 +325,15 @@ def hash_sample(
     import hashlib
 
     def _sample(batch: pa.Table) -> pa.Table:
-        prefixes = pa.array(
-            hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
-            for v in batch.column(key).to_pylist()
-        )
+        if digest_col is not None:
+            prefixes = pc.utf8_slice_codeunits(
+                batch.column(digest_col), 0, 2
+            )
+        else:
+            prefixes = pa.array(
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+                for v in batch.column(key).to_pylist()
+            )
         return batch.filter(cmp(prefixes, threshold))
 
     return ds.map_batches(_sample, batch_format="pyarrow")
@@ -317,6 +344,7 @@ def hash_split(
     key: str,
     splits: list[tuple[str, int]],
     hash_fn: str = "md5",
+    digest_col: str | None = None,
 ) -> ray.data.Dataset:
     """Deterministic train/val/test split: append a `split` label column
     assigning each row to one of the named bucket ranges — e.g.
@@ -358,12 +386,19 @@ def hash_split(
         if batch.num_rows == 0:
             return batch.append_column("split", pa.array([], pa.string()))
         if hash_fn == "md5":
-            h = np.array(
-                [
-                    hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
-                    for v in batch.column(key).to_pylist()
-                ]
-            )
+            if digest_col is not None:
+                h = np.array(
+                    pc.utf8_slice_codeunits(
+                        batch.column(digest_col), 0, 2
+                    ).to_pylist()
+                )
+            else:
+                h = np.array(
+                    [
+                        hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+                        for v in batch.column(key).to_pylist()
+                    ]
+                )
         else:
             from crawlray.murmur3 import murmur3_x64_128_batch
 
@@ -386,6 +421,7 @@ def mixture_sample(
     key_col: str,
     rates: dict[str, float],
     default_rate: float = 0.0,
+    digest_col: str | None = None,
 ) -> ray.data.Dataset:
     """Deterministic data-mixing sampler: downsample each source to its
     target mixture rate (the 'domain weights' stage of a training-data
@@ -429,10 +465,15 @@ def mixture_sample(
             pa.string(),
         )
         thr = uniq_thr.take(enc.indices)
-        prefixes = pa.array(
-            hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
-            for v in batch.column(key_col).to_pylist()
-        )
+        if digest_col is not None:
+            prefixes = pc.utf8_slice_codeunits(
+                batch.column(digest_col), 0, 2
+            )
+        else:
+            prefixes = pa.array(
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+                for v in batch.column(key_col).to_pylist()
+            )
         return batch.filter(pc.less(prefixes, thr))
 
     return ds.map_batches(_sample, batch_format="pyarrow")
@@ -444,6 +485,7 @@ def epoch_mixture(
     key_col: str,
     epochs: dict[str, float],
     default_epochs: float = 1.0,
+    digest_col: str | None = None,
 ) -> ray.data.Dataset:
     """Fractional-EPOCH data mixing — the upsampling counterpart of
     `mixture_sample` ('2.3 epochs of books, 0.5 of web'): every row of
@@ -494,10 +536,17 @@ def epoch_mixture(
         idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         base = np.array([u[0] for u in uniq], np.int64)[idx]
         thr = pa.array([u[1] for u in uniq], pa.string()).take(enc.indices)
-        prefixes = pa.array(
-            hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
-            for v in batch.column(key_col).to_pylist()
-        )
+        if digest_col is not None:
+            prefixes = pc.utf8_slice_codeunits(
+                batch.column(digest_col), 0, 2
+            )
+            if isinstance(prefixes, pa.ChunkedArray):
+                prefixes = prefixes.combine_chunks()
+        else:
+            prefixes = pa.array(
+                hashlib.md5(str(v).encode("utf-8")).hexdigest()[:2]
+                for v in batch.column(key_col).to_pylist()
+            )
         extra = pc.less(prefixes, thr).to_numpy(zero_copy_only=False)
         copies = base + extra.astype(np.int64)
         total = int(copies.sum())
@@ -555,6 +604,7 @@ def stratified_sample(
     group_col: str,
     key_col: str,
     n_per_group: int,
+    digest_col: str | None = None,
 ) -> ray.data.Dataset:
     """Deterministic stratified sample: n rows per group, chosen as the
     n smallest md5(key) — a balanced per-source/per-language training-data
@@ -568,6 +618,8 @@ def stratified_sample(
     import hashlib
 
     def _digest(batch: pa.Table) -> pa.Table:
+        if digest_col is not None:
+            return batch.append_column("_dig", batch.column(digest_col))
         digs = pa.array(
             hashlib.md5(str(v).encode("utf-8")).hexdigest()
             for v in batch.column(key_col).to_pylist()

@@ -373,6 +373,14 @@ def test_pmi_collocations_crafted_and_block_invariant(ray_session):
             for r in got.itertuples()
         }
         assert got_map == want, f"nblocks={nblocks}: {got_map} != {want}"
+        # round 5: the adaptive unigram chooser — broadcast_threshold=0
+        # forces the shuffle-join path; both paths must be identical
+        got_sh = pmi_collocations(ds, broadcast_threshold=0).to_pandas()
+        got_sh_map = {
+            (r.w1, r.w2): (r.c12, r.c1, r.c2, r.pmi)
+            for r in got_sh.itertuples()
+        }
+        assert got_sh_map == want, f"shuffle path nblocks={nblocks}"
     # the most frequent pair must survive the min_count cut
     assert want[("new", "york")][0] == 4
     # rarer-word pairs score higher PMI than common-word pairs at equal c12
