@@ -1377,11 +1377,21 @@ def bloom_semi_join(
     # grouped_count_hash) — the verify join is semi/anti-semantics-safe
     # only under that guarantee, since duplicate right keys would fan out
     # candidate rows.
-    rdist = (
-        right.select_columns([key])
-        if right_is_distinct
-        else distinct(right.select_columns([key]), [key])
-    )
+    # hash-exchange dedup, not `distinct()`'s sort-based groupby (the
+    # sort shuffle was measured at 20x+ a hash exchange on key sets of
+    # this shape — same rationale as grouped_count_hash itself);
+    # drop_empty_blocks scrubs the hash exchange's schema-less empty
+    # partitions before they reach Dataset.join
+    if right_is_distinct:
+        rdist = right.select_columns([key])
+    else:
+        from crawlray.ops.blocks import drop_empty_blocks
+
+        rdist = drop_empty_blocks(
+            grouped_count_hash(right.select_columns([key]), [key], alias="_c")
+            .select_columns([key])
+            .materialize()
+        )
     rkeys = rdist.map_batches(
         lambda b: b.append_column(
             "_rhit", pa.array(np.ones(b.num_rows, np.int8))
