@@ -1369,6 +1369,23 @@ def bloom_semi_join(
         if saturated
         else left.map_batches(_probe, batch_format="pyarrow")
     )
+    # No-candidate short-circuit (exact, and a crash guard): Ray's
+    # hash-shuffle join cannot finalize when one side routes ZERO rows
+    # to every partition (the aggregator's empty partitions carry no
+    # schema and Acero rejects the key field) — which is precisely the
+    # empty-right / zero-overlap / empty-left regimes, e.g. a
+    # decontaminate over a fully clean corpus. With no candidates the
+    # answer is already known: semi → nothing matched; anti → every
+    # left row is bloom-rejected, i.e. DEFINITELY unmatched (no false
+    # negatives), so the result is left itself. limit(1) stops the
+    # probe at the first surviving row, so the non-empty common case
+    # pays one early-stopping scan, not a materialization.
+    if candidates.limit(1).count() == 0:
+        if anti:
+            return left
+        return left.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow"
+        )
     # no fixed repartition here (ADVICE r3): shuffle_join's size-aware
     # num_partitions default scales with the right key set; a hardcoded
     # repartition(2) would funnel a large key set into 2 aggregators.
@@ -1387,10 +1404,19 @@ def bloom_semi_join(
     else:
         from crawlray.ops.blocks import drop_empty_blocks
 
+        # schema from the right side keeps the join alive when every
+        # hash partition is empty (an empty right is a legal semi/anti
+        # input: semi → empty, anti → all of left; this edge predates
+        # the hash-exchange dedup — distinct() emitted ZERO blocks)
+        sch = right.schema()
+        key_schema = pa.schema(
+            [pa.field(key, dict(zip(sch.names, sch.types))[key])]
+        )
         rdist = drop_empty_blocks(
             grouped_count_hash(right.select_columns([key]), [key], alias="_c")
             .select_columns([key])
-            .materialize()
+            .materialize(),
+            schema=key_schema,
         )
     rkeys = rdist.map_batches(
         lambda b: b.append_column(

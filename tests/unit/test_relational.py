@@ -749,3 +749,48 @@ def test_grouped_sum_hash_equals_pandas(ray_session):
         ray.data.from_pandas(df), ["k"], "v", alias="s"
     ).to_pandas()
     assert sorted(got2.columns) == ["k", "s"]
+
+
+def test_bloom_semi_anti_degenerate_inputs(ray_session):
+    """Round 5: empty-right / zero-overlap / empty-left must not crash
+    Ray's hash-shuffle join (its aggregator finalizes schema-less empty
+    partitions when one side routes zero rows everywhere) — the
+    no-candidate short-circuit answers them exactly. This is the
+    clean-corpus decontaminate regime."""
+    import ray.data
+
+    from crawlray.ops.relational import bloom_semi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    )
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    disjoint = ray.data.from_arrow(
+        pa.table({"k": pa.array([99, 100], pa.int64())})
+    )
+
+    # empty right: semi -> nothing, anti -> everything
+    assert bloom_semi_join(left, empty, key="k").take_all() == []
+    assert sorted(
+        r["k"] for r in bloom_semi_join(left, empty, key="k", anti=True).take_all()
+    ) == [1, 2, 3]
+
+    # zero overlap: same answers, bloom rejects every left row
+    assert bloom_semi_join(left, disjoint, key="k").take_all() == []
+    assert sorted(
+        r["k"]
+        for r in bloom_semi_join(left, disjoint, key="k", anti=True).take_all()
+    ) == [1, 2, 3]
+
+    # empty left: both modes empty
+    assert bloom_semi_join(empty, left, key="k").take_all() == []
+    assert bloom_semi_join(empty, left, key="k", anti=True).take_all() == []
+
+    # sanity: the non-degenerate path still verifies exactly
+    some = ray.data.from_arrow(pa.table({"k": pa.array([2, 99], pa.int64())}))
+    assert sorted(
+        r["k"] for r in bloom_semi_join(left, some, key="k").take_all()
+    ) == [2]
+    assert sorted(
+        r["k"] for r in bloom_semi_join(left, some, key="k", anti=True).take_all()
+    ) == [1, 3]
