@@ -73,6 +73,15 @@ def _collect_partials(
     return _collect_table(mat, schema)
 
 
+def _node_type_of(ds: ray.data.Dataset, col: str) -> pa.DataType:
+    """Arrow type of a node/id column, int64 fallback when the lineage
+    has lost its schema (empty datasets after map stages)."""
+    sch = ds.schema()
+    if sch is not None and col in sch.names:
+        return dict(zip(sch.names, sch.types))[col]
+    return pa.int64()
+
+
 def _approx_node_count(edges: ray.data.Dataset, cols: list[str]) -> float:
     """HLL (±~1.6%, p=12) estimate of the distinct-node count over the
     union of endpoint columns — ONE streaming pass with a 4 KiB partial
@@ -270,6 +279,14 @@ def pagerank(
     """
     from crawlray.ops.relational import shuffle_join, single_row_agg
 
+    # empty edge list: no nodes, no ranks (N=0 would divide the teleport
+    # term by zero) — typed empty result, round-5 degenerate-input guard
+    if edges.limit(1).count() == 0:
+        ntype = _node_type_of(edges, src_col)
+        return ray.data.from_arrow(
+            pa.schema([("node", ntype), ("rank", pa.float64())]).empty_table()
+        )
+
     edges = edges.select_columns([src_col, dst_col]).materialize()
     if (
         _approx_node_count(edges, [src_col, dst_col])
@@ -442,6 +459,16 @@ def connected_components(
     """
     from ray.data.aggregate import Min, Sum
     from crawlray.ops.relational import shuffle_join
+
+    # empty pair set is a legitimate input (a corpus with zero near-dup
+    # pairs): the closure over no edges labels no nodes. Short-circuit
+    # with a typed empty result — downstream of here, empty lineages
+    # lose their schema and the joins/aggregates raise (round-5 probe).
+    if pairs.limit(1).count() == 0:
+        ntype = _node_type_of(pairs, a_col)
+        return ray.data.from_arrow(
+            pa.schema([("node", ntype), ("component", ntype)]).empty_table()
+        )
 
     # undirected: propagate both ways
     fwd = pairs.select_columns([a_col, b_col]).rename_columns(["u", "v"])
@@ -762,6 +789,17 @@ def hits_scores(
         grouped_sum_hash,
         shuffle_join,
     )
+
+    # empty edge list: typed empty result (an empty materialized map
+    # output carries NO schema — ed.schema() is None and everything
+    # downstream raises; round-5 degenerate-input guard)
+    if edges.limit(1).count() == 0:
+        ntype = _node_type_of(edges, src_col)
+        return ray.data.from_arrow(
+            pa.schema(
+                [("node", ntype), ("auth", pa.int64()), ("hub", pa.int64())]
+            ).empty_table()
+        )
 
     ed = edges.map_batches(
         lambda b: pa.table(

@@ -404,3 +404,39 @@ def test_hits_scores_matches_dense_reference(
     for node in present:
         assert got.loc[node, "auth"] == int(auth[node]), node
         assert got.loc[node, "hub"] == int(h[node]), node
+
+
+def test_graph_ops_empty_edge_sets(ray_session):
+    """Round 5: an EMPTY pair/edge set is a legitimate input (a corpus
+    with zero near-dup pairs feeds connected_components no edges; an
+    empty webgraph slice feeds pagerank/HITS none). Each op must return
+    a typed empty result, not crash on schema-less empty lineages."""
+    import ray.data
+
+    from crawlray.ops.graph import (
+        connected_components,
+        hits_scores,
+        kcore,
+        pagerank,
+        triangle_counts,
+    )
+
+    ep = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    )
+    cc = connected_components(ep)
+    assert cc.count() == 0 and set(cc.schema().names) == {"node", "component"}
+    assert triangle_counts(ep).count() == 0
+    assert kcore(ep, k=2).count() == 0
+
+    ee = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
+    pr = pagerank(ee)
+    assert pr.count() == 0 and set(pr.schema().names) == {"node", "rank"}
+    h = hits_scores(ee)
+    assert h.count() == 0 and set(h.schema().names) == {"node", "auth", "hub"}
