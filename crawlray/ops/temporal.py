@@ -265,6 +265,20 @@ def range_join(
     }
     ws_name, we_name = rename[right_start], rename[right_end]
 
+    # empty-side short-circuit (round-5 degenerate-input guard): with
+    # zero rows on either side the bucket equi-join routes nothing to
+    # every hash partition and Ray's join aggregator finalizes
+    # schema-less empty partitions that Acero rejects — and the answer
+    # is already known: an inner interval join with an empty side has
+    # no pairs. Typed empty output preserves the documented schema.
+    if left.limit(1).count() == 0 or right.limit(1).count() == 0:
+        lsch, rsch = left.schema(), right.schema()
+        fields = [pa.field(n, t) for n, t in zip(lsch.names, lsch.types)]
+        fields += [
+            pa.field(rename[c], t) for c, t in zip(rsch.names, rsch.types)
+        ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
+
     def _bucket_left(batch: pa.Table) -> pa.Table:
         ts = _ts_i64(batch.column(left_ts))
         return batch.append_column(

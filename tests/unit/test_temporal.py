@@ -205,3 +205,41 @@ def test_range_join_column_collision_renamed(ray_session):
     rows = out.take_all()
     assert len(rows) == 1
     assert rows[0]["tag"] == "L" and rows[0]["tag_r"] == "R"
+
+
+def test_range_join_empty_sides(ray_session):
+    """Round 5: an empty side must yield a typed empty result, not crash
+    Ray's hash-shuffle join on schema-less empty partitions."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawlray.ops.temporal import range_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "ts": pa.array([100], pa.int64())})
+    )
+    empty_right = ray.data.from_arrow(
+        pa.table(
+            {"start": pa.array([], pa.int64()), "end": pa.array([], pa.int64())}
+        )
+    )
+    out = range_join(
+        left, empty_right, left_ts="ts", right_start="start",
+        right_end="end", bucket_width=100,
+    )
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "ts", "start", "end"}
+
+    empty_left = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64())})
+    )
+    ivals = ray.data.from_arrow(
+        pa.table(
+            {"start": pa.array([0], pa.int64()), "end": pa.array([500], pa.int64())}
+        )
+    )
+    out2 = range_join(
+        empty_left, ivals, left_ts="ts", right_start="start",
+        right_end="end", bucket_width=100,
+    )
+    assert out2.count() == 0
