@@ -369,6 +369,29 @@ def tfidf(
     from crawlray.ops.relational import grouped_count_hash, shuffle_join
 
     n_docs = ds.count()
+    if n_docs == 0:
+        # typed empty result (round-5 degenerate-input guard): the
+        # tf ⋈ df hash join would otherwise finalize schema-less empty
+        # partitions Acero rejects
+        sch = ds.schema()
+        idt = (
+            dict(zip(sch.names, sch.types))[id_col]
+            if sch is not None and id_col in sch.names
+            else pa.int64()
+        )
+        fields = [
+            pa.field(id_col, idt),
+            pa.field("token", pa.string()),
+            pa.field("tf", pa.int64()),
+            pa.field("df", pa.int64()),
+            pa.field("tfidf", pa.float64()),
+        ]
+        if bm25:
+            fields += [
+                pa.field("dl", pa.int64()),
+                pa.field("bm25", pa.float64()),
+            ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
     toks = explode_tokens(ds, id_col, text_col, with_len=bm25)
     # dl is functionally dependent on id_col, so adding it as a group key
     # changes no group and costs only the extra int64 hash mix per row.
@@ -498,7 +521,24 @@ def pmi_collocations(
             explode_tokens(ds, id_col, text_col), ["token"], alias="c"
         ).materialize()
     )
-    tu = float(uni.sum("c"))
+    tu_raw = uni.sum("c")
+    if tu_raw is None:
+        # empty corpus / no tokens: no unigrams, no collocations —
+        # typed empty result (round-5 degenerate-input guard; the join
+        # path would otherwise crash and float(None) raises)
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("w1", pa.string()),
+                    ("w2", pa.string()),
+                    ("c12", pa.int64()),
+                    ("c1", pa.int64()),
+                    ("c2", pa.int64()),
+                    ("pmi", pa.float64()),
+                ]
+            ).empty_table()
+        )
+    tu = float(tu_raw)
 
     def _as(w: str, c: str):
         def _ren(batch: pa.Table) -> pa.Table:

@@ -552,3 +552,29 @@ def test_corpus_diagnostics_matches_duckdb(ray_session, nblocks):
         ).df()
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tfidf_and_pmi_empty_corpus(ray_session):
+    """Round 5: an empty corpus must yield typed empty results, not a
+    schema-less-partition join crash (tfidf) or float(None) (pmi)."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawlray.ops.textqa import pmi_collocations, tfidf
+
+    ed = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    t = tfidf(ed)
+    assert t.count() == 0
+    assert set(t.schema().names) == {"doc_id", "token", "tf", "df", "tfidf"}
+    tb = tfidf(ed, bm25=True)
+    assert tb.count() == 0 and "bm25" in tb.schema().names
+    p = pmi_collocations(ed)
+    assert p.count() == 0
+    assert set(p.schema().names) == {"w1", "w2", "c12", "c1", "c2", "pmi"}
