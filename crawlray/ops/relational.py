@@ -66,6 +66,16 @@ def shuffle_join(
         fits in an aggregator's heap;
       * key skew: pre-salt the hot keys (append `url_hash_lo % S` to the
         key columns of both sides for the hot-key subset) before calling.
+
+    Caveat (Ray 2.49): `Dataset.join` crashes when one side has ZERO
+    rows total — every hash partition of that side finalizes as a
+    schema-less empty table and Acero rejects the key field. This
+    wrapper does NOT pre-check emptiness (an early-stopping probe would
+    add a partial plan execution per call, unacceptable in per-round
+    loops like pagerank/CC); callers whose inputs can legitimately be
+    empty short-circuit with a typed result first — see bloom_semi_join,
+    range_join, tfidf, pmi_collocations, connected_components,
+    pagerank, hits_scores for the pattern.
     """
     if num_partitions is None:
         # size-aware default (measured: each hash-shuffle aggregator
